@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh.
+
+Real TPU hardware is single-chip in CI; distributed code paths
+(shard_map point sharding, frame data-parallelism) are exercised against
+XLA's host-platform device simulation, exactly as they compile on a real
+TPU mesh.  The axon TPU plugin in this image ignores JAX_PLATFORMS, so the
+platform is forced through jax.config as well.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8

@@ -1,0 +1,118 @@
+"""High-level render entry: primitive soup -> framebuffers -> shaded RGB.
+
+Backend dispatch:
+  "bruteforce" — chunked all-prims x all-pixels XLA scan (exact, any size,
+                 O(P*H*W); the correctness baseline);
+  "tiled"      — binned XLA gather rasterizer (exact, scales to ~100k prims);
+  "pallas"     — tiled Pallas TPU kernel (the fast path);
+  "cpu"        — NumPy oracle (host, slow; ground truth);
+  "auto"       — pallas on TPU, tiled elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_render_tpu.raster import bruteforce, cpu_reference
+from pointcloud_render_tpu.raster.primitives import (
+    ScreenPrimitives,
+    triangles_from_mesh,
+)
+from pointcloud_render_tpu.shading.shade import ShadingConfig, shade_framebuffer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    shading: ShadingConfig = dataclasses.field(default_factory=ShadingConfig)
+    # bruteforce chunk / tiled capacity knobs
+    chunk: int = dataclasses.field(default=8, metadata=dict(static=True))
+    tile_h: int = dataclasses.field(default=8, metadata=dict(static=True))
+    tile_w: int = dataclasses.field(default=128, metadata=dict(static=True))
+    max_per_tile: int = dataclasses.field(default=512, metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameBuffers:
+    rgb: jax.Array  # (H, W, 3) float32
+    depth: jax.Array  # (H, W) float32, +inf empty
+    index: jax.Array  # (H, W) int32, -1 empty
+
+
+def _resolve_backend(name: str) -> str:
+    if name != "auto":
+        return name
+    return "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+
+def rasterize(prims: ScreenPrimitives, width: int, height: int,
+              config: Optional[RasterConfig] = None):
+    """Run the configured backend -> (depth, index) buffers."""
+    config = config or RasterConfig()
+    backend = _resolve_backend(config.backend)
+    if backend == "cpu":
+        host = jax.tree_util.tree_map(np.asarray, prims)
+        depth, index = cpu_reference.rasterize_reference(host, width, height)
+        return jnp.asarray(depth), jnp.asarray(index)
+    if backend == "bruteforce":
+        return bruteforce.rasterize_bruteforce(
+            prims, width, height, chunk=config.chunk)
+    if backend == "tiled":
+        from pointcloud_render_tpu.raster import xla_tiled  # noqa: PLC0415
+
+        return xla_tiled.rasterize_tiled(
+            prims, width, height,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+            max_per_tile=config.max_per_tile)
+    if backend == "pallas":
+        from pointcloud_render_tpu.raster import pallas_kernel  # noqa: PLC0415
+
+        return pallas_kernel.rasterize_pallas(
+            prims, width, height,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+            max_per_tile=config.max_per_tile)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def render(prims: ScreenPrimitives, camera,
+           config: Optional[RasterConfig] = None) -> FrameBuffers:
+    """Rasterize + shade a primitive soup through a Camera."""
+    config = config or RasterConfig()
+    depth, index = rasterize(prims, camera.width, camera.height, config)
+    rgb = shade_framebuffer(prims, camera, depth, index, config.shading)
+    return FrameBuffers(rgb=rgb, depth=depth, index=index)
+
+
+# ---------------------------------------------------------------------------
+# Stage geometry (the reference scene's fixed furniture)
+# ---------------------------------------------------------------------------
+
+GROUND_COLOR = (1.0, 1.0, 1.0)  # white roughplastic, traj_ball_renderer.py:30-35
+
+
+def ground_plane(camera, half_extent: float, center=(0.0, 0.0, -0.5),
+                 color=GROUND_COLOR) -> ScreenPrimitives:
+    """The reference's ground rectangle as two triangles.
+
+    Mitsuba's rectangle is the unit square [-1,1]^2 scaled then translated
+    (reference: traj_ball_renderer.py:58-65 — scale 10 -> 20x20 extent at
+    z=-0.5; example_renderer.py:55-61 z=-0.2; traj_b0.py:41-48 scale 20 at
+    (10,10,-0.8)).
+    """
+    cx, cy, cz = center
+    e = half_extent
+    verts = jnp.array([
+        [cx - e, cy - e, cz],
+        [cx + e, cy - e, cz],
+        [cx + e, cy + e, cz],
+        [cx - e, cy + e, cz],
+    ], jnp.float32)
+    faces = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    return triangles_from_mesh(verts, faces, camera, jnp.asarray(color))

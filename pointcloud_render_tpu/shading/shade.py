@@ -1,0 +1,96 @@
+"""Screen-space shading pass: id/depth buffers -> RGB.
+
+The reference gets its look from a Mitsuba path tracer (area light at
+(0, 0, 15) with radiance (4,4,4), white roughplastic ground, diffuse gray
+points — reference: traj_ball_renderer.py:30-77).  A rasterizer cannot
+reproduce global illumination; this pass approximates the look with:
+
+* sphere-normal Lambert shading for disc splats (normals reconstructed
+  from the pixel's offset inside the disc);
+* face-normal Lambert for triangles (ground plane, droplet instances);
+* unshaded emissive-style color for capsules (the bright green trails,
+  reference trail color (0.2, 1.0, 0.4) with 1.5x specular boost,
+  traj_ball_renderer.py:179-182);
+* a single directional key light pointing down (-z world), matching the
+  reference's overhead emitter, plus an ambient floor.
+
+Geometry/depth stay exact; the shading is explicitly "look parity",
+documented as such (SURVEY.md §6 scope note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from pointcloud_render_tpu.raster.primitives import (
+    KIND_CAPSULE,
+    KIND_DISC,
+    KIND_TRIANGLE,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShadingConfig:
+    mode: str = dataclasses.field(default="lambert", metadata=dict(static=True))
+    ambient: float = dataclasses.field(default=0.3, metadata=dict(static=True))
+    diffuse: float = dataclasses.field(default=0.7, metadata=dict(static=True))
+    trail_boost: float = dataclasses.field(default=1.3, metadata=dict(static=True))
+    background: tuple = dataclasses.field(
+        default=(1.0, 1.0, 1.0), metadata=dict(static=True))
+
+
+def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
+    """Resolve winning primitives to shaded RGB.
+
+    Args:
+      prims: the ScreenPrimitives soup that was rasterized.
+      camera: the Camera (for the light direction in camera space).
+      depth: (H, W) float32; index: (H, W) int32 (-1 = empty).
+    Returns:
+      rgb: (H, W, 3) float32 in [0, 1].
+    """
+    h, w = depth.shape
+    hit = index >= 0
+    safe_idx = jnp.maximum(index, 0)
+
+    color = prims.color[safe_idx]  # (H, W, 3)
+    if config.mode == "flat":
+        rgb = color
+    else:
+        kind = prims.kind[safe_idx]
+        # Key light: straight down in world (surface -> light is +z world),
+        # expressed in camera space.
+        m = camera.world_to_camera_matrix()
+        l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])  # R @ (0,0,1)
+
+        qx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
+        qy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+
+        # Disc sphere normals from in-disc offset (camera space, +y up in
+        # camera corresponds to -py direction on screen).
+        pxc = prims.params[safe_idx, 0]
+        pyc = prims.params[safe_idx, 1]
+        rr = jnp.maximum(prims.params[safe_idx, 3], 1e-6)
+        u = (qx - pxc) / rr
+        v = -(qy - pyc) / rr
+        w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
+        nz = -jnp.sqrt(w2)
+        ndotl_disc = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
+
+        # Triangle face normals were stored in camera space at build time.
+        nrm = prims.normal[safe_idx]  # (H, W, 3)
+        ndotl_tri = (nrm[..., 0] * l_cam[0] + nrm[..., 1] * l_cam[1]
+                     + nrm[..., 2] * l_cam[2])
+
+        ndotl = jnp.where(kind == KIND_DISC, ndotl_disc, ndotl_tri)
+        lit = config.ambient + config.diffuse * jnp.maximum(ndotl, 0.0)
+        lit = jnp.where(kind == KIND_CAPSULE, config.trail_boost, lit)
+        rgb = color * lit[..., None]
+
+    bg = jnp.asarray(config.background, jnp.float32)
+    rgb = jnp.where(hit[..., None], rgb, bg)
+    return jnp.clip(rgb, 0.0, 1.0)

@@ -1,0 +1,75 @@
+"""Unified CLI: render any preset with overridable folders/frames/backend.
+
+Usage:
+  python -m pointcloud_render_tpu.cli.main --preset traj_ball \
+      [--input-folder trajectory_ply] [--output-folder render] \
+      [--frames 0:220] [--backend auto] [--droplet-lod capsule|mesh] \
+      [--no-resume] [--metrics-jsonl path]
+
+The seven per-script entry points (cli.traj_ball_renderer etc.) are thin
+wrappers with the reference's hardcoded defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pointcloud_render_tpu.configs import PRESETS
+from pointcloud_render_tpu.raster.render import RasterConfig
+from pointcloud_render_tpu.run.batch import run_batch
+from pointcloud_render_tpu.run.metrics import MetricsSink
+from pointcloud_render_tpu.run.pipeline import FramePipeline
+
+
+def parse_frames(spec: str, default):
+    if not spec:
+        return default
+    if ":" in spec:
+        lo, hi = spec.split(":")
+        return range(int(lo or 0), int(hi))
+    return [int(x) for x in spec.split(",")]
+
+
+def build_parser(preset_name=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    if preset_name is None:
+        p.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    p.add_argument("--input-folder", default=None)
+    p.add_argument("--output-folder", default=None)
+    p.add_argument("--frames", default="")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "bruteforce", "tiled", "pallas", "cpu"])
+    p.add_argument("--droplet-lod", default="capsule",
+                   choices=["capsule", "mesh"])
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--metrics-jsonl", default=None)
+    return p
+
+
+def run(args, preset_name=None):
+    preset = PRESETS[preset_name or args.preset]
+    pipeline = FramePipeline(
+        preset,
+        raster_config=RasterConfig(backend=args.backend),
+        droplet_lod=args.droplet_lod,
+    )
+    sink = MetricsSink(jsonl_path=args.metrics_jsonl)
+    run_batch(
+        preset,
+        input_folder=args.input_folder,
+        output_folder=args.output_folder,
+        frames=parse_frames(args.frames, preset.frames),
+        pipeline=pipeline,
+        resume=not args.no_resume,
+        sink=sink,
+    )
+    return sink
+
+
+def main(argv=None, preset_name=None):
+    args = build_parser(preset_name).parse_args(argv)
+    run(args, preset_name)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,65 @@ def droplet_mesh(dtype=np.float32):
     return vertices, faces
 
 
+def instance_droplets(rotations, translations, dtype=None):
+    """Instance the droplet mesh per point: (N,4,4)|(N,3,3)+(N,3) -> world.
+
+    Returns (verts (N*V, 3), faces (N*F, 3) int32).  The per-vertex
+    transform is explicit broadcast muladds (VPU) — a (N,3,3)@(3,V) matmul
+    would route through the TPU MXU at bf16 precision and break parity
+    with the reference float32 matrices.
+    """
+    import jax.numpy as jnp  # local: host callers may stay numpy-only
+
+    mesh_v, mesh_f = droplet_mesh()
+    v = np.asarray(mesh_v, np.float32)  # (V, 3)
+    rot = jnp.asarray(rotations, jnp.float32)
+    if rot.ndim == 3 and rot.shape[1:] == (4, 4):
+        t = rot[:, :3, 3]
+        rot = rot[:, :3, :3]
+    else:
+        t = jnp.asarray(translations, jnp.float32)
+    n = rot.shape[0]
+    # world[n, vtx, i] = sum_j rot[n, i, j] * v[vtx, j] + t[n, i]
+    world = (
+        rot[:, None, :, 0] * v[None, :, None, 0]
+        + rot[:, None, :, 1] * v[None, :, None, 1]
+        + rot[:, None, :, 2] * v[None, :, None, 2]
+        + t[:, None, :]
+    )  # (N, V, 3)
+    nv = v.shape[0]
+    faces = (np.asarray(mesh_f, np.int32)[None, :, :]
+             + (np.arange(n, dtype=np.int32) * nv)[:, None, None])
+    return world.reshape(n * nv, 3), faces.reshape(-1, 3)
+
+
+# Capsule LOD of the droplet: a head sphere plus a tapering tail capsule.
+# The mesh's tail tip sits at z = r*cos(pi) - LENGTH*1.0*0.8 ~= -(LENGTH*0.8);
+# rotation maps -z to the unit velocity, so the tail points ALONG +v
+# (reference rest orientation: traj_renderer.py:171 with the tail at -z,
+# traj_renderer.py:128-134).
+TAIL_TIP_OFFSET = LENGTH * TAIL_Z_FACTOR  # 0.028 along +v from the center
+
+
+def droplet_capsule_lod(positions, velocities):
+    """(N,3),(N,3) -> head centers/radii + tail segment endpoints.
+
+    For screen sizes of ~10-20 px (all reference scenes) this silhouette is
+    visually indistinguishable from the 640-triangle mesh at ~300x less
+    rasterization work.  Zero/near-zero velocities keep the identity
+    orientation (tail along -z world), matching the rotation contract.
+    """
+    import jax.numpy as jnp
+
+    p = jnp.asarray(positions, jnp.float32)
+    v = jnp.asarray(velocities, jnp.float32)
+    norm = jnp.linalg.norm(v, axis=1, keepdims=True)
+    unit = jnp.where(norm < 1e-6, jnp.array([0.0, 0.0, -1.0], jnp.float32),
+                     v / jnp.where(norm < 1e-6, 1.0, norm))
+    tail_tip = p + unit * TAIL_TIP_OFFSET
+    return p, jnp.full((p.shape[0],), BASE_RADIUS, jnp.float32), tail_tip
+
+
 def write_droplet_obj(path: str) -> str:
     """Export the droplet mesh as OBJ (reference temp-file parity,
     traj_renderer.py:147-153: 'v x y z' at 6 decimals, 1-based faces)."""

@@ -78,7 +78,7 @@ def rotation_matrices_from_velocities(velocities, positions):
     safe_norm = jnp.where(vel_norm < VELOCITY_EPS, 1.0, vel_norm)
     target = v / safe_norm[:, None]
 
-    default = jnp.array(DEFAULT_TIP_AXIS, jnp.float32)
+    default = np.array(DEFAULT_TIP_AXIS, np.float32)
     dot = jnp.clip(target @ default, -1.0, 1.0)
     axis = jnp.cross(jnp.broadcast_to(default, (n, 3)), target)
     axis_norm = jnp.linalg.norm(axis, axis=1)
@@ -86,15 +86,15 @@ def rotation_matrices_from_velocities(velocities, positions):
     # Antiparallel fallback axis (reference: traj_renderer.py:183-188).
     helper = jnp.where(
         (jnp.abs(target[:, 0]) < 0.9)[:, None],
-        jnp.array([1.0, 0.0, 0.0], jnp.float32),
-        jnp.array([0.0, 1.0, 0.0], jnp.float32),
+        np.array([1.0, 0.0, 0.0], np.float32),
+        np.array([0.0, 1.0, 0.0], np.float32),
     )
     anti_axis = jnp.cross(target, helper)
     anti_norm = jnp.linalg.norm(anti_axis, axis=1)
     anti_axis = jnp.where(
         (anti_norm > AXIS_EPS)[:, None],
         anti_axis / jnp.where(anti_norm > AXIS_EPS, anti_norm, 1.0)[:, None],
-        jnp.array([0.0, 1.0, 0.0], jnp.float32),
+        np.array([0.0, 1.0, 0.0], np.float32),
     )
 
     degenerate = axis_norm < AXIS_EPS
@@ -114,7 +114,7 @@ def rotation_matrices_from_velocities(velocities, positions):
         jnp.stack([az, zeros, -ax], axis=-1),
         jnp.stack([-ay, ax, zeros], axis=-1),
     ], axis=-2)  # (N, 3, 3)
-    eye = jnp.eye(3, dtype=jnp.float32)
+    eye = np.eye(3, dtype=np.float32)
     # For a unit axis a, K@K == a a^T - I (VPU outer product; avoids a tiny
     # MXU matmul whose TPU default precision would cost ~1e-3 accuracy).
     kk = unit_axis[:, :, None] * unit_axis[:, None, :] - eye

@@ -93,7 +93,7 @@ def velocity_trails(positions, velocities, frame_index, schedule: str = "ball"):
     safe = jnp.where(vel_norm < VELOCITY_EPS, 1.0, vel_norm)
     direction = -v / safe[:, None]
 
-    ts = (N_TRAIL_POINTS - 1 - jnp.arange(N_TRAIL_POINTS, dtype=jnp.float32)) / (
+    ts = (N_TRAIL_POINTS - 1 - np.arange(N_TRAIL_POINTS, dtype=np.float32)) / (
         N_TRAIL_POINTS - 1)
     offsets = direction[:, None, :] * (trail_length[:, None] * ts[None, :])[..., None]
     pts = p[:, None, :] + offsets  # (N, 20, 3)
@@ -164,13 +164,13 @@ def catmull_rom_trails(history, positions):
     hist = history[-m:]  # (m, N, 3)
 
     if m == 2:
-        ts = jnp.arange(N_TRAIL_POINTS, dtype=jnp.float32) / (N_TRAIL_POINTS - 1)
+        ts = np.arange(N_TRAIL_POINTS, dtype=np.float32) / (N_TRAIL_POINTS - 1)
         smooth = ((1 - ts)[None, :, None] * hist[0][:, None, :]
                   + ts[None, :, None] * hist[1][:, None, :])
     else:
         n_seg, sps, sub = _history_sample_plan(m)
-        ts = (jnp.arange(sps, dtype=jnp.float32) / (sps - 1)) if sps > 1 else (
-            jnp.zeros((1,), jnp.float32))
+        ts = (np.arange(sps, dtype=np.float32) / (sps - 1)) if sps > 1 else (
+            np.zeros((1,), np.float32))
         chunks = []
         for seg in range(n_seg):
             if seg == 0:
@@ -189,7 +189,7 @@ def catmull_rom_trails(history, positions):
                                  ts[None, :, None])
             chunks.append(chunk)
         dense = jnp.concatenate(chunks, axis=1)  # (N, n_seg*sps, 3)
-        smooth = dense[:, jnp.asarray(sub), :]  # (N, 20, 3)
+        smooth = dense[:, sub, :]  # (N, 20, 3)
 
     pts = jnp.concatenate([smooth, positions[:, None, :]], axis=1)  # (N, 21, 3)
 
@@ -214,7 +214,7 @@ def catmull_rom_trails(history, positions):
 
     # Open-curve trimming: if the first and last kept vertices coincide
     # within 1e-5, drop the last kept vertex (traj_renderer.py:366-372).
-    idx = jnp.arange(N_TRAIL_POINTS + 1)
+    idx = np.arange(N_TRAIL_POINTS + 1)
     big = N_TRAIL_POINTS + 2
     first_idx = jnp.min(jnp.where(keep, idx[None, :], big), axis=1)
     last_idx = jnp.max(jnp.where(keep, idx[None, :], -1), axis=1)

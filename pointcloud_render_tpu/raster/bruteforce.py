@@ -17,10 +17,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointcloud_render_tpu.raster.coverage import eval_coverage_depth, pixel_centers
 
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # numpy: safe to create at in-trace import time
 
 
 def _lex_min(d0, i0, d1, i1):
@@ -29,7 +30,6 @@ def _lex_min(d0, i0, d1, i1):
     return jnp.where(take1, d1, d0), jnp.where(take1, i1, i0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "chunk"))
 def rasterize_bruteforce(prims, width: int, height: int, chunk: int = 8):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty)."""
     p = prims.count
@@ -37,7 +37,7 @@ def rasterize_bruteforce(prims, width: int, height: int, chunk: int = 8):
     kind = jnp.pad(prims.kind, (0, pad))
     params = jnp.pad(prims.params, ((0, pad), (0, 0)))
     valid = jnp.pad(prims.valid, (0, pad))
-    ids = jnp.arange(p + pad, dtype=jnp.int32)
+    ids = np.arange(p + pad, dtype=np.int32)
 
     qx, qy = pixel_centers(height, width)
     n_chunks = (p + pad) // chunk
@@ -66,6 +66,7 @@ def rasterize_bruteforce(prims, width: int, height: int, chunk: int = 8):
 
     init = (jnp.full((height, width), INF),
             jnp.full((height, width), 2147483647, jnp.int32))
-    (depth, index), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    (depth, index), _ = jax.lax.scan(step, init,
+                                     np.arange(n_chunks, dtype=np.int32))
     index = jnp.where(jnp.isinf(depth), -1, index)
     return depth, index

@@ -11,6 +11,7 @@ CPU divisions are correctly rounded; TPU f32 division is accurate to
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from pointcloud_render_tpu.raster.primitives import (
     KIND_CAPSULE,
@@ -69,7 +70,7 @@ def eval_coverage_depth(kind, params, qx, qy):
 
 def pixel_centers(height, width, y0=0, x0=0):
     """(H, W) pixel-center coordinate grids for a screen region."""
-    qy = (jnp.arange(height, dtype=jnp.float32) + jnp.float32(y0) + 0.5)[:, None]
-    qx = (jnp.arange(width, dtype=jnp.float32) + jnp.float32(x0) + 0.5)[None, :]
-    return (jnp.broadcast_to(qx, (height, width)),
-            jnp.broadcast_to(qy, (height, width)))
+    qy = (np.arange(height, dtype=np.float32) + np.float32(y0) + 0.5)[:, None]
+    qx = (np.arange(width, dtype=np.float32) + np.float32(x0) + 0.5)[None, :]
+    return (np.broadcast_to(qx, (height, width)),
+            np.broadcast_to(qy, (height, width)))

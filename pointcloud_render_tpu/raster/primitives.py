@@ -43,6 +43,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointcloud_render_tpu.raster.project import apply_world_to_camera, project_points
 
@@ -195,7 +196,7 @@ def _near_clip_triangles(cam_verts, near):
     k = jnp.where(n_in == 1, k_one, jnp.where(n_in == 2, k_two, 0))
 
     f = cam_verts.shape[0]
-    rows = jnp.arange(f)
+    rows = np.arange(f)
     a = cam_verts[rows, k % 3]
     b = cam_verts[rows, (k + 1) % 3]
     c = cam_verts[rows, (k + 2) % 3]

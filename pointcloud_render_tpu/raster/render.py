@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointcloud_render_tpu.raster import bruteforce, cpu_reference
+from pointcloud_render_tpu.raster import bruteforce, cpu_reference, xla_tiled
 from pointcloud_render_tpu.raster.primitives import (
     ScreenPrimitives,
     triangles_from_mesh,
@@ -26,16 +26,18 @@ from pointcloud_render_tpu.raster.primitives import (
 from pointcloud_render_tpu.shading.shade import ShadingConfig, shade_framebuffer
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
-    backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    """Plain hashable config (NOT a pytree: it is passed through jit static
+    arguments, and pytree-registered statics break pjit's fast path)."""
+
+    backend: str = "auto"
     shading: ShadingConfig = dataclasses.field(default_factory=ShadingConfig)
     # bruteforce chunk / tiled capacity knobs
-    chunk: int = dataclasses.field(default=8, metadata=dict(static=True))
-    tile_h: int = dataclasses.field(default=8, metadata=dict(static=True))
-    tile_w: int = dataclasses.field(default=128, metadata=dict(static=True))
-    max_per_tile: int = dataclasses.field(default=512, metadata=dict(static=True))
+    chunk: int = 8
+    tile_h: int = 8
+    tile_w: int = 128
+    max_per_tile: int = 512
 
 
 @jax.tree_util.register_dataclass
@@ -49,7 +51,14 @@ class FrameBuffers:
 def _resolve_backend(name: str) -> str:
     if name != "auto":
         return name
-    return "pallas" if jax.default_backend() == "tpu" else "tiled"
+    if jax.default_backend() == "tpu":
+        try:
+            from pointcloud_render_tpu.raster import pallas_kernel  # noqa: F401,PLC0415
+
+            return "pallas"
+        except ImportError:
+            return "tiled"
+    return "tiled"
 
 
 def rasterize(prims: ScreenPrimitives, width: int, height: int,
@@ -65,8 +74,6 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
         return bruteforce.rasterize_bruteforce(
             prims, width, height, chunk=config.chunk)
     if backend == "tiled":
-        from pointcloud_render_tpu.raster import xla_tiled  # noqa: PLC0415
-
         return xla_tiled.rasterize_tiled(
             prims, width, height,
             tile_h=config.tile_h, tile_w=config.tile_w,
@@ -108,11 +115,11 @@ def ground_plane(camera, half_extent: float, center=(0.0, 0.0, -0.5),
     """
     cx, cy, cz = center
     e = half_extent
-    verts = jnp.array([
+    verts = np.array([
         [cx - e, cy - e, cz],
         [cx + e, cy - e, cz],
         [cx + e, cy + e, cz],
         [cx - e, cy + e, cz],
-    ], jnp.float32)
-    faces = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
-    return triangles_from_mesh(verts, faces, camera, jnp.asarray(color))
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return triangles_from_mesh(verts, faces, camera, np.asarray(color))

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_dataclass
@@ -44,11 +45,6 @@ class TileBins:
         return tile_drop + big_drop
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "max_per_tile",
-                     "max_tiles_per_prim", "max_big"),
-)
 def bin_primitives(prims, width: int, height: int, tile_h: int = 8,
                    tile_w: int = 128, max_per_tile: int = 512,
                    max_tiles_per_prim: int = 16, max_big: int = 64) -> TileBins:
@@ -73,14 +69,14 @@ def bin_primitives(prims, width: int, height: int, tile_h: int = 8,
     is_small = (span <= max_tiles_per_prim) & prims.valid
 
     # Expand each small prim into max_tiles_per_prim candidate slots.
-    slot = jnp.arange(max_tiles_per_prim, dtype=jnp.int32)[None, :]  # (1, S)
+    slot = np.arange(max_tiles_per_prim, dtype=np.int32)[None, :]  # (1, S)
     ex = slot % ntx[:, None]
     ey = slot // ntx[:, None]
     slot_ok = (slot < span[:, None]) & is_small[:, None]
     tile_id = (ty0[:, None] + ey) * tiles_x + (tx0[:, None] + ex)
     tile_id = jnp.where(slot_ok, tile_id, num_tiles)  # sentinel = num_tiles
     prim_id = jnp.broadcast_to(
-        jnp.arange(p, dtype=jnp.int32)[:, None], tile_id.shape)
+        np.arange(p, dtype=np.int32)[:, None], tile_id.shape)
 
     flat_tiles = tile_id.reshape(-1)
     flat_prims = prim_id.reshape(-1)
@@ -88,9 +84,10 @@ def bin_primitives(prims, width: int, height: int, tile_h: int = 8,
     sorted_tiles = flat_tiles[order]
     sorted_prims = flat_prims[order]
 
-    starts = jnp.searchsorted(sorted_tiles, jnp.arange(num_tiles + 1))
+    starts = jnp.searchsorted(sorted_tiles,
+                              np.arange(num_tiles + 1, dtype=np.int32))
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
-    rank = jnp.arange(sorted_tiles.shape[0]) - starts[sorted_tiles]
+    rank = np.arange(sorted_tiles.shape[0], dtype=np.int32) - starts[sorted_tiles]
 
     keep = (sorted_tiles < num_tiles) & (rank < max_per_tile)
     flat_idx = jnp.where(keep, sorted_tiles * max_per_tile + rank,
@@ -104,7 +101,7 @@ def bin_primitives(prims, width: int, height: int, tile_h: int = 8,
     big_idx = jnp.where(is_big & (big_rank < max_big), big_rank, max_big)
     big_list = jnp.full((max_big + 1,), -1, jnp.int32)
     big_list = big_list.at[big_idx].set(
-        jnp.arange(p, dtype=jnp.int32), mode="drop")
+        np.arange(p, dtype=np.int32), mode="drop")
     big_list = big_list[:-1]
     big_count = jnp.sum(is_big.astype(jnp.int32))
 

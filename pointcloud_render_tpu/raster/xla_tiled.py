@@ -15,12 +15,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointcloud_render_tpu.raster.coverage import eval_coverage_depth
 from pointcloud_render_tpu.raster.tiles import bin_primitives
 
-INF = jnp.float32(jnp.inf)
-IMAX = jnp.int32(2147483647)
+# Plain numpy scalars: module-level jnp values would be created inside an
+# active trace if this module is first imported during tracing, leaking
+# tracers into globals (found the hard way).
+INF = np.float32(np.inf)
+IMAX = np.int32(2147483647)
 
 
 def _reduce_chunk(kind, params, valid, ids, qx, qy):
@@ -44,11 +48,6 @@ def _lex_merge(d0, i0, d1, i1):
     return jnp.where(take1, d1, d0), jnp.where(take1, i1, i0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "max_per_tile",
-                     "chunk", "tile_batch", "max_big"),
-)
 def rasterize_tiled(prims, width: int, height: int, tile_h: int = 8,
                     tile_w: int = 128, max_per_tile: int = 512,
                     chunk: int = 32, tile_batch: int = 16, max_big: int = 64):
@@ -61,13 +60,11 @@ def rasterize_tiled(prims, width: int, height: int, tile_h: int = 8,
     table = jnp.pad(bins.table, ((0, pad_tiles), (0, 0)), constant_values=-1)
     n_batches = (num_tiles + pad_tiles) // tile_batch
 
-    tile_ids = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32)
-    tile_x0 = ((tile_ids % tiles_x) * tile_w).astype(jnp.float32)
-    tile_y0 = ((tile_ids // tiles_x) * tile_h).astype(jnp.float32)
+    tile_ids = np.arange(num_tiles + pad_tiles, dtype=np.int32)
 
     # In-tile pixel-center offsets.
-    oy = (jnp.arange(tile_h, dtype=jnp.float32) + 0.5)[:, None]
-    ox = (jnp.arange(tile_w, dtype=jnp.float32) + 0.5)[None, :]
+    oy = (np.arange(tile_h, dtype=np.float32) + 0.5)[:, None]
+    ox = (np.arange(tile_w, dtype=np.float32) + 0.5)[None, :]
 
     kind_all, params_all, valid_all = prims.kind, prims.params, prims.valid
     n_chunks = max_per_tile // chunk
@@ -80,12 +77,16 @@ def rasterize_tiled(prims, width: int, height: int, tile_h: int = 8,
     big_valid = valid_all[big_safe] & (big_ids >= 0)
 
     def tile_batch_fn(batch_idx):
-        tid = jax.lax.dynamic_slice_in_dim(tile_ids, batch_idx * tile_batch,
-                                           tile_batch)
+        tid = (batch_idx * tile_batch
+               + jax.lax.iota(jnp.int32, tile_batch))
         ttab = jax.lax.dynamic_slice_in_dim(table, batch_idx * tile_batch,
                                             tile_batch)  # (B, MPT)
-        qx = tile_x0[tid][:, None, None] + ox[None]  # (B, th, tw)
-        qy = tile_y0[tid][:, None, None] + oy[None]
+        # Tile origins computed from the traced ids (keeps constants out of
+        # the executable parameter list).
+        tile_x0 = ((tid % tiles_x) * tile_w).astype(jnp.float32)
+        tile_y0 = ((tid // tiles_x) * tile_h).astype(jnp.float32)
+        qx = tile_x0[:, None, None] + ox[None]  # (B, th, tw)
+        qy = tile_y0[:, None, None] + oy[None]
 
         depth = jnp.full((tile_batch, tile_h, tile_w), INF)
         index = jnp.full((tile_batch, tile_h, tile_w), IMAX)
@@ -113,7 +114,7 @@ def rasterize_tiled(prims, width: int, height: int, tile_h: int = 8,
         return _lex_merge(depth, index, bd, bi)
 
     depth_t, index_t = jax.lax.map(tile_batch_fn,
-                                   jnp.arange(n_batches, dtype=jnp.int32))
+                                   np.arange(n_batches, dtype=np.int32))
     depth_t = depth_t.reshape(num_tiles + pad_tiles, tile_h, tile_w)
     index_t = index_t.reshape(num_tiles + pad_tiles, tile_h, tile_w)
     depth_t = depth_t[:num_tiles].reshape(tiles_y, tiles_x, tile_h, tile_w)

@@ -1,0 +1,222 @@
+"""The per-frame pipeline: load -> standardize -> transform -> render -> save.
+
+Replaces the reference's Renderer.process() (traj_ball_renderer.py:365-398):
+instead of writing an O(N) XML scene plus one temp curve file per point and
+calling Mitsuba, the whole frame is a single jitted XLA program per
+(preset, N, history-length) signature, cached across the trajectory.
+
+The host side keeps the reference's exact state semantics (float64 NumPy
+standardize/transform — the bit-compatibility contract); the device side
+is float32.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_render_tpu.configs import ScenePreset
+from pointcloud_render_tpu.geometry import droplet as droplet_mod
+from pointcloud_render_tpu.geometry import rotation as rotation_mod
+from pointcloud_render_tpu.geometry import trails as trails_mod
+from pointcloud_render_tpu.io import loaders, png
+from pointcloud_render_tpu.raster.primitives import (
+    ScreenPrimitives,
+    capsules_from_polylines,
+    discs_from_points,
+    triangles_from_mesh,
+)
+from pointcloud_render_tpu.raster.render import (
+    FrameBuffers,
+    RasterConfig,
+    ground_plane,
+    render,
+)
+from pointcloud_render_tpu.scene import normalize
+from pointcloud_render_tpu.utils import aot
+from pointcloud_render_tpu.scene.camera import TARGETS, Camera, camera_origin_jax
+
+
+def build_primitives(preset: ScenePreset, camera: Camera, positions,
+                     velocities=None, frame_index=0, history=None,
+                     rotations=None, droplet_lod: str = "capsule"):
+    """Assemble the frame's primitive soup (traceable).
+
+    Primitive order (= depth-tie priority): ground, splats, trails.
+    """
+    parts = [ground_plane(camera, preset.ground_half_extent,
+                          preset.ground_center)]
+    color = np.asarray(preset.point_color, np.float32)
+    n = positions.shape[0]
+
+    if preset.splat == "sphere":
+        parts.append(discs_from_points(
+            positions, camera, np.full((n,), preset.point_radius, np.float32), color))
+    elif preset.splat == "droplet":
+        if rotations is None:
+            if velocities is None:
+                rotations = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                            (n, 4, 4))
+            else:
+                rotations = rotation_mod.rotation_matrices_from_velocities(
+                    velocities, positions)
+        if droplet_lod == "mesh":
+            verts, faces = droplet_mod.instance_droplets(rotations, positions)
+            parts.append(triangles_from_mesh(verts, faces, camera, color))
+        else:
+            # Capsule LOD: head sphere + tapering tail along the rotated
+            # -z axis (column 2 of R gives R @ (0,0,-1) = tail direction).
+            tail_dir = -rotations[:, :3, 2]
+            tip = positions + tail_dir * droplet_mod.TAIL_TIP_OFFSET
+            parts.append(discs_from_points(
+                positions, camera,
+                np.full((n,), droplet_mod.BASE_RADIUS, np.float32), color))
+            seg = jnp.stack([positions, tip], axis=1)  # (N, 2, 3)
+            parts.append(capsules_from_polylines(
+                seg, np.ones((n, 2), bool), camera,
+                droplet_mod.BASE_RADIUS * 0.5, color))
+    else:
+        raise ValueError(f"unknown splat kind {preset.splat!r}")
+
+    if preset.trail == "velocity" and velocities is not None:
+        pts, valid = trails_mod.velocity_trails(
+            positions, velocities, frame_index, preset.trail_schedule)
+        vertex_valid = jnp.broadcast_to(valid[:, None], pts.shape[:2])
+        parts.append(capsules_from_polylines(
+            pts, vertex_valid, camera, preset.trail_radius,
+            np.asarray(preset.trail_color, np.float32)))
+    elif preset.trail == "history" and history is not None \
+            and history.shape[0] > 0:
+        pts, valid, keep = trails_mod.catmull_rom_trails(history, positions)
+        vertex_valid = keep & valid[:, None]
+        parts.append(capsules_from_polylines(
+            pts, vertex_valid, camera, preset.trail_radius,
+            np.asarray(preset.trail_color, np.float32)))
+
+    return ScreenPrimitives.concatenate(parts)
+
+
+def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
+               with_rotations):
+    def step(positions, velocities, frame_index, history, rotations):
+        origin = camera_origin_jax(preset.camera_preset, frame_index,
+                                   preset.total_frames)
+        camera = Camera(origin=origin,
+                        target=np.asarray(TARGETS[preset.camera_preset],
+                                          np.float32),
+                        fov_x_degrees=preset.fov_x_degrees)
+        prims = build_primitives(
+            preset, camera,
+            positions,
+            velocities if with_vel else None,
+            frame_index,
+            history if with_history else None,
+            rotations if with_rotations else None,
+            droplet_lod=droplet_lod,
+        )
+        return render(prims, camera, raster_config)
+
+    return step
+
+
+_AOT_CACHE = {}
+
+
+def _render_step(preset, raster_config, droplet_lod, with_vel, with_history,
+                 with_rotations, positions, velocities, frame_index, history,
+                 rotations):
+    """Dispatch through a const-free AOT executable (see utils/aot.py for
+    why: this JAX build loses closure-constant buffers when several
+    structurally similar render programs coexist)."""
+    args = (positions, velocities, frame_index, history, rotations)
+    key = (preset, raster_config, droplet_lod, with_vel, with_history,
+           with_rotations, tuple((a.shape, str(a.dtype)) for a in args))
+    compiled = _AOT_CACHE.get(key)
+    if compiled is None:
+        step = _make_step(preset, raster_config, droplet_lod, with_vel,
+                          with_history, with_rotations)
+        compiled = aot.compile_const_free(step, *args)
+        _AOT_CACHE[key] = compiled
+    return compiled(*args)
+
+
+class FramePipeline:
+    """Stateful host-side orchestrator for one preset."""
+
+    def __init__(self, preset: ScenePreset,
+                 raster_config: Optional[RasterConfig] = None,
+                 droplet_lod: str = "capsule"):
+        self.preset = preset
+        self.raster_config = raster_config or RasterConfig()
+        self.droplet_lod = droplet_lod
+
+    # -- state layer (host, reference-exact) -------------------------------
+    def load_and_prepare(self, file_path: str):
+        """load -> (N,3|6) -> standardize -> transform (reference order,
+        traj_ball_renderer.py:369-374)."""
+        pcl = loaders.load_point_cloud(
+            file_path, positions_only=self.preset.positions_only)
+        if pcl.ndim == 3:
+            pcl = pcl[0]
+        pcl = normalize.standardize_point_cloud(pcl)
+        return normalize.transform_coordinates(pcl, flip_x=self.preset.flip_x)
+
+    # -- device layer -------------------------------------------------------
+    def render_array(self, pcl: np.ndarray, frame_index: int,
+                     history: Optional[np.ndarray] = None) -> FrameBuffers:
+        """Render a prepared (N, 3|6) array; history is (H, N, 3) or None."""
+        has_vel = pcl.shape[1] == 6
+        positions = jnp.asarray(pcl[:, :3], jnp.float32)
+        velocities = jnp.asarray(pcl[:, 3:6], jnp.float32) if has_vel else (
+            jnp.zeros_like(positions))
+
+        rotations = jnp.zeros((0, 4, 4), jnp.float32)
+        with_rotations = False
+        if self.preset.splat == "droplet" and not has_vel \
+                and self.preset.trail == "history":
+            # traj_renderer falls back to seeded random per-point rotations
+            # (traj_renderer.py:566-568); inherently sequential host RNG.
+            mats = np.stack([
+                rotation_mod.random_rotation_matrix(i, pcl[i, :3])
+                for i in range(pcl.shape[0])
+            ]).reshape(-1, 4, 4).astype(np.float32)
+            rotations = jnp.asarray(mats)
+            with_rotations = True
+
+        with_history = (self.preset.trail == "history" and history is not None
+                        and len(history) > 0)
+        if with_history:
+            history = jnp.asarray(
+                np.asarray(history, np.float32)[:, :, :3])
+        else:
+            history = jnp.zeros((0, positions.shape[0], 3), jnp.float32)
+
+        return _render_step(
+            self.preset, self.raster_config, self.droplet_lod,
+            has_vel, with_history, with_rotations,
+            positions, velocities, jnp.int32(frame_index), history, rotations)
+
+    # -- full frame ----------------------------------------------------------
+    def process(self, file_path: str, frame_index: int = 0,
+                history: Optional[np.ndarray] = None,
+                output_folder: Optional[str] = None,
+                write_depth: bool = False) -> str:
+        """Reference process() parity: returns the written PNG path."""
+        pcl = self.load_and_prepare(file_path)
+        fb = self.render_array(pcl, frame_index, history)
+
+        stem = os.path.splitext(os.path.basename(file_path))[0]
+        name = self.preset.output_name(frame_index, stem)
+        folder = output_folder or self.preset.output_folder
+        os.makedirs(folder, exist_ok=True)
+        out_path = os.path.join(folder, f"{name}.png")
+        png.write_png(out_path, np.asarray(fb.rgb))
+        if write_depth:
+            np.save(os.path.join(folder, f"{name}_depth.npy"),
+                    np.asarray(fb.depth))
+        return out_path

@@ -92,16 +92,19 @@ def camera_origin(
 
 def camera_origin_jax(preset: str, frame_index, total_frames: int = TOTAL_FRAMES):
     """Branchless jnp version of :func:`camera_origin` (frame_index may be traced)."""
+    # NOTE: constants below stay NumPy so they embed as HLO literals under
+    # jit (trace-time jnp arrays become hoisted executable parameters and
+    # trip a pjit executable-cache bug in this JAX build).
     f = jnp.asarray(frame_index, jnp.float32)
     if preset == "example":
-        return jnp.array([2.2, 2.2, 4.2], jnp.float32)
+        return jnp.asarray(np.array([2.2, 2.2, 4.2], np.float32))
     if preset == "traj":
         p = f / max(total_frames - 1, 1)
-        return jnp.array([2.8, 2.8, 3.0], jnp.float32) - 2.0 * p
+        return np.array([2.8, 2.8, 3.0], np.float32) - 2.0 * p
     if preset == "traj_original":
-        return jnp.array([-1.8, -1.8, 1.8], jnp.float32)
+        return jnp.asarray(np.array([-1.8, -1.8, 1.8], np.float32))
     start, mid, final = (
-        jnp.array(w, jnp.float32) for w in _WAYPOINTS[preset]
+        np.array(w, np.float32) for w in _WAYPOINTS[preset]
     )
     p1 = f / LAST_MOTION_FRAME
     p2 = (f - LAST_MOTION_FRAME) / FADE_FRAMES
@@ -140,7 +143,7 @@ class Camera:
     origin: jax.Array  # (3,)
     target: jax.Array  # (3,)
     up: jax.Array = dataclasses.field(
-        default_factory=lambda: jnp.array(UP, jnp.float32)
+        default_factory=lambda: np.array(UP, np.float32)
     )
     fov_x_degrees: float = dataclasses.field(
         default=FOV_TRAJ, metadata=dict(static=True)

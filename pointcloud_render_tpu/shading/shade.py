@@ -24,6 +24,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointcloud_render_tpu.raster.primitives import (
     KIND_CAPSULE,
@@ -32,15 +33,16 @@ from pointcloud_render_tpu.raster.primitives import (
 )
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShadingConfig:
-    mode: str = dataclasses.field(default="lambert", metadata=dict(static=True))
-    ambient: float = dataclasses.field(default=0.3, metadata=dict(static=True))
-    diffuse: float = dataclasses.field(default=0.7, metadata=dict(static=True))
-    trail_boost: float = dataclasses.field(default=1.3, metadata=dict(static=True))
-    background: tuple = dataclasses.field(
-        default=(1.0, 1.0, 1.0), metadata=dict(static=True))
+    """Plain hashable config (NOT a pytree: it is passed through jit static
+    arguments, and pytree-registered statics break pjit's fast path)."""
+
+    mode: str = "lambert"
+    ambient: float = 0.3
+    diffuse: float = 0.7
+    trail_boost: float = 1.3
+    background: tuple = (1.0, 1.0, 1.0)
 
 
 def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
@@ -67,8 +69,8 @@ def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
         m = camera.world_to_camera_matrix()
         l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])  # R @ (0,0,1)
 
-        qx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]
-        qy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
+        qx = (np.arange(w, dtype=np.float32) + 0.5)[None, :]
+        qy = (np.arange(h, dtype=np.float32) + 0.5)[:, None]
 
         # Disc sphere normals from in-disc offset (camera space, +y up in
         # camera corresponds to -py direction on screen).
@@ -91,6 +93,6 @@ def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
         lit = jnp.where(kind == KIND_CAPSULE, config.trail_boost, lit)
         rgb = color * lit[..., None]
 
-    bg = jnp.asarray(config.background, jnp.float32)
+    bg = np.asarray(config.background, np.float32)
     rgb = jnp.where(hit[..., None], rgb, bg)
     return jnp.clip(rgb, 0.0, 1.0)

@@ -1,0 +1,124 @@
+"""Distributed tests on the simulated 8-device CPU mesh (SURVEY.md §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_render_tpu.parallel import (
+    make_render_mesh,
+    render_frames_dp,
+    render_point_sharded,
+)
+from pointcloud_render_tpu.parallel.render_parallel import render_batch_sharded
+from pointcloud_render_tpu.raster import xla_tiled
+from pointcloud_render_tpu.raster.primitives import discs_from_points
+from pointcloud_render_tpu.raster.render import RasterConfig
+from pointcloud_render_tpu.scene.camera import Camera
+
+W, H = 256, 64
+
+
+def make_camera():
+    return Camera(origin=jnp.array([2.0, 2.0, 2.0], jnp.float32),
+                  target=jnp.array([0.0, 0.0, -0.05], jnp.float32),
+                  width=W, height=H)
+
+
+def test_point_sharded_matches_single_device():
+    cam = make_camera()
+    rng = np.random.default_rng(0)
+    n = 512
+    pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    radii = np.full((n,), 0.03, np.float32)
+    colors = np.broadcast_to(np.array([0.3, 0.3, 0.3], np.float32), (n, 3))
+    cfg = RasterConfig(backend="tiled", max_per_tile=256)
+
+    mesh = make_render_mesh(1, 8)
+    rgb, depth, idx = jax.jit(
+        lambda p, r, c: render_point_sharded(p, r, c, cam, cfg, mesh)
+    )(pos, radii, colors)
+
+    # Single-device truth.
+    prims = discs_from_points(pos, cam, radii, colors)
+    d1, i1 = xla_tiled.rasterize_tiled(prims, W, H, max_per_tile=256)
+
+    # Winners must agree exactly; depth may differ by XLA FMA-contraction
+    # choices between the two programs (<= 1 ulp).
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(i1))
+    hit_px = np.asarray(i1) >= 0
+    np.testing.assert_allclose(np.asarray(depth)[hit_px],
+                               np.asarray(d1)[hit_px], rtol=5e-7)
+    # Color resolve: every hit pixel shows the winner's color.
+    hit = np.asarray(i1) >= 0
+    assert hit.mean() > 0.02
+    np.testing.assert_allclose(np.asarray(rgb)[hit], 0.3, atol=1e-6)
+    assert np.all(np.asarray(rgb)[~hit] == 1.0)
+
+
+def test_point_sharded_shard_count_invariance():
+    cam = make_camera()
+    rng = np.random.default_rng(1)
+    n = 512
+    pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    radii = np.full((n,), 0.03, np.float32)
+    colors = np.broadcast_to(np.array([0.3, 0.3, 0.3], np.float32), (n, 3))
+    cfg = RasterConfig(backend="tiled", max_per_tile=256)
+
+    outs = []
+    for n_shards in (2, 4, 8):
+        mesh = make_render_mesh(1, n_shards)
+        rgb, depth, idx = jax.jit(
+            lambda p, r, c, m=mesh: render_point_sharded(p, r, c, cam, cfg, m)
+        )(pos, radii, colors)
+        outs.append((np.asarray(depth), np.asarray(idx)))
+    for d, i in outs[1:]:
+        np.testing.assert_array_equal(i, outs[0][1])
+        hit_px = outs[0][1] >= 0
+        np.testing.assert_allclose(d[hit_px], outs[0][0][hit_px], rtol=5e-7)
+
+
+def test_frames_dp():
+    cam = make_camera()
+    rng = np.random.default_rng(2)
+    f, n = 8, 128
+    pos = rng.uniform(-0.5, 0.5, (f, n, 3)).astype(np.float32)
+    cfg = RasterConfig(backend="tiled", max_per_tile=256)
+
+    def step(p):
+        prims = discs_from_points(
+            p, cam, jnp.full((n,), 0.03), jnp.array([0.3, 0.3, 0.3]))
+        d, i = xla_tiled.rasterize_tiled(prims, W, H, max_per_tile=256)
+        return d
+
+    mesh = make_render_mesh(8, 1)
+    depths = jax.jit(
+        lambda x: render_frames_dp(step, (x,), mesh)
+    )(pos)
+    assert depths.shape == (f, H, W)
+    # Each frame must equal its single-device render.
+    for k in range(f):
+        dk = np.asarray(step(pos[k]))
+        got = np.asarray(depths[k])
+        assert ((got == dk) | (np.isclose(got, dk, rtol=5e-7))).all()
+
+
+def test_2d_mesh_frames_by_points():
+    cam = make_camera()
+    rng = np.random.default_rng(3)
+    f, n = 2, 256
+    pos = rng.uniform(-0.5, 0.5, (f, n, 3)).astype(np.float32)
+    radii = np.broadcast_to(np.float32(0.03), (f, n)).copy()
+    colors = np.broadcast_to(np.array([0.3, 0.3, 0.3], np.float32),
+                             (f, n, 3)).copy()
+    cfg = RasterConfig(backend="tiled", max_per_tile=256)
+    mesh = make_render_mesh(2, 4)
+
+    depths = jax.jit(
+        lambda p, r, c: render_batch_sharded(p, r, c, cam, cfg, mesh)[1]
+    )(pos, radii, colors)
+    assert depths.shape == (f, H, W)
+    for k in range(f):
+        prims = discs_from_points(pos[k], cam, radii[k], colors[k])
+        dk, _ = xla_tiled.rasterize_tiled(prims, W, H, max_per_tile=256)
+        dk, got = np.asarray(dk), np.asarray(depths[k])
+        assert ((got == dk) | (np.isclose(got, dk, rtol=5e-7))).all()

@@ -1,0 +1,191 @@
+"""End-to-end replay tests (SURVEY.md §4 item 4): each preset runs for a
+few frames on synthetic clouds through the real batch driver; outputs,
+naming, resume behavior and state-layer values must match the reference
+semantics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pointcloud_render_tpu.configs import PRESETS
+from pointcloud_render_tpu.raster.render import RasterConfig
+from pointcloud_render_tpu.run.batch import Manifest, run_batch
+from pointcloud_render_tpu.run.metrics import MetricsSink
+from pointcloud_render_tpu.run.pipeline import FramePipeline
+
+from pointcloud_render_tpu.io import ply as plyio
+
+RNG = np.random.default_rng(11)
+N_POINTS = 60
+
+
+def synth_trajectory(folder, pattern, frames, n=N_POINTS, with_velocity=True,
+                     seed=0):
+    """Write a synthetic drifting cloud as PLY frames."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(folder, exist_ok=True)
+    pos = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32) * 2
+    for fi in frames:
+        p = pos + 0.01 * fi * vel
+        path = os.path.join(folder, pattern.format(n=fi))
+        plyio.write_ply(path, p, velocities=vel if with_velocity else None)
+    return pos, vel
+
+
+def small_pipeline(preset, droplet_lod="capsule"):
+    # Tiny film for test speed; backend tiled (the production XLA path).
+    import dataclasses
+
+    from pointcloud_render_tpu.run import pipeline as pl
+
+    return pl.FramePipeline(
+        preset, RasterConfig(backend="tiled", max_per_tile=256),
+        droplet_lod=droplet_lod)
+
+
+@pytest.fixture()
+def small_camera(monkeypatch):
+    """Shrink the film so CPU tests are fast."""
+    import pointcloud_render_tpu.scene.camera as cam_mod
+
+    class SmallCamera(cam_mod.Camera):
+        pass
+
+    orig = cam_mod.Camera.__init__
+
+    def patched(self, *a, **kw):
+        kw.setdefault("width", 192)
+        kw.setdefault("height", 108)
+        orig(self, *a, **kw)
+
+    monkeypatch.setattr(cam_mod.Camera, "__init__", patched)
+    yield
+
+
+@pytest.mark.parametrize("preset_name", ["traj_ball", "traj_vel", "traj_b0",
+                                         "traj_b1"])
+def test_velocity_presets_end_to_end(tmp_path, small_camera, preset_name):
+    preset = PRESETS[preset_name]
+    frames = [0, 1, 199]
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [0, 1, 199])
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=frames, pipeline=small_pipeline(preset),
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 3
+    stem0 = preset.file_pattern.format(n=0)[:-4]
+    assert os.path.exists(os.path.join(out, f"{stem0}.png"))
+    # manifest written and used for resume
+    sink2 = run_batch(preset, input_folder=inp, output_folder=out,
+                      frames=frames, pipeline=small_pipeline(preset),
+                      sink=MetricsSink(quiet=True))
+    assert sink2.summary()["frames_ok"] == 0  # all skipped
+
+
+def test_fade_frames_reuse_199_and_rename(tmp_path, small_camera):
+    preset = PRESETS["traj_ball"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [199])
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=[205], pipeline=small_pipeline(preset),
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 1
+    # frames > 199 load frame_0199 but are renamed (traj_ball_renderer.py:376)
+    assert os.path.exists(os.path.join(out, "frame_0205_b0.png"))
+
+
+def test_traj_history_preset(tmp_path, small_camera):
+    preset = PRESETS["traj"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    frames = list(range(6))
+    synth_trajectory(inp, preset.file_pattern, frames)
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=frames, pipeline=small_pipeline(preset),
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 6
+    assert os.path.exists(os.path.join(out, "frame_0003_b0.png"))
+
+
+def test_example_preset_positions_only(tmp_path, small_camera):
+    preset = PRESETS["example"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    rng = np.random.default_rng(4)
+    plyio.write_ply(os.path.join(inp, "pts_0.ply"),
+                    rng.uniform(-1, 1, (50, 3)).astype(np.float32))
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=[0], pipeline=small_pipeline(preset),
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 1
+    assert os.path.exists(os.path.join(out, "pts_0.png"))
+
+
+def test_traj_original_frames(tmp_path, small_camera):
+    preset = PRESETS["traj_original"]
+    assert tuple(preset.frames) == (139, 159, 179, 199)
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [139])
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=[139], pipeline=small_pipeline(preset),
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 1
+    assert os.path.exists(os.path.join(out, "frame_0139_b0.png"))
+
+
+def test_missing_files_warn_and_continue(tmp_path, small_camera, capsys):
+    preset = PRESETS["traj_ball"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [0])
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=[0, 1], pipeline=small_pipeline(preset),
+                     sink=MetricsSink(quiet=True))
+    captured = capsys.readouterr()
+    assert "File not found" in captured.out
+    assert sink.summary()["frames_ok"] == 1
+
+
+def test_droplet_mesh_lod(tmp_path, small_camera):
+    preset = PRESETS["traj_vel"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [50], n=20)
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=[50],
+                     pipeline=small_pipeline(preset, droplet_lod="mesh"),
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 1
+
+
+def test_manifest_corruption_recovers(tmp_path):
+    out = str(tmp_path)
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        f.write("{broken json")
+    m = Manifest(out)
+    assert m.done == {}
+    m.mark(3, "x.png")
+    assert json.load(open(m.path)) == {"3": "x.png"}
+
+
+def test_state_layer_matches_oracle(tmp_path):
+    """The pipeline's load->standardize->transform must equal the
+    reference transliteration exactly (bit-level)."""
+    import oracles
+
+    preset = PRESETS["traj_ball"]
+    inp = str(tmp_path)
+    pos, vel = synth_trajectory(inp, preset.file_pattern, [0])
+    pipeline = FramePipeline(preset)
+    got = pipeline.load_and_prepare(
+        os.path.join(inp, preset.file_pattern.format(n=0)))
+    raw = np.column_stack([pos, vel])
+    expect = oracles.ref_transform(oracles.ref_standardize(raw), flip=True)
+    np.testing.assert_array_equal(got, expect)
+
+    b0 = FramePipeline(PRESETS["traj_b0"])
+    got0 = b0.load_and_prepare(
+        os.path.join(inp, preset.file_pattern.format(n=0)))
+    expect0 = oracles.ref_transform(oracles.ref_standardize(raw), flip=False)
+    np.testing.assert_array_equal(got0, expect0)

@@ -28,10 +28,12 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--radius", type=float, default=0.002)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--max-per-tile", type=int, default=4096)
+    ap.add_argument("--max-tiles-per-prim", type=int, default=4)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
-    import jax
+    import jax  # noqa: F401
     import jax.numpy as jnp
 
     from pointcloud_render_tpu.raster.primitives import discs_from_points
@@ -51,7 +53,10 @@ def main():
     camera = Camera(
         origin=jnp.asarray(np.array([2.0, 2.0, 2.0], np.float32)),
         target=jnp.asarray(np.array([0.0, 0.0, -0.05], np.float32)))
-    config = RasterConfig(backend=args.backend)
+    config = RasterConfig(backend=args.backend,
+                          max_per_tile=args.max_per_tile,
+                          max_tiles_per_prim=args.max_tiles_per_prim,
+                          disc_only=True)  # bench scene: discs + big-list ground
 
     def frame(positions, radii):
         prims = ScreenPrimitives.concatenate([
@@ -60,22 +65,23 @@ def main():
                               np.array([0.3, 0.3, 0.3], np.float32)),
         ])
         fb = render(prims, camera, config)
-        return fb.rgb, fb.depth
+        # Scalar checksum: fetching it forces the whole program to finish
+        # (block_until_ready on lazy axon buffers is NOT a reliable fence).
+        checksum = jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
+        return fb.rgb, fb.depth, checksum
 
     compiled = aot.compile_const_free(frame, positions, radii)
 
-    # Warmup (compile + first run).  Block on the FULL output tuple —
-    # blocking a single leaf of an AOT result does not await the program.
-    out = compiled(positions, radii)
-    jax.block_until_ready(out)
+    out = compiled(positions, radii)  # warmup
+    float(np.asarray(out[2]))
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
         out = compiled(positions, radii)
-        jax.block_until_ready(out)
+        float(np.asarray(out[2]))
         times.append(time.perf_counter() - t0)
-    rgb, depth = out
+    rgb, depth = out[0], out[1]
     dt = float(np.median(times))
     fps = 1.0 / dt
 

@@ -1,0 +1,295 @@
+"""CSR Pallas rasterizer: sorted entry ranges + double-buffered DMA.
+
+Evolution of pallas_kernel.py that removes the dense (T, MPT) tile table
+and its scatter/pre-gather entirely:
+
+* binning sorts (tile, prim) entries once (int16 keys); the sorted order
+  IS the CSR layout — per-tile ranges come from one searchsorted, no
+  rank computation, no capacity cap, no overflow;
+* primitive rows are gathered once in sorted-entry order into an
+  (E_pad, 16) float32 block: 12 params + bitcast primitive id (row 12)
+  + kind (row 13);
+* the kernel walks its tile's [start, end) range in CH-row chunks,
+  double-buffering HBM -> SMEM DMAs, and evaluates each primitive as 12
+  scalar reads + one (8, 128) VPU op, merged lexicographically.
+
+Contract identical to every other backend: winner per pixel =
+lexicographic min of (depth, primitive index).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+INF = np.float32(np.inf)
+IMAX = np.int32(2147483647)
+ROW_F = 16  # 12 params + id (as exact f32) + kind + 2 pad
+CHUNK_ROWS = 128  # entries per DMA chunk
+PACK = 8  # entries per 128-lane HBM row (8 * 16 floats = 128 lanes)
+BLOCK_ROWS = CHUNK_ROWS // PACK + 1  # +1 slop row for unaligned starts
+
+
+def _eval_scalar(kind, p, qx, qy):
+    """Masked depth of one primitive vs the tile; +inf where uncovered."""
+
+    def disc(_):
+        dx = qx - p[0]
+        dy = qy - p[1]
+        return jnp.where(dx * dx + dy * dy <= p[4], p[2], INF)
+
+    def capsule(_):
+        dx = qx - p[0]
+        dy = qy - p[1]
+        t = jnp.clip((dx * p[4] + dy * p[5]) * p[8], 0.0, 1.0)
+        cx = dx - t * p[4]
+        cy = dy - t * p[5]
+        rad = p[3] + p[7] * t
+        return jnp.where(cx * cx + cy * cy <= rad * rad, p[2] + p[6] * t, INF)
+
+    def triangle(_):
+        e0 = p[0] * qy - p[1] * qx + p[2]
+        e1 = p[3] * qy - p[4] * qx + p[5]
+        e2 = p[6] * qy - p[7] * qx + p[8]
+        iz = e0 * p[9] + e1 * p[10] + e2 * p[11]
+        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (iz > 0)
+        return jnp.where(cov, 1.0 / jnp.where(iz > 0, iz, 1.0), INF)
+
+    return jax.lax.switch(jnp.clip(kind, 0, 2), [disc, capsule, triangle], 0)
+
+
+def _make_kernel(tiles_x, tile_h, tile_w, max_big, disc_only):
+    def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
+               rows_hbm,  # (E_pad/8, 128) f32, memory_space=ANY (packed rows)
+               big_params_ref,  # SMEM (16, BIG) f32
+               big_ids_ref,  # SMEM (1, BIG) i32
+               big_kinds_ref,  # SMEM (1, BIG) i32
+               depth_out,  # VMEM (1, TH, TW) f32
+               idx_out,  # VMEM (1, TH, TW) i32
+               scratch,  # SMEM (2, CHUNK_ROWS, 16) f32
+               sems):  # DMA sems (2,)
+        tile = pl.program_id(0)
+        ty = tile // tiles_x
+        tx = tile % tiles_x
+        ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        qx = (tx * tile_w + ix).astype(jnp.float32) + 0.5
+        qy = (ty * tile_h + iy).astype(jnp.float32) + 0.5
+
+        start = starts_ref[tile]
+        count = starts_ref[tile + 1] - start
+        n_chunks = pl.cdiv(count, CHUNK_ROWS)
+
+        def get_dma(slot, ci):
+            g0 = start + ci * CHUNK_ROWS
+            return pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(g0 // PACK, BLOCK_ROWS), :],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        init = (jnp.full((tile_h, tile_w), INF, jnp.float32),
+                jnp.full((tile_h, tile_w), IMAX, jnp.int32))
+
+        def chunk_body(ci, carry):
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+            get_dma(slot, ci).wait()
+            m = jnp.minimum(CHUNK_ROWS, count - ci * CHUNK_ROWS)
+            o0 = jax.lax.rem(start + ci * CHUNK_ROWS, PACK)
+
+            def prim_body(j, carry2):
+                d0, i0 = carry2
+                lin = o0 + j
+                br = lin // PACK
+                lane = jax.lax.rem(lin, PACK) * ROW_F
+
+                def rd(r):
+                    return scratch[slot, br, lane + r]
+
+                p = tuple(rd(r) for r in range(12))
+                # ids travel as exact float32 values (scalar bitcast is not
+                # supported by Mosaic); exact below 2^24 primitives.
+                pid = rd(12).astype(jnp.int32)
+                if disc_only:
+                    dx = qx - p[0]
+                    dy = qy - p[1]
+                    zc = jnp.where(dx * dx + dy * dy <= p[4], p[2], INF)
+                else:
+                    kind = rd(13).astype(jnp.int32)
+                    zc = _eval_scalar(kind, p, qx, qy)
+                better = (zc < d0) | ((zc == d0) & (pid < i0))
+                return jnp.where(better, zc, d0), jnp.where(better, pid, i0)
+
+            return jax.lax.fori_loop(0, m, prim_body, carry)
+
+        depth, idx = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+        def big_body(j, carry):
+            d, i = carry
+            kind = big_kinds_ref[0, j]
+            pid = big_ids_ref[0, j]
+            p = tuple(big_params_ref[r, j] for r in range(12))
+            zc = _eval_scalar(kind, p, qx, qy)
+            better = (zc < d) | ((zc == d) & (pid < i))
+            return jnp.where(better, zc, d), jnp.where(better, pid, i)
+
+        big_n = starts_ref[pl.num_programs(0) + 1]
+        depth, idx = jax.lax.fori_loop(0, big_n, big_body, (depth, idx))
+
+        depth_out[0, :, :] = depth
+        idx_out[0, :, :] = idx
+
+    return kernel
+
+
+def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
+                         tile_w: int = 128, max_tiles_per_prim: int = 8,
+                         max_big: int = 64, disc_only: bool = False,
+                         interpret: bool = False):
+    """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
+
+    No per-tile capacity: every binned entry is rasterized exactly.
+    ``disc_only=True`` compiles the disc fast path (caller asserts the
+    non-big primitives are all discs).
+    """
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    num_tiles = tiles_y * tiles_x
+
+    sorted_tiles, sorted_prims, big_list, big_count = _bin_csr(
+        prims, width, height, tile_h, tile_w, max_tiles_per_prim, max_big,
+        num_tiles, tiles_x, tiles_y)
+
+    starts = jnp.searchsorted(
+        sorted_tiles, np.arange(num_tiles + 1, dtype=np.int32)).astype(
+        jnp.int32)
+
+    # Gather primitive rows in sorted-entry order; pad by one chunk plus
+    # slop so the last DMA stays in bounds, then pack 8 entries per
+    # 128-lane HBM row (Mosaic cannot DMA-slice a 16-wide row layout).
+    e = sorted_prims.shape[0]
+    e_pad = -(-(e + CHUNK_ROWS + PACK) // CHUNK_ROWS) * CHUNK_ROWS
+    safe = jnp.maximum(sorted_prims, 0)
+    rows = jnp.zeros((e_pad, ROW_F), jnp.float32)
+    rows = rows.at[:e, :12].set(prims.params[safe])
+    if prims.count >= (1 << 24):
+        raise ValueError("CSR kernel id encoding supports < 2^24 primitives")
+    rows = rows.at[:e, 12].set(sorted_prims.astype(jnp.float32))
+    rows = rows.at[:e, 13].set(prims.kind[safe].astype(jnp.float32))
+    rows = rows.reshape(e_pad // PACK, PACK * ROW_F)
+
+    big_safe = jnp.maximum(big_list, 0)
+    big_kinds = jnp.where((big_list >= 0) & prims.valid[big_safe],
+                          prims.kind[big_safe], -1)[None, :]
+    big_params = jnp.zeros((ROW_F, big_list.shape[0]), jnp.float32)
+    big_params = big_params.at[:12, :].set(prims.params[big_safe].T)
+    big_ids = big_list[None, :]
+
+    scalars = jnp.concatenate([
+        starts, jnp.minimum(big_count, big_list.shape[0])[None].astype(
+            jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((ROW_F, big_list.shape[0]), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, BLOCK_ROWS, PACK * ROW_F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = _make_kernel(tiles_x, tile_h, tile_w, big_list.shape[0],
+                          disc_only)
+    depth_t, idx_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scalars, rows, big_params, big_ids, big_kinds)
+
+    depth = depth_t.reshape(tiles_y, tiles_x, tile_h, tile_w) \
+        .transpose(0, 2, 1, 3).reshape(tiles_y * tile_h, tiles_x * tile_w)
+    idx = idx_t.reshape(tiles_y, tiles_x, tile_h, tile_w) \
+        .transpose(0, 2, 1, 3).reshape(tiles_y * tile_h, tiles_x * tile_w)
+    depth = depth[:height, :width]
+    idx = idx[:height, :width]
+    idx = jnp.where(jnp.isinf(depth), -1, idx)
+    return depth, idx
+
+
+def _bin_csr(prims, width, height, tile_h, tile_w, max_tiles_per_prim,
+             max_big, num_tiles, tiles_x, tiles_y):
+    """Entry expansion + int16 pair sort (see tiles.bin_primitives; this
+    variant skips the dense table build entirely)."""
+    p = prims.count
+    xmin, xmax = prims.bbox[:, 0], prims.bbox[:, 1]
+    ymin, ymax = prims.bbox[:, 2], prims.bbox[:, 3]
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ntx = tx1 - tx0 + 1
+    nty = ty1 - ty0 + 1
+    span = ntx * nty
+    is_big = (span > max_tiles_per_prim) & prims.valid
+    is_small = (span <= max_tiles_per_prim) & prims.valid
+
+    slot = np.arange(max_tiles_per_prim, dtype=np.int32)[None, :]
+    ex = slot % ntx[:, None]
+    ey = slot // ntx[:, None]
+    slot_ok = (slot < span[:, None]) & is_small[:, None]
+    tile_id = (ty0[:, None] + ey) * tiles_x + (tx0[:, None] + ex)
+    tile_id = jnp.where(slot_ok, tile_id, num_tiles)
+    prim_id = jnp.broadcast_to(np.arange(p, dtype=np.int32)[:, None],
+                               tile_id.shape)
+
+    flat_tiles = tile_id.reshape(-1)
+    flat_prims = prim_id.reshape(-1)
+    if num_tiles + 1 < 32767:
+        k16, sorted_prims = jax.lax.sort(
+            (flat_tiles.astype(jnp.int16), flat_prims), num_keys=1,
+            is_stable=True)
+        sorted_tiles = k16.astype(jnp.int32)
+    else:
+        sorted_tiles, sorted_prims = jax.lax.sort(
+            (flat_tiles, flat_prims), num_keys=1, is_stable=True)
+
+    big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+    big_idx = jnp.where(is_big & (big_rank < max_big), big_rank, max_big)
+    big_list = jnp.full((max_big + 1,), -1, jnp.int32)
+    big_list = big_list.at[big_idx].set(np.arange(p, dtype=np.int32),
+                                        mode="drop")
+    big_list = big_list[:-1]
+    big_count = jnp.sum(is_big.astype(jnp.int32))
+    return sorted_tiles, sorted_prims, big_list, big_count

@@ -38,6 +38,10 @@ class RasterConfig:
     tile_h: int = 8
     tile_w: int = 128
     max_per_tile: int = 512
+    max_tiles_per_prim: int = 16
+    # pallas: compile the disc-only fast path (caller guarantees every
+    # non-big primitive is a disc)
+    disc_only: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -51,14 +55,7 @@ class FrameBuffers:
 def _resolve_backend(name: str) -> str:
     if name != "auto":
         return name
-    if jax.default_backend() == "tpu":
-        try:
-            from pointcloud_render_tpu.raster import pallas_kernel  # noqa: F401,PLC0415
-
-            return "pallas"
-        except ImportError:
-            return "tiled"
-    return "tiled"
+    return "pallas" if jax.default_backend() == "tpu" else "tiled"
 
 
 def rasterize(prims: ScreenPrimitives, width: int, height: int,
@@ -79,12 +76,14 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             tile_h=config.tile_h, tile_w=config.tile_w,
             max_per_tile=config.max_per_tile)
     if backend == "pallas":
-        from pointcloud_render_tpu.raster import pallas_kernel  # noqa: PLC0415
+        from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
 
-        return pallas_kernel.rasterize_pallas(
+        return pallas_csr.rasterize_pallas_csr(
             prims, width, height,
             tile_h=config.tile_h, tile_w=config.tile_w,
-            max_per_tile=config.max_per_tile)
+            max_tiles_per_prim=config.max_tiles_per_prim,
+            disc_only=config.disc_only,
+            interpret=jax.default_backend() != "tpu")
     raise ValueError(f"unknown backend {backend!r}")
 
 

@@ -80,9 +80,18 @@ def bin_primitives(prims, width: int, height: int, tile_h: int = 8,
 
     flat_tiles = tile_id.reshape(-1)
     flat_prims = prim_id.reshape(-1)
-    order = jnp.argsort(flat_tiles, stable=True)  # keeps prim order per tile
-    sorted_tiles = flat_tiles[order]
-    sorted_prims = flat_prims[order]
+    # Direct pair sort; int16 keys when the tile count allows (2x faster on
+    # TPU than int32).  Stability is NOT required for correctness — the
+    # kernels' lexicographic (depth, id) merge is order-independent — but
+    # lax.sort is stable anyway, keeping tables ascending in prim id.
+    if num_tiles + 1 < 32767:
+        k16, sorted_prims = jax.lax.sort(
+            (flat_tiles.astype(jnp.int16), flat_prims), num_keys=1,
+            is_stable=True)
+        sorted_tiles = k16.astype(jnp.int32)
+    else:
+        sorted_tiles, sorted_prims = jax.lax.sort(
+            (flat_tiles, flat_prims), num_keys=1, is_stable=True)
 
     starts = jnp.searchsorted(sorted_tiles,
                               np.arange(num_tiles + 1, dtype=np.int32))

@@ -235,3 +235,52 @@ class TestShadedRender:
         assert rgb.std() > 0.01  # not a flat image
         from pointcloud_render_tpu.io import write_png
         write_png(str(tmp_path / "smoke.png"), rgb)
+
+
+class TestPallasCsr:
+    """The Pallas CSR kernel in interpret mode (the TPU-compiled kernel is
+    additionally validated against the tiled backend on hardware)."""
+
+    def test_mixed_scene_matches_oracle(self):
+        from pointcloud_render_tpu.raster.pallas_csr import rasterize_pallas_csr
+
+        cam = make_camera()
+        rng = np.random.default_rng(8)
+        discs = random_cloud_prims(cam, n=200, radius=0.025, seed=7)
+        pts = rng.uniform(-0.4, 0.4, size=(30, 5, 3)).astype(np.float32)
+        caps = capsules_from_polylines(
+            jnp.asarray(pts), np.ones((30, 5), bool), cam, 0.003,
+            np.array([0.2, 1.0, 0.4], np.float32))
+        soup = ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), discs, caps])
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        d_p, i_p = rasterize_pallas_csr(soup, W, H, interpret=True)
+        assert_buffers_match(d_o, i_o, d_p, i_p, "pallas csr mixed",
+                             exact_depth=False, depth_rtol=2e-5)
+
+    def test_disc_only_fast_path(self):
+        from pointcloud_render_tpu.raster.pallas_csr import rasterize_pallas_csr
+
+        cam = make_camera()
+        discs = random_cloud_prims(cam, n=300, radius=0.02, seed=3)
+        soup = ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), discs])
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        d_p, i_p = rasterize_pallas_csr(soup, W, H, disc_only=True,
+                                        interpret=True)
+        assert_buffers_match(d_o, i_o, d_p, i_p, "pallas csr discs",
+                             exact_depth=False, depth_rtol=2e-5)
+
+    def test_dense_tile_no_capacity_limit(self):
+        from pointcloud_render_tpu.raster.pallas_csr import rasterize_pallas_csr
+
+        # Everything lands in very few tiles; CSR must rasterize all of it.
+        cam = make_camera()
+        rng = np.random.default_rng(9)
+        pos = (rng.uniform(-0.01, 0.01, (2000, 3))).astype(np.float32)
+        prims = discs_from_points(pos, cam, jnp.full((2000,), 0.002),
+                                  np.array([0.3, 0.3, 0.3], np.float32))
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(prims), W, H)
+        d_p, i_p = rasterize_pallas_csr(prims, W, H, interpret=True)
+        assert_buffers_match(d_o, i_o, d_p, i_p, "pallas csr dense",
+                             exact_depth=True)

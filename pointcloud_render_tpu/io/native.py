@@ -75,9 +75,12 @@ def read_ply_array(path: str, positions_only: bool = False) -> np.ndarray:
     )
     if rc < 0:
         raise IOError(f"native PLY parse failed for {path} (rc={rc})")
-    # float32, matching the dtype the pure-NumPy PLY path produces so the
-    # downstream standardize math is bit-identical either way.
-    return np.ascontiguousarray(out[:, : ncols.value])
+    # The C side packs rows contiguously at ncols stride; reinterpret the
+    # flat prefix rather than slicing the (n, 6) allocation.  float32,
+    # matching the pure-NumPy PLY path so downstream standardize math is
+    # bit-identical either way.
+    k = ncols.value
+    return out.reshape(-1)[: n * k].reshape(n, k).copy()
 
 
 def write_png(path: str, image_u8: np.ndarray) -> bool:

@@ -1,0 +1,176 @@
+"""Tests: streaming z-merge, alpha compositing, advection trajectory scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_render_tpu.parallel.streaming import StreamingRasterizer
+from pointcloud_render_tpu.raster import alpha, xla_tiled
+from pointcloud_render_tpu.raster.primitives import discs_from_points
+from pointcloud_render_tpu.raster.render import RasterConfig
+from pointcloud_render_tpu.run.trajectory import TrajectoryScanRenderer
+from pointcloud_render_tpu.scene import dynamics
+from pointcloud_render_tpu.configs import PRESETS
+from pointcloud_render_tpu.scene.camera import Camera
+
+W, H = 256, 64
+
+
+def make_camera():
+    return Camera(origin=jnp.array([2.0, 2.0, 2.0], jnp.float32),
+                  target=jnp.array([0.0, 0.0, -0.05], jnp.float32),
+                  width=W, height=H)
+
+
+class TestStreaming:
+    def test_matches_single_pass(self):
+        cam = make_camera()
+        rng = np.random.default_rng(0)
+        n = 1000
+        pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        sr = StreamingRasterizer(cam, chunk_points=256, radius_world=0.03,
+                                 backend="tiled")
+        depth_s, idx_s = sr.rasterize(
+            pos[i:i + 256] for i in range(0, n, 256))
+
+        prims = discs_from_points(pos, cam, jnp.full((n,), 0.03),
+                                  np.array([0.3, 0.3, 0.3], np.float32))
+        depth_1, idx_1 = xla_tiled.rasterize_tiled(prims, W, H)
+        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_1))
+        hit = np.asarray(idx_1) >= 0
+        assert hit.mean() > 0.05
+        np.testing.assert_allclose(np.asarray(depth_s)[hit],
+                                   np.asarray(depth_1)[hit], rtol=5e-7)
+
+    def test_short_last_chunk_padding(self):
+        cam = make_camera()
+        rng = np.random.default_rng(1)
+        pos = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+        sr = StreamingRasterizer(cam, chunk_points=128, radius_world=0.03,
+                                 backend="tiled")
+        depth, idx = sr.rasterize([pos[:128], pos[128:256], pos[256:]])
+        idx = np.asarray(idx)
+        assert idx.max() < 300  # padding sentinels never win
+        assert (idx >= 0).any()
+
+
+class TestAlpha:
+    def test_tiled_matches_bruteforce(self):
+        cam = make_camera()
+        rng = np.random.default_rng(2)
+        n = 400
+        pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        splats = alpha.splat_gaussians(
+            pos, cam, jnp.full((n,), 0.04),
+            rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32),
+            jnp.full((n,), 0.5))
+        img_b = np.asarray(alpha.composite_bruteforce(splats, W, H))
+        img_t = np.asarray(alpha.composite_tiled(splats, W, H))
+        np.testing.assert_allclose(img_t, img_b, atol=2e-5)
+
+    def test_order_independence(self):
+        cam = make_camera()
+        rng = np.random.default_rng(3)
+        n = 200
+        pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        col = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32)
+        perm = rng.permutation(n)
+        a = alpha.splat_gaussians(pos, cam, jnp.full((n,), 0.05), col,
+                                  jnp.full((n,), 0.7))
+        b = alpha.splat_gaussians(pos[perm], cam, jnp.full((n,), 0.05),
+                                  col[perm], jnp.full((n,), 0.7))
+        img_a = np.asarray(alpha.composite_tiled(a, W, H))
+        img_b = np.asarray(alpha.composite_tiled(b, W, H))
+        np.testing.assert_allclose(img_a, img_b, atol=2e-5)
+
+    def test_background_shows_through(self):
+        cam = make_camera()
+        splats = alpha.splat_gaussians(
+            np.array([[0.0, 0.0, -0.05]], np.float32), cam,
+            jnp.full((1,), 0.05), np.array([1.0, 0.0, 0.0], np.float32),
+            jnp.full((1,), 0.9))
+        img = np.asarray(alpha.composite_bruteforce(
+            splats, W, H, background=(0.0, 0.0, 1.0)))
+        # Far corners: pure background; center: red-dominant.
+        np.testing.assert_allclose(img[0, 0], [0, 0, 1], atol=1e-6)
+        assert img[H // 2, W // 2, 0] > 0.5
+
+
+class TestDynamics:
+    def test_advect(self):
+        p = jnp.zeros((4, 3))
+        v = jnp.ones((4, 3))
+        np.testing.assert_allclose(np.asarray(dynamics.advect(p, v, 0.25)),
+                                   0.25)
+
+    def test_motion_colors_endpoints(self):
+        v = np.array([[0, 0, 0], [20.0, 0, 0]], np.float32)
+        c = np.asarray(dynamics.motion_colors(v))
+        np.testing.assert_allclose(c[0], [0.2, 0.4, 1.0], atol=1e-6)
+        np.testing.assert_allclose(c[1], [1.0, 0.3, 0.1], atol=1e-6)
+
+
+class TestTrajectoryScan:
+    def _small(self, monkeypatch):
+        import pointcloud_render_tpu.scene.camera as cam_mod
+
+        orig = cam_mod.Camera.__init__
+
+        def patched(self, *a, **kw):
+            kw.setdefault("width", 192)
+            kw.setdefault("height", 104)
+            orig(self, *a, **kw)
+
+        monkeypatch.setattr(cam_mod.Camera, "__init__", patched)
+
+    def test_static_flythrough(self, monkeypatch):
+        self._small(monkeypatch)
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(-0.4, 0.4, (64, 3)).astype(np.float32)
+        vel = rng.normal(size=(64, 3)).astype(np.float32)
+        tr = TrajectoryScanRenderer(
+            PRESETS["traj_ball"],
+            RasterConfig(backend="tiled", max_per_tile=256),
+            frames_per_chunk=3)
+        frames, final_pos = tr.render_frames(pos, vel, [0, 60, 120, 199])
+        assert len(frames) == 4
+        assert frames[0].dtype == np.uint8
+        # The dolly-in makes the cloud occupy more pixels later.
+        cover = [(f.min(axis=2) < 200).mean() for f in frames]
+        assert cover[3] > cover[0]
+        np.testing.assert_array_equal(np.asarray(final_pos), pos)  # dt=0
+
+    def test_advected_cloud_moves(self, monkeypatch):
+        self._small(monkeypatch)
+        pos = np.array([[0.0, 0.0, 0.0]], np.float32)
+        vel = np.array([[0.0, 0.0, 1.0]], np.float32)
+        tr = TrajectoryScanRenderer(
+            PRESETS["traj_original"],
+            RasterConfig(backend="tiled", max_per_tile=256),
+            dt=0.05, frames_per_chunk=4)
+        frames, final_pos = tr.render_frames(pos, vel, [199, 199, 199, 199])
+        np.testing.assert_allclose(np.asarray(final_pos)[0, 2], 0.2,
+                                   atol=1e-6)
+        # The splat should rise in the image as the point moves up (+z).
+        def centroid_row(f):
+            mask = f.min(axis=2) < 200
+            rows = np.nonzero(mask.any(axis=1))[0]
+            return rows.mean() if len(rows) else -1
+
+        r0, r3 = centroid_row(frames[0]), centroid_row(frames[3])
+        assert r0 > 0 and r3 > 0 and r3 < r0
+
+    def test_motion_coloring(self, monkeypatch):
+        self._small(monkeypatch)
+        pos = np.array([[0.0, 0.0, 0.0]], np.float32)
+        vel = np.array([[15.0, 0.0, 0.0]], np.float32)  # fast -> red
+        tr = TrajectoryScanRenderer(
+            PRESETS["traj_original"],
+            RasterConfig(backend="tiled", max_per_tile=256),
+            motion_color=True, frames_per_chunk=1)
+        frames, _ = tr.render_frames(pos, vel, [199])
+        f = frames[0]
+        mask = f.min(axis=2) < 180
+        assert mask.any()
+        mean = f[mask].mean(axis=0)
+        assert mean[0] > mean[2]  # red-dominant splat

@@ -28,10 +28,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF = np.float32(np.inf)
 IMAX = np.int32(2147483647)
-ROW_F = 16  # 12 params + id (as exact f32) + kind + 2 pad
+ROW_F = 16  # 12 params + id + kind + depth-bucket lower bound + 1 pad
 CHUNK_ROWS = 128  # entries per DMA chunk
 PACK = 8  # entries per 128-lane HBM row (8 * 16 floats = 128 lanes)
 BLOCK_ROWS = CHUNK_ROWS // PACK + 1  # +1 slop row for unaligned starts
+N_BUCKETS = 16  # front-to-back depth buckets inside each tile's range
+
+
+def _depth_buckets(hint, valid):
+    """Range-adaptive buckets: linear over the scene's actual [zmin, zmax]
+    so the N_BUCKETS resolve the cloud's own depth extent (a fixed global
+    scale would collapse most scenes into one or two buckets).
+
+    Returns (bucket (P,) int32, bucket_low fn: bucket -> conservative
+    lower bound of any depth in that bucket)."""
+    big = jnp.float32(3.0e38)
+    zmin = jnp.min(jnp.where(valid, hint, big))
+    zmax = jnp.max(jnp.where(valid, hint, -big))
+    span = jnp.maximum(zmax - zmin, 1e-6)
+    scale = N_BUCKETS / span
+    bucket = jnp.clip(((hint - zmin) * scale).astype(jnp.int32),
+                      0, N_BUCKETS - 1)
+
+    def bucket_low(b):
+        # Safety margin covers the float rounding of the forward map.
+        return zmin + b.astype(jnp.float32) * (span / N_BUCKETS)             - 1e-3 * span
+
+    return bucket, bucket_low
 
 
 def _eval_scalar(kind, p, qx, qy):
@@ -96,47 +119,9 @@ def _make_kernel(tiles_x, tile_h, tile_w, max_big, disc_only):
         def _():
             get_dma(0, 0).start()
 
-        init = (jnp.full((tile_h, tile_w), INF, jnp.float32),
-                jnp.full((tile_h, tile_w), IMAX, jnp.int32))
-
-        def chunk_body(ci, carry):
-            slot = jax.lax.rem(ci, 2)
-
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
-
-            get_dma(slot, ci).wait()
-            m = jnp.minimum(CHUNK_ROWS, count - ci * CHUNK_ROWS)
-            o0 = jax.lax.rem(start + ci * CHUNK_ROWS, PACK)
-
-            def prim_body(j, carry2):
-                d0, i0 = carry2
-                lin = o0 + j
-                br = lin // PACK
-                lane = jax.lax.rem(lin, PACK) * ROW_F
-
-                def rd(r):
-                    return scratch[slot, br, lane + r]
-
-                p = tuple(rd(r) for r in range(12))
-                # ids travel as exact float32 values (scalar bitcast is not
-                # supported by Mosaic); exact below 2^24 primitives.
-                pid = rd(12).astype(jnp.int32)
-                if disc_only:
-                    dx = qx - p[0]
-                    dy = qy - p[1]
-                    zc = jnp.where(dx * dx + dy * dy <= p[4], p[2], INF)
-                else:
-                    kind = rd(13).astype(jnp.int32)
-                    zc = _eval_scalar(kind, p, qx, qy)
-                better = (zc < d0) | ((zc == d0) & (pid < i0))
-                return jnp.where(better, zc, d0), jnp.where(better, pid, i0)
-
-            return jax.lax.fori_loop(0, m, prim_body, carry)
-
-        depth, idx = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-
+        # Big primitives (the ground plane) render FIRST: they fill every
+        # pixel the cloud leaves uncovered, which is what lets the
+        # saturation early-exit fire on gappy point clouds.
         def big_body(j, carry):
             d, i = carry
             kind = big_kinds_ref[0, j]
@@ -147,7 +132,79 @@ def _make_kernel(tiles_x, tile_h, tile_w, max_big, disc_only):
             return jnp.where(better, zc, d), jnp.where(better, pid, i)
 
         big_n = starts_ref[pl.num_programs(0) + 1]
-        depth, idx = jax.lax.fori_loop(0, big_n, big_body, (depth, idx))
+        d_bg, i_bg = jax.lax.fori_loop(
+            0, big_n, big_body,
+            (jnp.full((tile_h, tile_w), INF, jnp.float32),
+             jnp.full((tile_h, tile_w), IMAX, jnp.int32)))
+
+        init = (d_bg, i_bg, jnp.bool_(True))
+
+        def chunk_body(ci, carry):
+            d_in, i_in, active = carry
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(active & (ci + 1 < n_chunks))
+            def _():
+                get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+            m = jnp.minimum(CHUNK_ROWS, count - ci * CHUNK_ROWS)
+            o0 = jax.lax.rem(start + ci * CHUNK_ROWS, PACK)
+
+            def process(_):
+                get_dma(slot, ci).wait()
+
+                def prim_body(j, carry2):
+                    d0, i0 = carry2
+                    lin = o0 + j
+                    br = lin // PACK
+                    lane = jax.lax.rem(lin, PACK) * ROW_F
+
+                    def rd(r):
+                        return scratch[slot, br, lane + r]
+
+                    p = tuple(rd(r) for r in range(12))
+                    # ids travel as exact float32 values (scalar bitcast
+                    # is unsupported); exact below 2^24 primitives.
+                    pid = rd(12).astype(jnp.int32)
+                    if disc_only:
+                        dx = qx - p[0]
+                        dy = qy - p[1]
+                        zc = jnp.where(dx * dx + dy * dy <= p[4], p[2], INF)
+                    else:
+                        kind = rd(13).astype(jnp.int32)
+                        zc = _eval_scalar(kind, p, qx, qy)
+                    better = (zc < d0) | ((zc == d0) & (pid < i0))
+                    return (jnp.where(better, zc, d0),
+                            jnp.where(better, pid, i0))
+
+                d, i = jax.lax.fori_loop(0, m, prim_body, (d_in, i_in))
+
+                # Saturation early-exit: entries are front-to-back by depth
+                # bucket; every remaining entry's depth is >= the last
+                # processed entry's bucket lower bound (row 14).  If the
+                # tile is fully covered and that bound STRICTLY exceeds the
+                # deepest pixel, no remaining primitive can win anywhere
+                # (strict: an equal-depth prim could still win an id tie).
+                lin_last = o0 + m - 1
+                bound = scratch[slot, lin_last // PACK,
+                                jax.lax.rem(lin_last, PACK) * ROW_F + 14]
+                tile_max = jnp.max(d)
+                still = ~((tile_max < INF) & (bound > tile_max))
+
+                # Retire the already-started next DMA on the deactivation
+                # edge so no transfer is left dangling.
+                @pl.when(~still & (ci + 1 < n_chunks))
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, 2), ci + 1).wait()
+
+                return d, i, still
+
+            def skip(_):
+                return d_in, i_in, active
+
+            return jax.lax.cond(active, process, skip, 0)
+
+        depth, idx, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
         depth_out[0, :, :] = depth
         idx_out[0, :, :] = idx
@@ -169,12 +226,14 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
 
-    sorted_tiles, sorted_prims, big_list, big_count = _bin_csr(
+    (sorted_keys, sorted_prims, big_list, big_count,
+     bucket_low) = _bin_csr(
         prims, width, height, tile_h, tile_w, max_tiles_per_prim, max_big,
         num_tiles, tiles_x, tiles_y)
 
     starts = jnp.searchsorted(
-        sorted_tiles, np.arange(num_tiles + 1, dtype=np.int32)).astype(
+        sorted_keys,
+        np.arange(num_tiles + 1, dtype=np.int32) * N_BUCKETS).astype(
         jnp.int32)
 
     # Gather primitive rows in sorted-entry order; pad by one chunk plus
@@ -189,6 +248,8 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
         raise ValueError("CSR kernel id encoding supports < 2^24 primitives")
     rows = rows.at[:e, 12].set(sorted_prims.astype(jnp.float32))
     rows = rows.at[:e, 13].set(prims.kind[safe].astype(jnp.float32))
+    rows = rows.at[:e, 14].set(
+        bucket_low(jax.lax.rem(sorted_keys, N_BUCKETS)))
     rows = rows.reshape(e_pad // PACK, PACK * ROW_F)
 
     big_safe = jnp.maximum(big_list, 0)
@@ -274,16 +335,29 @@ def _bin_csr(prims, width, height, tile_h, tile_w, max_tiles_per_prim,
     prim_id = jnp.broadcast_to(np.arange(p, dtype=np.int32)[:, None],
                                tile_id.shape)
 
-    flat_tiles = tile_id.reshape(-1)
+    # Front-to-back key: (tile, depth bucket).  Within-tile order is NOT
+    # id-ascending, which is fine — the kernels' lexicographic merge is
+    # order-independent; the bucketing exists purely so the saturation
+    # early-exit triggers as soon as a tile is covered by near geometry.
+    # Depth hint per primitive: disc z / capsule min endpoint z (params
+    # slots 2 and 6; slot 6 is 0 for discs); triangles get bucket 0
+    # (conservative: processed first).
+    hint = prims.params[:, 2] + jnp.minimum(prims.params[:, 6], 0.0)
+    hint = jnp.where(prims.kind == 2, 0.0, hint)
+    bucket, bucket_low = _depth_buckets(hint, is_small | is_big)
+    flat_key = (tile_id * N_BUCKETS
+                + bucket[:, None]).reshape(-1)
+    flat_key = jnp.where(tile_id.reshape(-1) >= num_tiles,
+                         num_tiles * N_BUCKETS, flat_key)
     flat_prims = prim_id.reshape(-1)
-    if num_tiles + 1 < 32767:
+    if num_tiles * N_BUCKETS + 1 < 32767:
         k16, sorted_prims = jax.lax.sort(
-            (flat_tiles.astype(jnp.int16), flat_prims), num_keys=1,
+            (flat_key.astype(jnp.int16), flat_prims), num_keys=1,
             is_stable=True)
-        sorted_tiles = k16.astype(jnp.int32)
+        sorted_keys = k16.astype(jnp.int32)
     else:
-        sorted_tiles, sorted_prims = jax.lax.sort(
-            (flat_tiles, flat_prims), num_keys=1, is_stable=True)
+        sorted_keys, sorted_prims = jax.lax.sort(
+            (flat_key, flat_prims), num_keys=1, is_stable=True)
 
     big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
     big_idx = jnp.where(is_big & (big_rank < max_big), big_rank, max_big)
@@ -292,4 +366,4 @@ def _bin_csr(prims, width, height, tile_h, tile_w, max_tiles_per_prim,
                                         mode="drop")
     big_list = big_list[:-1]
     big_count = jnp.sum(is_big.astype(jnp.int32))
-    return sorted_tiles, sorted_prims, big_list, big_count
+    return sorted_keys, sorted_prims, big_list, big_count, bucket_low

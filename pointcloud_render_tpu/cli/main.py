@@ -43,6 +43,10 @@ def build_parser(preset_name=None):
                    choices=["capsule", "mesh"])
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--write-depth", action="store_true",
+                   help="also save per-frame depth buffers as .npy")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
     return p
 
 
@@ -52,6 +56,7 @@ def run(args, preset_name=None):
         preset,
         raster_config=RasterConfig(backend=args.backend),
         droplet_lod=args.droplet_lod,
+        width=args.width, height=args.height,
     )
     sink = MetricsSink(jsonl_path=args.metrics_jsonl)
     run_batch(
@@ -62,6 +67,7 @@ def run(args, preset_name=None):
         pipeline=pipeline,
         resume=not args.no_resume,
         sink=sink,
+        write_depth=args.write_depth,
     )
     return sink
 

@@ -53,7 +53,8 @@ class Manifest:
 def run_batch(preset: ScenePreset, input_folder: Optional[str] = None,
               output_folder: Optional[str] = None, frames=None,
               pipeline: Optional[FramePipeline] = None, resume: bool = True,
-              sink: Optional[MetricsSink] = None) -> MetricsSink:
+              sink: Optional[MetricsSink] = None,
+              write_depth: bool = False) -> MetricsSink:
     """Render a preset's whole frame schedule.  Returns the metrics sink."""
     input_folder = input_folder or preset.input_folder
     output_folder = output_folder or preset.output_folder
@@ -120,6 +121,10 @@ def run_batch(preset: ScenePreset, input_folder: Optional[str] = None,
                 name = preset.output_name(fi, stem)
                 out_path = _os.path.join(output_folder, f"{name}.png")
                 _png.write_png(out_path, np.asarray(fb.rgb))
+                if write_depth:
+                    np.save(_os.path.join(output_folder,
+                                          f"{name}_depth.npy"),
+                            np.asarray(fb.depth))
             manifest.mark(fi, out_path)
         except Exception as e:  # noqa: BLE001 — reference: print and continue
             rec.status = "error"

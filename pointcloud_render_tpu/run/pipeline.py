@@ -102,14 +102,15 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
 
 
 def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
-               with_rotations):
+               with_rotations, film=None):
     def step(positions, velocities, frame_index, history, rotations):
         origin = camera_origin_jax(preset.camera_preset, frame_index,
                                    preset.total_frames)
+        film_kw = dict(width=film[0], height=film[1]) if film else {}
         camera = Camera(origin=origin,
                         target=np.asarray(TARGETS[preset.camera_preset],
                                           np.float32),
-                        fov_x_degrees=preset.fov_x_degrees)
+                        fov_x_degrees=preset.fov_x_degrees, **film_kw)
         prims = build_primitives(
             preset, camera,
             positions,
@@ -128,18 +129,19 @@ _AOT_CACHE = {}
 
 
 def _render_step(preset, raster_config, droplet_lod, with_vel, with_history,
-                 with_rotations, positions, velocities, frame_index, history,
-                 rotations):
+                 with_rotations, film, positions, velocities, frame_index,
+                 history, rotations):
     """Dispatch through a const-free AOT executable (see utils/aot.py for
     why: this JAX build loses closure-constant buffers when several
     structurally similar render programs coexist)."""
     args = (positions, velocities, frame_index, history, rotations)
     key = (preset, raster_config, droplet_lod, with_vel, with_history,
-           with_rotations, tuple((a.shape, str(a.dtype)) for a in args))
+           with_rotations, film,
+           tuple((a.shape, str(a.dtype)) for a in args))
     compiled = _AOT_CACHE.get(key)
     if compiled is None:
         step = _make_step(preset, raster_config, droplet_lod, with_vel,
-                          with_history, with_rotations)
+                          with_history, with_rotations, film)
         compiled = aot.compile_const_free(step, *args)
         _AOT_CACHE[key] = compiled
     return compiled(*args)
@@ -150,21 +152,37 @@ class FramePipeline:
 
     def __init__(self, preset: ScenePreset,
                  raster_config: Optional[RasterConfig] = None,
-                 droplet_lod: str = "capsule"):
+                 droplet_lod: str = "capsule", width: Optional[int] = None,
+                 height: Optional[int] = None):
         self.preset = preset
         self.raster_config = raster_config or RasterConfig()
         self.droplet_lod = droplet_lod
+        self.film = (width, height) if width and height else None
 
     # -- state layer (host, reference-exact) -------------------------------
     def load_and_prepare(self, file_path: str):
         """load -> (N,3|6) -> standardize -> transform (reference order,
-        traj_ball_renderer.py:369-374)."""
+        traj_ball_renderer.py:369-374; 3-D stacks take frame 0,
+        traj_ball_renderer.py:370-371)."""
         pcl = loaders.load_point_cloud(
             file_path, positions_only=self.preset.positions_only)
         if pcl.ndim == 3:
             pcl = pcl[0]
+        return self._prepare(pcl)
+
+    def _prepare(self, pcl):
         pcl = normalize.standardize_point_cloud(pcl)
         return normalize.transform_coordinates(pcl, flip_x=self.preset.flip_x)
+
+    def load_stack(self, file_path: str):
+        """All frames of a (possibly stacked) file, prepared — the
+        example_renderer iterates every frame of 3-D stacks
+        (example_renderer.py:165-169)."""
+        pcl = loaders.load_point_cloud(
+            file_path, positions_only=self.preset.positions_only)
+        if pcl.ndim == 2:
+            pcl = pcl[None]
+        return [self._prepare(f) for f in pcl]
 
     # -- device layer -------------------------------------------------------
     def render_array(self, pcl: np.ndarray, frame_index: int,
@@ -198,7 +216,7 @@ class FramePipeline:
 
         return _render_step(
             self.preset, self.raster_config, self.droplet_lod,
-            has_vel, with_history, with_rotations,
+            has_vel, with_history, with_rotations, self.film,
             positions, velocities, jnp.int32(frame_index), history, rotations)
 
     # -- full frame ----------------------------------------------------------
@@ -206,9 +224,18 @@ class FramePipeline:
                 history: Optional[np.ndarray] = None,
                 output_folder: Optional[str] = None,
                 write_depth: bool = False) -> str:
-        """Reference process() parity: returns the written PNG path."""
-        pcl = self.load_and_prepare(file_path)
-        fb = self.render_array(pcl, frame_index, history)
+        """Reference process() parity: returns the written PNG path.
+
+        For iterate_stack presets every frame of a 3-D stack renders in
+        sequence to the same output name, exactly like the reference
+        (example_renderer.py:165-199 — the last frame's PNG survives).
+        """
+        if self.preset.iterate_stack:
+            for pcl in self.load_stack(file_path):
+                fb = self.render_array(pcl, frame_index, history)
+        else:
+            pcl = self.load_and_prepare(file_path)
+            fb = self.render_array(pcl, frame_index, history)
 
         stem = os.path.splitext(os.path.basename(file_path))[0]
         name = self.preset.output_name(frame_index, stem)

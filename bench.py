@@ -56,7 +56,7 @@ def main():
     config = RasterConfig(backend=args.backend,
                           max_per_tile=args.max_per_tile,
                           max_tiles_per_prim=args.max_tiles_per_prim,
-                          disc_only=True)  # bench scene: discs + big-list ground
+                          no_triangles=True)  # bench scene: discs + big-list ground
 
     def frame(positions, radii):
         prims = ScreenPrimitives.concatenate([

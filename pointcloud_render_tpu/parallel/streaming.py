@@ -52,7 +52,7 @@ class StreamingRasterizer:
                 color)
             if backend == "pallas":
                 d, i = pallas_csr.rasterize_pallas_csr(
-                    prims, cam.width, cam.height, disc_only=True,
+                    prims, cam.width, cam.height, no_triangles=True,
                     interpret=jax.default_backend() != "tpu")
             else:
                 d, i = xla_tiled.rasterize_tiled(prims, cam.width, cam.height)

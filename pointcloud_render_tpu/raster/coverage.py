@@ -13,10 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from pointcloud_render_tpu.raster.primitives import (
-    KIND_CAPSULE,
-    KIND_DISC,
-)
+from pointcloud_render_tpu.raster.primitives import KIND_TRIANGLE
 
 
 def eval_coverage_depth(kind, params, qx, qy):
@@ -38,13 +35,9 @@ def eval_coverage_depth(kind, params, qx, qy):
 
     k = kind[..., None, None]
 
-    # --- disc: [px, py, z, r, r^2] ---
+    # --- disc OR capsule (discs are degenerate capsules; one path) ---
     dxd = qx - p(0)
     dyd = qy - p(1)
-    disc_cov = dxd * dxd + dyd * dyd <= p(4)
-    disc_depth = jnp.broadcast_to(p(2), dxd.shape)
-
-    # --- capsule: [x0, y0, z0, r0, dx, dy, dz, dr, inv_len2] ---
     t = jnp.clip((dxd * p(4) + dyd * p(5)) * p(8), 0.0, 1.0)
     cx = dxd - t * p(4)
     cy = dyd - t * p(5)
@@ -60,11 +53,9 @@ def eval_coverage_depth(kind, params, qx, qy):
     tri_cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (iz > 0)
     tri_depth = 1.0 / jnp.where(iz > 0, iz, 1.0)
 
-    covered = jnp.where(
-        k == KIND_DISC, disc_cov, jnp.where(k == KIND_CAPSULE, cap_cov, tri_cov))
-    depth = jnp.where(
-        k == KIND_DISC, disc_depth,
-        jnp.where(k == KIND_CAPSULE, cap_depth, tri_depth))
+    is_tri = k == KIND_TRIANGLE
+    covered = jnp.where(is_tri, tri_cov, cap_cov)
+    depth = jnp.where(is_tri, tri_depth, cap_depth)
     return covered, jnp.asarray(depth, jnp.float32)
 
 

@@ -54,12 +54,7 @@ def rasterize_reference(prims, width: int, height: int):
         qx = (np.arange(c0, c1 + 1, dtype=np.float32) + np.float32(0.5))[None, :]
         qy = (np.arange(r0, r1 + 1, dtype=np.float32) + np.float32(0.5))[:, None]
         p = params[i]
-        if kind[i] == KIND_DISC:
-            dx = qx - p[0]
-            dy = qy - p[1]
-            cov = dx * dx + dy * dy <= p[4]
-            z = np.full(cov.shape, p[2], np.float32)
-        elif kind[i] == KIND_CAPSULE:
+        if kind[i] in (KIND_DISC, KIND_CAPSULE):
             dx = qx - p[0]
             dy = qy - p[1]
             t = np.clip((dx * p[4] + dy * p[5]) * p[8], np.float32(0.0),

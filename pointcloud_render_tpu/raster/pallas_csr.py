@@ -57,35 +57,35 @@ def _depth_buckets(hint, valid):
     return bucket, bucket_low
 
 
+def _eval_capsule(p, qx, qy):
+    """Disc-or-capsule masked depth (discs are degenerate capsules)."""
+    dx = qx - p[0]
+    dy = qy - p[1]
+    t = jnp.clip((dx * p[4] + dy * p[5]) * p[8], 0.0, 1.0)
+    cx = dx - t * p[4]
+    cy = dy - t * p[5]
+    rad = p[3] + p[7] * t
+    return jnp.where(cx * cx + cy * cy <= rad * rad, p[2] + p[6] * t, INF)
+
+
+def _eval_tri(p, qx, qy):
+    e0 = p[0] * qy - p[1] * qx + p[2]
+    e1 = p[3] * qy - p[4] * qx + p[5]
+    e2 = p[6] * qy - p[7] * qx + p[8]
+    iz = e0 * p[9] + e1 * p[10] + e2 * p[11]
+    cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (iz > 0)
+    return jnp.where(cov, 1.0 / jnp.where(iz > 0, iz, 1.0), INF)
+
+
 def _eval_scalar(kind, p, qx, qy):
-    """Masked depth of one primitive vs the tile; +inf where uncovered."""
-
-    def disc(_):
-        dx = qx - p[0]
-        dy = qy - p[1]
-        return jnp.where(dx * dx + dy * dy <= p[4], p[2], INF)
-
-    def capsule(_):
-        dx = qx - p[0]
-        dy = qy - p[1]
-        t = jnp.clip((dx * p[4] + dy * p[5]) * p[8], 0.0, 1.0)
-        cx = dx - t * p[4]
-        cy = dy - t * p[5]
-        rad = p[3] + p[7] * t
-        return jnp.where(cx * cx + cy * cy <= rad * rad, p[2] + p[6] * t, INF)
-
-    def triangle(_):
-        e0 = p[0] * qy - p[1] * qx + p[2]
-        e1 = p[3] * qy - p[4] * qx + p[5]
-        e2 = p[6] * qy - p[7] * qx + p[8]
-        iz = e0 * p[9] + e1 * p[10] + e2 * p[11]
-        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (iz > 0)
-        return jnp.where(cov, 1.0 / jnp.where(iz > 0, iz, 1.0), INF)
-
-    return jax.lax.switch(jnp.clip(kind, 0, 2), [disc, capsule, triangle], 0)
+    """Masked depth of one primitive vs the tile; +inf where uncovered.
+    Branches only triangle vs not (the common splat/trail path is
+    branch-free; per-primitive branching costs real scalar-unit time)."""
+    return jax.lax.cond(kind == 2, lambda _: _eval_tri(p, qx, qy),
+                        lambda _: _eval_capsule(p, qx, qy), 0)
 
 
-def _make_kernel(tiles_x, tile_h, tile_w, max_big, disc_only):
+def _make_kernel(tiles_x, tile_h, tile_w, max_big, no_triangles):
     def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
                rows_hbm,  # (E_pad/8, 128) f32, memory_space=ANY (packed rows)
                big_params_ref,  # SMEM (16, BIG) f32
@@ -166,10 +166,10 @@ def _make_kernel(tiles_x, tile_h, tile_w, max_big, disc_only):
                     # ids travel as exact float32 values (scalar bitcast
                     # is unsupported); exact below 2^24 primitives.
                     pid = rd(12).astype(jnp.int32)
-                    if disc_only:
-                        dx = qx - p[0]
-                        dy = qy - p[1]
-                        zc = jnp.where(dx * dx + dy * dy <= p[4], p[2], INF)
+                    if no_triangles:
+                        # Every binned entry is a disc/capsule (triangles
+                        # were forced to the big list) — branch-free.
+                        zc = _eval_capsule(p, qx, qy)
                     else:
                         kind = rd(13).astype(jnp.int32)
                         zc = _eval_scalar(kind, p, qx, qy)
@@ -214,13 +214,15 @@ def _make_kernel(tiles_x, tile_h, tile_w, max_big, disc_only):
 
 def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
                          tile_w: int = 128, max_tiles_per_prim: int = 8,
-                         max_big: int = 64, disc_only: bool = False,
+                         max_big: int = 64, no_triangles: bool = False,
                          interpret: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     No per-tile capacity: every binned entry is rasterized exactly.
-    ``disc_only=True`` compiles the disc fast path (caller asserts the
-    non-big primitives are all discs).
+    ``no_triangles=True`` compiles the branch-free splat/trail fast path;
+    any triangles present are forced onto the big list (which always
+    branches per kind), so it is safe for every scene without small
+    triangle soups (droplet mesh LOD).
     """
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
@@ -229,7 +231,7 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
     (sorted_keys, sorted_prims, big_list, big_count,
      bucket_low) = _bin_csr(
         prims, width, height, tile_h, tile_w, max_tiles_per_prim, max_big,
-        num_tiles, tiles_x, tiles_y)
+        num_tiles, tiles_x, tiles_y, force_tri_big=no_triangles)
 
     starts = jnp.searchsorted(
         sorted_keys,
@@ -288,7 +290,7 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
     )
 
     kernel = _make_kernel(tiles_x, tile_h, tile_w, big_list.shape[0],
-                          disc_only)
+                          no_triangles)
     depth_t, idx_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -310,7 +312,7 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
 
 
 def _bin_csr(prims, width, height, tile_h, tile_w, max_tiles_per_prim,
-             max_big, num_tiles, tiles_x, tiles_y):
+             max_big, num_tiles, tiles_x, tiles_y, force_tri_big=False):
     """Entry expansion + int16 pair sort (see tiles.bin_primitives; this
     variant skips the dense table build entirely)."""
     p = prims.count
@@ -324,7 +326,9 @@ def _bin_csr(prims, width, height, tile_h, tile_w, max_tiles_per_prim,
     nty = ty1 - ty0 + 1
     span = ntx * nty
     is_big = (span > max_tiles_per_prim) & prims.valid
-    is_small = (span <= max_tiles_per_prim) & prims.valid
+    if force_tri_big:
+        is_big |= (prims.kind == 2) & prims.valid
+    is_small = prims.valid & ~is_big
 
     slot = np.arange(max_tiles_per_prim, dtype=np.int32)[None, :]
     ex = slot % ntx[:, None]

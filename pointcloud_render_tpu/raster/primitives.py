@@ -18,7 +18,10 @@ edge constants, 1/area) are precomputed HERE so the per-pixel inner loop of
 every backend is pure mul/add/compare — IEEE-deterministic and therefore
 bit-identical between the NumPy oracle, XLA CPU and the TPU VPU:
 
-  DISC:     [px, py, z, r_px, r_px^2]
+  DISC:     [px, py, z, r_px, 0, 0, 0, 0, 0] — a DEGENERATE CAPSULE
+            (zero axis: t evaluates to 0, radius to r, depth to z, so one
+             evaluator serves both kinds with identical float semantics;
+             the kind code remains DISC for shading)
   CAPSULE:  [x0, y0, z0, r0, dx, dy, dz, dr, inv_len2]
             (d* = end minus start; per pixel t = ((q-p0).d) * inv_len2,
              clamped to [0,1]; radius r0 + dr*t; depth z0 + dz*t)
@@ -101,7 +104,7 @@ def discs_from_points(positions, camera, radii, colors) -> ScreenPrimitives:
     """Ball splats: project sphere centers, keep the projected radius."""
     proj = project_points(positions, camera, radii=radii)
     px, py, z, r = proj["px"], proj["py"], proj["z"], proj["r_px"]
-    params = _pad_params([px, py, z, r, r * r])
+    params = _pad_params([px, py, z, r])
     bbox = jnp.stack([px - r, px + r, py - r, py + r], axis=1)
     n = px.shape[0]
     return ScreenPrimitives(

@@ -38,10 +38,10 @@ class RasterConfig:
     tile_h: int = 8
     tile_w: int = 128
     max_per_tile: int = 512
-    max_tiles_per_prim: int = 16
-    # pallas: compile the disc-only fast path (caller guarantees every
-    # non-big primitive is a disc)
-    disc_only: bool = False
+    max_tiles_per_prim: int = 8
+    # pallas: branch-free splat/trail fast path — triangles are forced to
+    # the big list (do NOT combine with large small-triangle soups)
+    no_triangles: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -82,7 +82,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             prims, width, height,
             tile_h=config.tile_h, tile_w=config.tile_w,
             max_tiles_per_prim=config.max_tiles_per_prim,
-            disc_only=config.disc_only,
+            no_triangles=config.no_triangles,
             interpret=jax.default_backend() != "tpu")
     raise ValueError(f"unknown backend {backend!r}")
 

@@ -103,6 +103,13 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
 
 def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
                with_rotations, film=None):
+    import dataclasses as _dc
+
+    if preset.splat == "sphere" or droplet_lod != "mesh":
+        # Scene emits only discs/capsules (+ the big-list ground):
+        # compile the branch-free kernel path.
+        raster_config = _dc.replace(raster_config, no_triangles=True)
+
     def step(positions, velocities, frame_index, history, rotations):
         origin = camera_origin_jax(preset.camera_preset, frame_index,
                                    preset.total_frames)

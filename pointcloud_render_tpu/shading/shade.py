@@ -59,11 +59,23 @@ def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
     hit = index >= 0
     safe_idx = jnp.maximum(index, 0)
 
-    color = prims.color[safe_idx]  # (H, W, 3)
     if config.mode == "flat":
-        rgb = color
+        rgb = prims.color[safe_idx]
     else:
-        kind = prims.kind[safe_idx]
+        # ONE combined per-pixel gather: building the (P, 10) table costs
+        # O(P) elementwise work, but fetching winner attributes row-wise is
+        # ~4x cheaper than four separate 2M-pixel gathers on TPU.
+        table = jnp.concatenate([
+            prims.kind.astype(jnp.float32)[:, None],  # 0: kind
+            prims.params[:, 0:2],  # 1,2: px, py
+            jnp.maximum(prims.params[:, 3:4], 1e-6),  # 3: r
+            prims.color,  # 4,5,6
+            prims.normal,  # 7,8,9
+        ], axis=1)
+        attr = table[safe_idx]  # (H, W, 10)
+        kind = attr[..., 0]
+        color = attr[..., 4:7]
+
         # Key light: straight down in world (surface -> light is +z world),
         # expressed in camera space.
         m = camera.world_to_camera_matrix()
@@ -74,19 +86,16 @@ def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
 
         # Disc sphere normals from in-disc offset (camera space, +y up in
         # camera corresponds to -py direction on screen).
-        pxc = prims.params[safe_idx, 0]
-        pyc = prims.params[safe_idx, 1]
-        rr = jnp.maximum(prims.params[safe_idx, 3], 1e-6)
-        u = (qx - pxc) / rr
-        v = -(qy - pyc) / rr
+        inv_r = 1.0 / attr[..., 3]
+        u = (qx - attr[..., 1]) * inv_r
+        v = -(qy - attr[..., 2]) * inv_r
         w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
         nz = -jnp.sqrt(w2)
         ndotl_disc = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
 
         # Triangle face normals were stored in camera space at build time.
-        nrm = prims.normal[safe_idx]  # (H, W, 3)
-        ndotl_tri = (nrm[..., 0] * l_cam[0] + nrm[..., 1] * l_cam[1]
-                     + nrm[..., 2] * l_cam[2])
+        ndotl_tri = (attr[..., 7] * l_cam[0] + attr[..., 8] * l_cam[1]
+                     + attr[..., 9] * l_cam[2])
 
         ndotl = jnp.where(kind == KIND_DISC, ndotl_disc, ndotl_tri)
         lit = config.ambient + config.diffuse * jnp.maximum(ndotl, 0.0)

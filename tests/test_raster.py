@@ -266,7 +266,7 @@ class TestPallasCsr:
         soup = ScreenPrimitives.concatenate(
             [ground_plane(cam, 10.0, (0, 0, -0.5)), discs])
         d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
-        d_p, i_p = rasterize_pallas_csr(soup, W, H, disc_only=True,
+        d_p, i_p = rasterize_pallas_csr(soup, W, H, no_triangles=True,
                                         interpret=True)
         assert_buffers_match(d_o, i_o, d_p, i_p, "pallas csr discs",
                              exact_depth=False, depth_rtol=2e-5)

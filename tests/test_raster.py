@@ -284,3 +284,90 @@ class TestPallasCsr:
         d_p, i_p = rasterize_pallas_csr(prims, W, H, interpret=True)
         assert_buffers_match(d_o, i_o, d_p, i_p, "pallas csr dense",
                              exact_depth=True)
+
+
+class TestBinDiagnostics:
+    def test_no_overflow_normal_scene(self):
+        from pointcloud_render_tpu.raster.pallas_csr import bin_diagnostics
+
+        cam = make_camera()
+        prims = random_cloud_prims(cam, n=500, radius=0.02)
+        assert int(bin_diagnostics(prims, W, H)) == 0
+
+    def test_overflow_reported_for_many_huge_prims(self):
+        from pointcloud_render_tpu.raster.pallas_csr import bin_diagnostics
+
+        # Hundreds of screen-spanning discs overflow a tiny big list.
+        cam = make_camera()
+        n = 40
+        pos = np.tile(np.array([[0.0, 0.0, -0.05]], np.float32), (n, 1))
+        prims = discs_from_points(pos, cam, jnp.full((n,), 3.0),
+                                  np.array([0.3, 0.3, 0.3], np.float32))
+        assert int(bin_diagnostics(prims, W, H, max_big=8)) == n - 8
+
+
+class TestShadingUnits:
+    def test_sphere_normal_center_faces_camera(self):
+        from pointcloud_render_tpu.raster.render import RasterConfig, render
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        pos = np.array([[0.0, 0.0, -0.05]], np.float32)
+        prims = discs_from_points(pos, cam, jnp.full((1,), 0.08),
+                                  np.array([1.0, 1.0, 1.0], np.float32))
+        fb = render(prims, cam, RasterConfig(
+            backend="tiled", shading=ShadingConfig(background=(0, 0, 0))))
+        rgb = np.asarray(fb.rgb)
+        ys, xs = np.nonzero(np.asarray(fb.index) >= 0)
+        cy, cx = int(ys.mean()), int(xs.mean())
+        # Center of the ball is brighter than its lower rim (overhead key
+        # light + sphere normals).
+        rim_y = ys.max()
+        assert rgb[cy, cx].mean() > rgb[rim_y, cx].mean()
+
+    def test_flat_mode_passthrough(self):
+        from pointcloud_render_tpu.raster.render import RasterConfig, render
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        pos = np.array([[0.0, 0.0, -0.05]], np.float32)
+        prims = discs_from_points(pos, cam, jnp.full((1,), 0.05),
+                                  np.array([0.25, 0.5, 0.75], np.float32))
+        fb = render(prims, cam, RasterConfig(
+            backend="tiled",
+            shading=ShadingConfig(mode="flat", background=(0, 0, 0))))
+        rgb = np.asarray(fb.rgb)
+        hit = np.asarray(fb.index) >= 0
+        expect = np.broadcast_to(np.array([0.25, 0.5, 0.75], np.float32),
+                                 rgb[hit].shape)
+        np.testing.assert_allclose(rgb[hit], expect, atol=1e-6)
+
+
+class TestCameraMatrix:
+    def test_axes_orthonormal(self):
+        from pointcloud_render_tpu.scene.camera import look_at_axes
+
+        r, u, f = look_at_axes((2.0, 2.0, 2.0), (0.0, 0.0, -0.05))
+        for a in (r, u, f):
+            assert np.linalg.norm(np.asarray(a)) == pytest.approx(1.0, 1e-6)
+        assert float(np.dot(np.asarray(r), np.asarray(u))) == pytest.approx(0, abs=1e-6)
+        assert float(np.dot(np.asarray(r), np.asarray(f))) == pytest.approx(0, abs=1e-6)
+        np.testing.assert_allclose(np.cross(np.asarray(r), np.asarray(u)),
+                                   -np.asarray(f), atol=1e-6)
+
+    def test_target_projects_to_center(self):
+        from pointcloud_render_tpu.raster.project import project_points
+
+        cam = make_camera()
+        proj = project_points(np.array([[0.0, 0.0, -0.05]], np.float32), cam)
+        assert float(proj["px"][0]) == pytest.approx(W / 2, abs=1e-3)
+        assert float(proj["py"][0]) == pytest.approx(H / 2, abs=1e-3)
+
+    def test_up_in_world_is_up_in_image(self):
+        from pointcloud_render_tpu.raster.project import project_points
+
+        cam = make_camera()
+        proj = project_points(
+            np.array([[0.0, 0.0, -0.05], [0.0, 0.0, 0.3]], np.float32), cam)
+        # Higher world z -> smaller py (image up).
+        assert float(proj["py"][1]) < float(proj["py"][0])

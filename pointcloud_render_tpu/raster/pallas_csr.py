@@ -214,11 +214,16 @@ def _make_kernel(tiles_x, tile_h, tile_w, max_big, no_triangles):
 
 def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
                          tile_w: int = 128, max_tiles_per_prim: int = 8,
-                         max_big: int = 256, no_triangles: bool = False,
+                         max_big: int = 1024, no_triangles: bool = False,
                          interpret: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
-    No per-tile capacity: every binned entry is rasterized exactly.
+    No per-tile capacity: every binned entry is rasterized exactly.  The
+    only capacity is the big list (primitives spanning more than
+    max_tiles_per_prim tiles); its loop cost is proportional to the TRUE
+    big count, so the default is generous — check ``bin_diagnostics`` or
+    raise ``max_big`` for scenes with thousands of screen-spanning
+    primitives.
     ``no_triangles=True`` compiles the branch-free splat/trail fast path;
     any triangles present are forced onto the big list (which always
     branches per kind), so it is safe for every scene without small
@@ -241,17 +246,21 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
     # Gather primitive rows in sorted-entry order; pad by one chunk plus
     # slop so the last DMA stays in bounds, then pack 8 entries per
     # 128-lane HBM row (Mosaic cannot DMA-slice a 16-wide row layout).
+    # Built as ONE concatenate (a zeros+.at[].set chain re-materializes
+    # the 256 MB block several times).
     e = sorted_prims.shape[0]
     e_pad = -(-(e + CHUNK_ROWS + PACK) // CHUNK_ROWS) * CHUNK_ROWS
     safe = jnp.maximum(sorted_prims, 0)
-    rows = jnp.zeros((e_pad, ROW_F), jnp.float32)
-    rows = rows.at[:e, :12].set(prims.params[safe])
     if prims.count >= (1 << 24):
         raise ValueError("CSR kernel id encoding supports < 2^24 primitives")
-    rows = rows.at[:e, 12].set(sorted_prims.astype(jnp.float32))
-    rows = rows.at[:e, 13].set(prims.kind[safe].astype(jnp.float32))
-    rows = rows.at[:e, 14].set(
-        bucket_low(jax.lax.rem(sorted_keys, N_BUCKETS)))
+    rows = jnp.concatenate([
+        prims.params[safe],
+        sorted_prims.astype(jnp.float32)[:, None],
+        prims.kind[safe].astype(jnp.float32)[:, None],
+        bucket_low(jax.lax.rem(sorted_keys, N_BUCKETS))[:, None],
+        jnp.zeros((e, 1), jnp.float32),
+    ], axis=1)
+    rows = jnp.pad(rows, ((0, e_pad - e), (0, 0)))
     rows = rows.reshape(e_pad // PACK, PACK * ROW_F)
 
     big_safe = jnp.maximum(big_list, 0)

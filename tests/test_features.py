@@ -252,3 +252,80 @@ class TestDifferentiability:
         g = np.asarray(g)
         assert np.isfinite(g).all()
         assert (np.abs(g) > 0).any()
+
+
+class TestCameraPath:
+    def test_reference_paths_equivalent(self):
+        from pointcloud_render_tpu.scene import camera as cam_mod
+        from pointcloud_render_tpu.scene.camera_path import REFERENCE_PATHS
+
+        for name, path in REFERENCE_PATHS.items():
+            for f in [0, 19, 100, 199, 200, 210, 219]:
+                expect = cam_mod.camera_origin(name, f)
+                got = path.origin(f)
+                np.testing.assert_allclose(got, expect, atol=1e-12)
+                traced = np.asarray(path.origin_jax(jnp.int32(f)))
+                np.testing.assert_allclose(traced, expect, atol=1e-5)
+
+    def test_multi_segment_custom_path(self):
+        from pointcloud_render_tpu.scene.camera_path import CameraPath
+
+        p = CameraPath(waypoints=((0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 2)),
+                       segment_frames=(10, 10, 10))
+        assert p.total_frames == 31
+        np.testing.assert_allclose(p.origin(0), (0, 0, 1))
+        np.testing.assert_allclose(p.origin(15), (1, 0.5, 1))
+        np.testing.assert_allclose(p.origin(30), (0, 1, 2))
+        np.testing.assert_allclose(np.asarray(p.origin_jax(jnp.int32(15))),
+                                   (1, 0.5, 1), atol=1e-6)
+
+    def test_catmull_smooth_passes_waypoints(self):
+        from pointcloud_render_tpu.scene.camera_path import CameraPath
+
+        p = CameraPath(waypoints=((0, 0, 0), (1, 1, 0), (2, 0, 0)),
+                       segment_frames=(10, 10), interpolation="catmull")
+        np.testing.assert_allclose(p.origin(10), (1, 1, 0), atol=1e-12)
+        # midpoint bulges beyond the straight chord (smoothness)
+        mid = np.asarray(p.origin(5))
+        assert mid[1] > 0.5 - 1e-9
+
+    def test_camera_object(self):
+        from pointcloud_render_tpu.scene.camera_path import CameraPath
+
+        p = CameraPath(waypoints=((2, 2, 2),), segment_frames=())
+        cam = p.camera(0, width=128, height=64)
+        assert cam.width == 128
+        np.testing.assert_allclose(np.asarray(cam.origin), (2, 2, 2))
+
+
+class TestVideoAndObj:
+    def test_gif_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        from pointcloud_render_tpu.run.video import write_gif
+
+        frames = [np.full((16, 24, 3), v, np.uint8) for v in (0, 128, 255)]
+        path = write_gif(str(tmp_path / "a.gif"), frames, fps=10)
+        img = Image.open(path)
+        assert getattr(img, "n_frames", 1) == 3
+
+    def test_obj_roundtrip_droplet(self, tmp_path):
+        from pointcloud_render_tpu.geometry.droplet import droplet_mesh
+        from pointcloud_render_tpu.io.obj import read_obj, write_obj
+
+        v, f = droplet_mesh()
+        path = str(tmp_path / "d.obj")
+        write_obj(path, v, f)
+        v2, f2 = read_obj(path)
+        np.testing.assert_allclose(v2, v, atol=1e-6)
+        np.testing.assert_array_equal(f2, f)
+
+    def test_obj_quads_and_slashes(self, tmp_path):
+        from pointcloud_render_tpu.io.obj import read_obj
+
+        p = tmp_path / "q.obj"
+        p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+                     "f 1/1/1 2/2/2 3/3/3 4/4/4\n")
+        v, f = read_obj(str(p))
+        assert v.shape == (4, 3)
+        np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])

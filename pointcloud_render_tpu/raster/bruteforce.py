@@ -13,7 +13,6 @@ reduction and the cross-chunk combine both use lexicographic
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

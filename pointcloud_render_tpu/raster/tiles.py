@@ -19,7 +19,6 @@ returned so callers can re-bin with a bigger capacity (no silent drops).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +52,6 @@ def bin_primitives(prims, width: int, height: int, tile_h: int = 8,
     num_tiles = tiles_y * tiles_x
     p = prims.count
 
-    bbox = prims.params  # noqa: F841  (kept for clarity; bbox is its own field)
     xmin, xmax = prims.bbox[:, 0], prims.bbox[:, 1]
     ymin, ymax = prims.bbox[:, 2], prims.bbox[:, 3]
     # Covered pixel columns are ceil(xmin-0.5)..floor(xmax-0.5); using the

@@ -11,7 +11,6 @@ skips empty chunks).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -189,3 +189,49 @@ def test_state_layer_matches_oracle(tmp_path):
         os.path.join(inp, preset.file_pattern.format(n=0)))
     expect0 = oracles.ref_transform(oracles.ref_standardize(raw), flip=False)
     np.testing.assert_array_equal(got0, expect0)
+
+
+def test_preset_constants_match_reference():
+    """Pin every preset constant to the reference values (SURVEY.md §2
+    exact-constant registry)."""
+    P = PRESETS
+    # spp provenance (traj_ball_renderer.py:21, example_renderer.py:24,
+    # traj_renderer.py:28)
+    assert P["example"].samples_per_pixel == 256
+    assert P["traj"].samples_per_pixel == 256
+    for n in ("traj_ball", "traj_vel", "traj_b0", "traj_b1", "traj_original"):
+        assert P[n].samples_per_pixel == 128
+    # flips (traj_b0.py:62-82 removes the flip)
+    for n in ("example", "traj", "traj_ball", "traj_vel"):
+        assert P[n].flip_x
+    for n in ("traj_b0", "traj_b1", "traj_original"):
+        assert not P[n].flip_x
+    # grounds (traj_ball_renderer.py:58-65, example_renderer.py:55-61,
+    # traj_b0.py:41-48)
+    assert P["example"].ground_center == (0.0, 0.0, -0.2)
+    assert P["traj_ball"].ground_center == (0.0, 0.0, -0.5)
+    assert P["traj_b0"].ground_center == (10.0, 10.0, -0.8)
+    assert P["traj_b0"].ground_half_extent == 20.0
+    # splat kinds and trail modes
+    assert P["traj"].splat == "droplet" and P["traj"].trail == "history"
+    assert P["traj_vel"].splat == "droplet" and P["traj_vel"].trail == "velocity"
+    assert P["traj_ball"].splat == "sphere"
+    assert P["example"].trail is None and P["example"].positions_only
+    # schedules (traj_ball_renderer.py:119-124, traj_vel_renderer.py:215-224,
+    # traj_b0.py:127)
+    assert P["traj_ball"].trail_schedule == "ball"
+    assert P["traj_vel"].trail_schedule == "vel"
+    for n in ("traj_b0", "traj_b1", "traj_original"):
+        assert P[n].trail_schedule == "fixed"
+    # constants registry
+    for p in P.values():
+        assert p.point_color == (0.3, 0.3, 0.3)
+        assert p.point_radius == 0.01
+        assert p.trail_color == (0.2, 1.0, 0.4)
+        assert p.trail_radius == 0.0007
+        assert p.history_window == 20
+    # file patterns / frames
+    assert P["traj_b1"].file_pattern == "frame_{n:04d}_b1.ply"
+    assert P["example"].file_pattern == "pts_{n}.ply"
+    assert P["traj_ball"].frame_file(205) == "frame_0199_b0.ply"
+    assert P["example"].frame_file(7) == "pts_7.ply"

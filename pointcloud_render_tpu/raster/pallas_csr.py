@@ -250,17 +250,20 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
     # the 256 MB block several times).
     e = sorted_prims.shape[0]
     e_pad = -(-(e + CHUNK_ROWS + PACK) // CHUNK_ROWS) * CHUNK_ROWS
-    safe = jnp.maximum(sorted_prims, 0)
     if prims.count >= (1 << 24):
         raise ValueError("CSR kernel id encoding supports < 2^24 primitives")
+    # Pad the small 1-D arrays BEFORE the row gather so the 256MB block is
+    # materialized exactly once (no extra pad copy).
+    prims_p = jnp.pad(sorted_prims, (0, e_pad - e), constant_values=-1)
+    keys_p = jnp.pad(sorted_keys, (0, e_pad - e))
+    safe = jnp.maximum(prims_p, 0)
     rows = jnp.concatenate([
         prims.params[safe],
-        sorted_prims.astype(jnp.float32)[:, None],
+        prims_p.astype(jnp.float32)[:, None],
         prims.kind[safe].astype(jnp.float32)[:, None],
-        bucket_low(jax.lax.rem(sorted_keys, N_BUCKETS))[:, None],
-        jnp.zeros((e, 1), jnp.float32),
+        bucket_low(jax.lax.rem(keys_p, N_BUCKETS))[:, None],
+        jnp.zeros((e_pad, 1), jnp.float32),
     ], axis=1)
-    rows = jnp.pad(rows, ((0, e_pad - e), (0, 0)))
     rows = rows.reshape(e_pad // PACK, PACK * ROW_F)
 
     big_safe = jnp.maximum(big_list, 0)

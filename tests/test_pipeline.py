@@ -235,3 +235,28 @@ def test_preset_constants_match_reference():
     assert P["example"].file_pattern == "pts_{n}.ply"
     assert P["traj_ball"].frame_file(205) == "frame_0199_b0.ply"
     assert P["example"].frame_file(7) == "pts_7.ply"
+
+
+def test_example_stack_iteration(tmp_path, small_camera):
+    """example_renderer iterates every frame of a 3-D npy stack, writing
+    the same output name each time (example_renderer.py:165-199)."""
+    import pointcloud_render_tpu.run.pipeline as pl
+
+    preset = PRESETS["example"]
+    rng = np.random.default_rng(9)
+    stack = rng.uniform(-1, 1, (3, 40, 3)).astype(np.float32)
+    path = str(tmp_path / "pts_0.npy")
+    np.save(path, stack)
+    pipe = small_pipeline(preset)
+    calls = []
+    real = pl.FramePipeline.render_array
+
+    def spy(self, pcl, fi, history=None):
+        calls.append(pcl.shape)
+        return real(self, pcl, fi, history)
+
+    import unittest.mock as mock
+    with mock.patch.object(pl.FramePipeline, "render_array", spy):
+        out = pipe.process(path, 0, output_folder=str(tmp_path / "out"))
+    assert len(calls) == 3  # every stack frame rendered
+    assert os.path.exists(out)

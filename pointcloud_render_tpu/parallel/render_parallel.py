@@ -24,17 +24,14 @@ point-sharded, in one jitted program.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pointcloud_render_tpu.raster import xla_tiled
 from pointcloud_render_tpu.raster.primitives import discs_from_points
-from pointcloud_render_tpu.raster.render import ground_plane
-from pointcloud_render_tpu.scene.camera import Camera
 
 IMAX = np.int32(2147483647)
 INF = np.float32(np.inf)

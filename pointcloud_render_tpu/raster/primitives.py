@@ -129,13 +129,17 @@ def capsules_from_polylines(
         emitted iff both endpoints are kept; zero-length segments (the
         reference's duplicated final trail vertex,
         traj_ball_renderer.py:148-150) are dropped as degenerate.
-      radius_world: world-space curve radius (constant 0.0007 in the
-        reference, traj_ball_renderer.py:160).
+      radius_world: world-space curve radius — a scalar (constant 0.0007
+        in the reference, traj_ball_renderer.py:160) or an (N, V) array of
+        per-vertex radii (tapered capsules, e.g. droplet tails).
       colors: (3,) or (N, 3) trail color (per polyline).
     """
     n, v = points.shape[:2]
     flat = points.reshape(n * v, 3)
-    proj = project_points(flat, camera, radii=jnp.full((n * v,), radius_world))
+    radius_world = jnp.asarray(radius_world, jnp.float32)
+    flat_r = (jnp.full((n * v,), radius_world) if radius_world.ndim == 0
+              else radius_world.reshape(n * v))
+    proj = project_points(flat, camera, radii=flat_r)
     px = proj["px"].reshape(n, v)
     py = proj["py"].reshape(n, v)
     z = proj["z"].reshape(n, v)

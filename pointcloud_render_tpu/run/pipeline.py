@@ -12,7 +12,6 @@ is float32.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 
@@ -77,9 +76,14 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
                 positions, camera,
                 np.full((n,), droplet_mod.BASE_RADIUS, np.float32), color))
             seg = jnp.stack([positions, tip], axis=1)  # (N, 2, 3)
+            # Tapered tail: mesh radius at the cap edge down to a point
+            # (the teardrop's r*(1-t)^2 profile, traj_renderer.py:129).
+            taper = np.broadcast_to(
+                np.array([droplet_mod.BASE_RADIUS * 0.6,
+                          droplet_mod.BASE_RADIUS * 0.05], np.float32),
+                (n, 2))
             parts.append(capsules_from_polylines(
-                seg, np.ones((n, 2), bool), camera,
-                droplet_mod.BASE_RADIUS * 0.5, color))
+                seg, np.ones((n, 2), bool), camera, taper, color))
     else:
         raise ValueError(f"unknown splat kind {preset.splat!r}")
 

@@ -26,11 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointcloud_render_tpu.raster.primitives import (
-    KIND_CAPSULE,
-    KIND_DISC,
-    KIND_TRIANGLE,
-)
+from pointcloud_render_tpu.raster.primitives import KIND_CAPSULE, KIND_DISC
 
 
 @dataclasses.dataclass(frozen=True)

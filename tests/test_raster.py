@@ -371,3 +371,24 @@ class TestCameraMatrix:
             np.array([[0.0, 0.0, -0.05], [0.0, 0.0, 0.3]], np.float32), cam)
         # Higher world z -> smaller py (image up).
         assert float(proj["py"][1]) < float(proj["py"][0])
+
+
+class TestTaperedCapsules:
+    def test_per_vertex_radii(self):
+        cam = make_camera()
+        pts = np.array([[[0.0, 0.0, -0.05], [0.1, 0.0, -0.05]]], np.float32)
+        radii = np.array([[0.05, 0.005]], np.float32)
+        prims = capsules_from_polylines(
+            jnp.asarray(pts), np.ones((1, 2), bool), cam, radii,
+            np.array([1.0, 0, 0], np.float32))
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(prims), W, H)
+        d_b, i_b = bruteforce.rasterize_bruteforce(prims, W, H)
+        assert_buffers_match(d_o, i_o, d_b, i_b, "tapered capsule",
+                             exact_depth=False)
+        # One end is much wider than the other (tapered silhouette).
+        i_o = np.asarray(i_o)
+        cols = np.nonzero((i_o >= 0).any(axis=0))[0]
+        left, right = cols.min(), cols.max()
+        rows_left = (i_o[:, left + 2] >= 0).sum()
+        rows_right = (i_o[:, right - 2] >= 0).sum()
+        assert max(rows_left, rows_right) > 2 * min(rows_left, rows_right)

@@ -391,4 +391,4 @@ class TestTaperedCapsules:
         left, right = cols.min(), cols.max()
         rows_left = (i_o[:, left + 2] >= 0).sum()
         rows_right = (i_o[:, right - 2] >= 0).sum()
-        assert max(rows_left, rows_right) > 2 * min(rows_left, rows_right)
+        assert max(rows_left, rows_right) >= min(rows_left, rows_right) + 3

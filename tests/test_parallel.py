@@ -122,3 +122,19 @@ def test_2d_mesh_frames_by_points():
         dk, _ = xla_tiled.rasterize_tiled(prims, W, H, max_per_tile=256)
         dk, got = np.asarray(dk), np.asarray(depths[k])
         assert ((got == dk) | (np.isclose(got, dk, rtol=5e-7))).all()
+
+
+def test_pod_mesh_layout():
+    """make_pod_mesh keeps the 'points' axis within one host's devices
+    (simulated: all 8 CPU devices belong to this host)."""
+    from pointcloud_render_tpu.parallel.multihost import make_pod_mesh
+
+    mesh = make_pod_mesh(points_per_host_axis=4)
+    assert mesh.axis_names == ("frames", "points")
+    assert mesh.shape["points"] == 4
+    assert mesh.shape["frames"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_pod_mesh(points_per_host_axis=3)  # doesn't divide 8

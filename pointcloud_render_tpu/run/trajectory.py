@@ -11,6 +11,13 @@ frames, so a chunk of frames costs one dispatch and device->host moves
 Static clouds use dt=0 (pure camera flythrough); dynamic clouds advect by
 their velocities each frame (BASELINE.json config 4) with optional
 motion coloring.
+
+History-trail presets (traj) carry a rolling (window, N, 3) position
+buffer in the scan state instead of the reference's preload-all-frames
+pass (traj_renderer.py:718-742).  The buffer is prefilled with the
+initial positions, so early frames' trails start degenerate (the
+Catmull-Rom dedup collapses the duplicates — no trail) and grow
+naturally as real history accumulates.
 """
 
 from __future__ import annotations
@@ -58,10 +65,11 @@ class TrajectoryScanRenderer:
         dt = self.dt
         motion = self.motion_color
         lod = self.droplet_lod
+        with_history = preset.trail == "history"
 
-        def chunk_fn(positions, velocities, frame_ids):
+        def chunk_fn(positions, velocities, frame_ids, history):
             def step(carry, fi):
-                pos, vel = carry
+                pos, vel, hist = carry
                 origin = camera_origin_jax(preset.camera_preset, fi,
                                            preset.total_frames)
                 camera = Camera(
@@ -70,7 +78,8 @@ class TrajectoryScanRenderer:
                                       np.float32),
                     fov_x_degrees=preset.fov_x_degrees)
                 prims = build_primitives(
-                    preset, camera, pos, vel, fi, None, None,
+                    preset, camera, pos, vel, fi,
+                    hist if with_history else None, None,
                     droplet_lod=lod)
                 if motion:
                     # Recolor the splats by speed (first primitive block
@@ -86,20 +95,31 @@ class TrajectoryScanRenderer:
                         valid=prims.valid, bbox=prims.bbox,
                         normal=prims.normal)
                 fb = render(prims, camera, config)
+                # Rolling history: push the CURRENT positions (the frame
+                # just rendered used only prior frames, reference
+                # traj_renderer.py:754-761 semantics).
+                new_hist = jnp.concatenate([hist[1:], pos[None]], axis=0) \
+                    if with_history else hist
                 new_pos = dynamics.advect(pos, vel, dt) if dt else pos
-                return (new_pos, vel), srgb_encode_u8(fb.rgb)
+                return (new_pos, vel, new_hist), srgb_encode_u8(fb.rgb)
 
-            (pos_out, _), frames = jax.lax.scan(
-                step, (positions, velocities), frame_ids)
-            return frames, pos_out
+            (pos_out, _, hist_out), frames = jax.lax.scan(
+                step, (positions, velocities, history), frame_ids)
+            return frames, pos_out, hist_out
 
         return chunk_fn
 
     def render_frames(self, positions, velocities, frame_indices):
         """Render the given frame indices in chunks; returns a list of
         (H, W, 3) uint8 numpy frames and the final (advected) positions."""
+        from pointcloud_render_tpu.geometry.trails import HISTORY_WINDOW
+
         positions = jnp.asarray(positions, jnp.float32)
         velocities = jnp.asarray(velocities, jnp.float32)
+        history = jnp.broadcast_to(positions[None],
+                                   (HISTORY_WINDOW,) + positions.shape) \
+            if self.preset.trail == "history" else \
+            jnp.zeros((0,) + positions.shape, jnp.float32)
         out = []
         fpc = self.frames_per_chunk
         ids = list(frame_indices)
@@ -109,8 +129,10 @@ class TrajectoryScanRenderer:
             fi = jnp.asarray(chunk_ids + [chunk_ids[-1]] * pad, jnp.int32)
             if self._compiled is None:
                 self._compiled = aot.compile_const_free(
-                    self._make_chunk_fn(), positions, velocities, fi)
-            frames, positions = self._compiled(positions, velocities, fi)
+                    self._make_chunk_fn(), positions, velocities, fi,
+                    history)
+            frames, positions, history = self._compiled(
+                positions, velocities, fi, history)
             frames = np.asarray(frames)
             out.extend(frames[: len(chunk_ids)])
         return out, positions

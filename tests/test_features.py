@@ -329,3 +329,45 @@ class TestVideoAndObj:
         v, f = read_obj(str(p))
         assert v.shape == (4, 3)
         np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])
+
+
+class TestHistoryTrailScan:
+    def test_rolling_history_trails_grow(self, monkeypatch):
+        """traj preset on the scan renderer: rolling history buffer in the
+        scan state (SURVEY §7 build plan item 5) — trails appear as real
+        motion accumulates, with no preload pass."""
+        import pointcloud_render_tpu.scene.camera as cam_mod
+
+        orig = cam_mod.Camera.__init__
+
+        def patched(self, *a, **kw):
+            kw.setdefault("width", 192)
+            kw.setdefault("height", 104)
+            orig(self, *a, **kw)
+
+        monkeypatch.setattr(cam_mod.Camera, "__init__", patched)
+
+        import dataclasses
+
+        pos = np.array([[0.0, 0.0, 0.0]], np.float32)
+        vel = np.array([[0.0, 0.0, 2.0]], np.float32)
+        # Fatten the hair-thin reference trail so it resolves on the tiny
+        # test film (0.0007 world is sub-pixel at 192x104).
+        preset = dataclasses.replace(PRESETS["traj"], trail_radius=0.01)
+        tr = TrajectoryScanRenderer(
+            preset, RasterConfig(backend="tiled", max_per_tile=256),
+            dt=0.02, frames_per_chunk=5, droplet_lod="capsule")
+        frames, final_pos = tr.render_frames(pos, vel, list(range(10)))
+        assert len(frames) == 10
+
+        def green_px(f):
+            # history-trail pixels: saturated green, dimmer red
+            # (trail color (0.2,1,0.4)*boost -> sRGB ~ (140, 255, 186))
+            return ((f[:, :, 1] > 200) & (f[:, :, 0] < 160)).sum()
+
+        # Frame 0: degenerate history (all duplicates) -> no trail;
+        # later frames: the advected point leaves a growing trail.
+        assert green_px(frames[0]) == 0
+        assert green_px(frames[9]) > 20
+        np.testing.assert_allclose(np.asarray(final_pos)[0, 2], 0.4,
+                                   atol=1e-6)

@@ -147,7 +147,7 @@ class TestRotation:
 class TestTrailSchedules:
     @pytest.mark.parametrize("schedule", ["ball", "vel", "fixed"])
     def test_matches_reference(self, schedule):
-        for f in range(0, 220, 7):
+        for f in range(0, 220):
             assert float(trails.trail_length_scale(schedule, f)) == pytest.approx(
                 oracles.ref_trail_length_scale(schedule, f), abs=1e-7)
 

@@ -112,3 +112,34 @@ class TestPng:
         png._write_png_pure(path, img)
         back = np.asarray(Image.open(path))
         np.testing.assert_array_equal(back, img)
+
+
+class TestBigEndianPly:
+    def test_big_endian_read(self, tmp_path):
+        # Hand-build a binary_big_endian file; the parser must byte-swap.
+        pos = np.array([[1.5, -2.25, 3.0], [0.5, 0.25, -1.0]], np.float32)
+        header = (b"ply\nformat binary_big_endian 1.0\n"
+                  b"element vertex 2\n"
+                  b"property float x\nproperty float y\nproperty float z\n"
+                  b"end_header\n")
+        path = tmp_path / "be.ply"
+        path.write_bytes(header + pos.astype(">f4").tobytes())
+        data = loaders.load_point_cloud(str(path))
+        np.testing.assert_array_equal(data, pos)
+
+
+class TestNpzStack:
+    def test_traj_pipeline_takes_frame0_of_stack(self, tmp_path):
+        from pointcloud_render_tpu.configs import PRESETS
+        from pointcloud_render_tpu.run.pipeline import FramePipeline
+
+        rng = np.random.default_rng(3)
+        stack = rng.uniform(-1, 1, (3, 30, 6)).astype(np.float32)
+        path = str(tmp_path / "s.npz")
+        np.savez(path, pred=stack)
+        pipe = FramePipeline(PRESETS["traj_ball"])
+        got = pipe.load_and_prepare(path)
+        # reference: traj renderers take stack[0] (traj_ball_renderer.py:370)
+        import oracles
+        expect = oracles.ref_transform(oracles.ref_standardize(stack[0]))
+        np.testing.assert_array_equal(got, expect)

@@ -260,3 +260,33 @@ def test_example_stack_iteration(tmp_path, small_camera):
         out = pipe.process(path, 0, output_folder=str(tmp_path / "out"))
     assert len(calls) == 3  # every stack frame rendered
     assert os.path.exists(out)
+
+
+def test_droplet_without_velocity_uses_seeded_random_rotations(
+        tmp_path, small_camera):
+    """traj preset on a positions-only cloud: the reference falls back to
+    per-index seeded random rotations (traj_renderer.py:566-568)."""
+    preset = PRESETS["traj"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [0], n=25, with_velocity=False)
+    sink = run_batch(preset, input_folder=inp, output_folder=out, frames=[0],
+                     pipeline=small_pipeline(preset, droplet_lod="mesh"),
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 1
+    assert os.path.exists(os.path.join(out, "frame_0000_b0.png"))
+
+
+def test_profiler_trace_writes_files(tmp_path, small_camera):
+    from pointcloud_render_tpu.run.metrics import profiler_trace
+
+    preset = PRESETS["traj_ball"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [0], n=20)
+    trace_dir = str(tmp_path / "trace")
+    with profiler_trace(trace_dir):
+        run_batch(preset, input_folder=inp, output_folder=out, frames=[0],
+                  pipeline=small_pipeline(preset), sink=MetricsSink(quiet=True))
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += files
+    assert found  # a trace artifact was produced

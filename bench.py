@@ -9,6 +9,16 @@ camera at frame 120, world radius 0.002 (~2.5 px splats — a dense
 LiDAR-viewer-style workload), full shading, deterministic z-buffer.
 Backend: the fastest available for this platform ("auto").
 
+Robustness (the artifact-of-record contract):
+* every device-touching stage retries on transient runtime errors
+  (fresh compile + buffers, small backoff, 3 attempts) — the tunnel to
+  the dev TPU occasionally drops a dispatch with FAILED_PRECONDITION;
+* the JSON line is ALWAYS printed (value 0.0 + "error" on total failure);
+* before timing, the compiled kernel's exactness is certified ON THE
+  REAL CHIP: a mixed 1080p scene (ground + 20k discs + trail capsules)
+  must winner-match the tiled XLA backend 100% (CI only ever runs the
+  kernel in CPU interpret mode; this is the hardware gate).
+
 Usage: python bench.py [--points N] [--backend auto] [--radius R]
 """
 
@@ -16,33 +26,106 @@ import argparse
 import json
 import sys
 import time
+import traceback
 
 import numpy as np
 
 TARGET_FPS = 500.0  # BASELINE.md north star
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--points", type=int, default=1_000_000)
-    ap.add_argument("--backend", default="auto")
-    ap.add_argument("--radius", type=float, default=0.002)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--max-per-tile", type=int, default=4096)
-    ap.add_argument("--max-tiles-per-prim", type=int, default=4)
-    ap.add_argument("--verbose", action="store_true")
-    args = ap.parse_args()
+def _emit(metric, value, vs=None, **extra):
+    rec = {"metric": metric, "value": round(float(value), 3),
+           "unit": "frames/sec/chip",
+           "vs_baseline": round(float(vs if vs is not None
+                                      else value / TARGET_FPS), 4)}
+    rec.update(extra)
+    print(json.dumps(rec))
 
-    import jax  # noqa: F401
+
+def _retry(what, fn, attempts=3, backoff=2.0):
+    """Run fn() with retries on device runtime errors (fresh state each
+    try is the CALLER's job — fn should recompile/reallocate inside)."""
+    import jax
+
+    last = None
+    for k in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:  # transient tunnel/device
+            last = e
+            print(f"# retry {k + 1}/{attempts} after {what} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            time.sleep(backoff * (k + 1))
+    raise last
+
+
+def validate_on_chip(verbose=False):
+    """Mixed-scene winner-exactness of the compiled kernel vs the tiled
+    backend, on whatever platform is live (the real chip under the
+    driver).  Cheap (~20k prims).  Raises on mismatch."""
     import jax.numpy as jnp
 
-    from pointcloud_render_tpu.raster.primitives import discs_from_points
+    from pointcloud_render_tpu.raster import xla_tiled
+    from pointcloud_render_tpu.raster.pallas_csr import rasterize_pallas_csr
+    from pointcloud_render_tpu.raster.primitives import (
+        ScreenPrimitives,
+        capsules_from_polylines,
+        discs_from_points,
+    )
+    from pointcloud_render_tpu.raster.render import ground_plane
+    from pointcloud_render_tpu.scene.camera import Camera
+    from pointcloud_render_tpu.utils import aot
+
+    rng = np.random.default_rng(0)
+    cam = Camera(origin=jnp.asarray(np.array([2., 2., 2.], np.float32)),
+                 target=jnp.asarray(np.array([0., 0., -0.05], np.float32)))
+    n = 20_000
+    pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    base = rng.uniform(-0.4, 0.4, (500, 1, 3))
+    steps = rng.normal(size=(500, 5, 3)) * 0.01
+    pts = (base + np.cumsum(steps, axis=1)).astype(np.float32)
+
+    def build(pos, pts):
+        return ScreenPrimitives.concatenate([
+            ground_plane(cam, 10.0, (0., 0., -0.5)),
+            discs_from_points(pos, cam, jnp.full((n,), 0.004),
+                              np.array([0.3, 0.3, 0.3], np.float32)),
+            capsules_from_polylines(pts, np.ones((500, 5), bool),
+                                    cam, 0.002,
+                                    np.array([0.2, 1.0, 0.4], np.float32)),
+        ])
+
+    def both(pos, pts):
+        soup = build(pos, pts)
+        dp, ip = rasterize_pallas_csr(soup, cam.width, cam.height)
+        dt, it = xla_tiled.rasterize_tiled(soup, cam.width, cam.height,
+                                           max_per_tile=1024)
+        return jnp.mean((ip == it).astype(jnp.float32))
+
+    compiled = aot.compile_const_free(both, jnp.asarray(pos),
+                                      jnp.asarray(pts))
+    match = float(np.asarray(compiled(jnp.asarray(pos), jnp.asarray(pts))))
+    if verbose:
+        print(f"# on-chip exactness: pallas-vs-tiled winner match = "
+              f"{match}", file=sys.stderr)
+    if match != 1.0:
+        raise AssertionError(
+            f"EXACTNESS REGRESSION on this chip: winner match {match} != 1.0")
+
+
+def run_bench(args):
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_render_tpu.raster.primitives import (
+        ScreenPrimitives,
+        discs_from_points,
+    )
     from pointcloud_render_tpu.raster.render import (
         RasterConfig,
         ground_plane,
         render,
     )
-    from pointcloud_render_tpu.raster.primitives import ScreenPrimitives
     from pointcloud_render_tpu.scene.camera import Camera
     from pointcloud_render_tpu.utils import aot
 
@@ -70,17 +153,41 @@ def main():
         checksum = jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
         return fb.rgb, fb.depth, checksum
 
-    compiled = aot.compile_const_free(frame, positions, radii)
+    # Exactness gate: certify the compiled kernel on this platform before
+    # timing it (skippable for quick local loops).
+    if not args.skip_validate and jax.default_backend() == "tpu":
+        _retry("on-chip validation", lambda: validate_on_chip(args.verbose))
 
-    out = compiled(positions, radii)  # warmup
-    float(np.asarray(out[2]))
+    state = {}
+
+    def compile_and_warm():
+        state["compiled"] = aot.compile_const_free(frame, positions, radii)
+        out = state["compiled"](positions, radii)
+        float(np.asarray(out[2]))
+
+    _retry("compile+warmup", compile_and_warm)
+
+    def one_iter():
+        t0 = time.perf_counter()
+        out = state["compiled"](positions, radii)
+        float(np.asarray(out[2]))
+        return time.perf_counter() - t0, out
 
     times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        out = compiled(positions, radii)
-        float(np.asarray(out[2]))
-        times.append(time.perf_counter() - t0)
+    out = None
+    k = 0
+    while len(times) < args.iters:
+        try:
+            dt, out = one_iter()
+            times.append(dt)
+        except Exception as e:
+            k += 1
+            if k > 3:
+                raise
+            print(f"# iteration failed ({type(e).__name__}); "
+                  f"recompiling ({k}/3)", file=sys.stderr)
+            time.sleep(2.0 * k)
+            _retry("recompile+warmup", compile_and_warm)
     rgb, depth = out[0], out[1]
     dt = float(np.median(times))
     fps = 1.0 / dt
@@ -91,12 +198,28 @@ def main():
               f"median={dt * 1e3:.2f}ms hit_frac={hit:.3f} "
               f"splats/s={n * fps:.3e}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": f"1080p_fps_{n // 1000}k_points",
-        "value": round(fps, 3),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / TARGET_FPS, 4),
-    }))
+    _emit(f"1080p_fps_{n // 1000}k_points", fps)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--radius", type=float, default=0.002)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--max-per-tile", type=int, default=4096)
+    ap.add_argument("--max-tiles-per-prim", type=int, default=4)
+    ap.add_argument("--skip-validate", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    try:
+        run_bench(args)
+    except BaseException as e:  # noqa: BLE001 — the JSON line must ALWAYS print
+        traceback.print_exc()
+        _emit(f"1080p_fps_{args.points // 1000}k_points", 0.0, vs=0.0,
+              error=f"{type(e).__name__}: {str(e)[:300]}")
+        sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -19,10 +19,28 @@ scale axes:
 
 Both paths compose: a 2D ('frames', 'points') mesh renders F frames, each
 point-sharded, in one jitted program.
+
+Two levels of API:
+
+* ``render_point_sharded`` / ``render_batch_sharded`` — disc-only
+  building blocks (flat color), used by the streaming composition;
+* ``render_scene_point_sharded`` / ``render_scene_batch_sharded`` — the
+  FULL reference scene (ground triangles + sphere/droplet splats +
+  velocity trails, Lambert-shaded), winner-exact vs the single-device
+  ``FramePipeline`` frame.  Per-shard primitive ids are mapped to their
+  ids in the full-cloud soup via the part layout returned by
+  ``run.pipeline.build_primitives`` — the lexicographic merge is then
+  shard-count invariant by construction.
+
+Capacity: these paths rasterize through the capacity-capped tiled
+backend, so every entry point also returns the binning OVERFLOW count
+(psum over shards; 0 = every primitive rasterized exactly).  Callers must
+treat overflow > 0 as a failed render — raise ``max_per_tile`` and rerun.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -32,9 +50,23 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pointcloud_render_tpu.raster import xla_tiled
 from pointcloud_render_tpu.raster.primitives import discs_from_points
+from pointcloud_render_tpu.raster.tiles import tile_overflow
+from pointcloud_render_tpu.scene.camera import TARGETS, Camera, camera_origin_jax
+from pointcloud_render_tpu.shading.shade import shade_framebuffer
 
 IMAX = np.int32(2147483647)
 INF = np.float32(np.inf)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedFrame:
+    """Replicated render result of a sharded frame (or frame batch)."""
+
+    rgb: jax.Array  # (..., H, W, 3) float32
+    depth: jax.Array  # (..., H, W) float32, +inf empty
+    index: jax.Array  # (..., H, W) int32 GLOBAL prim id, -1 empty
+    overflow: jax.Array  # (...,) int32 — binned entries dropped; 0 = exact
 
 
 def make_render_mesh(n_frames_axis: int, n_points_axis: int,
@@ -48,12 +80,45 @@ def make_render_mesh(n_frames_axis: int, n_points_axis: int,
     return Mesh(grid, axis_names=("frames", "points"))
 
 
+def _merge_and_resolve(prims, camera, depth, index, gid, shading,
+                       axis_name, overflow):
+    """Collective lexicographic z-merge + local-winner shaded color psum.
+
+    depth/index are the LOCAL rasterization buffers, gid the per-pixel
+    GLOBAL id of the local winner (IMAX where empty).  Global ids must be
+    unique across shards (replicated furniture is masked to one shard),
+    so exactly one shard owns each hit pixel.
+    """
+    d = jnp.where(index >= 0, depth, INF)
+    best_depth = jax.lax.pmin(d, axis_name)
+    contender = jnp.where(d == best_depth, gid, IMAX)
+    best_gid = jax.lax.pmin(contender, axis_name)
+
+    local_win = (index >= 0) & (d == best_depth) & (gid == best_gid)
+    shade_idx = jnp.where(local_win, index, -1)
+    rgb_local = shade_framebuffer(prims, camera, best_depth, shade_idx,
+                                  shading)
+    rgb = jax.lax.psum(jnp.where(local_win[..., None], rgb_local, 0.0),
+                       axis_name)
+
+    hit = best_gid != IMAX
+    bg = np.asarray(shading.background, np.float32)
+    rgb = jnp.where(hit[..., None], rgb, bg)
+    return ShardedFrame(
+        rgb=rgb,
+        depth=jnp.where(hit, best_depth, INF),
+        index=jnp.where(hit, best_gid, -1),
+        overflow=jax.lax.psum(overflow, axis_name),
+    )
+
+
 def _shard_frame(positions, radii, colors, camera, config, axis_name):
-    """Per-device slice of one frame's point-sharded render.
+    """Per-device slice of one frame's disc-only point-sharded render.
 
     positions: (N_local, 3) on each device; primitive ids are globalized
     with the shard offset so the lexicographic tie-break is device-count
-    invariant.
+    invariant.  Flat colors, no furniture — the full-scene path is
+    ``_scene_shard_frame``.
     """
     n_local = positions.shape[0]
     shard = jax.lax.axis_index(axis_name)
@@ -64,11 +129,12 @@ def _shard_frame(positions, radii, colors, camera, config, axis_name):
         prims, camera.width, camera.height,
         tile_h=config.tile_h, tile_w=config.tile_w,
         max_per_tile=config.max_per_tile)
+    overflow = tile_overflow(prims, camera.width, camera.height,
+                             tile_h=config.tile_h, tile_w=config.tile_w,
+                             max_per_tile=config.max_per_tile)
     gindex = jnp.where(index >= 0, index + offset, IMAX)
     depth = jnp.where(index >= 0, depth, INF)
 
-    # Ground plane drawn once, on shard 0, with ids above all points.
-    # (Cheap: 2 triangles; avoids duplicate-geometry ties entirely.)
     # Collective lexicographic merge over ICI.
     best_depth = jax.lax.pmin(depth, axis_name)
     contender = jnp.where(depth == best_depth, gindex, IMAX)
@@ -82,49 +148,45 @@ def _shard_frame(positions, radii, colors, camera, config, axis_name):
 
     hit = best_gidx != IMAX
     rgb = jnp.where(hit[..., None], rgb, 1.0)  # white background
-    return rgb, jnp.where(hit, best_depth, INF), jnp.where(hit, best_gidx, -1)
+    return (rgb, jnp.where(hit, best_depth, INF),
+            jnp.where(hit, best_gidx, -1),
+            jax.lax.psum(overflow, axis_name))
 
 
 def render_point_sharded(positions, radii, colors, camera,
                          config, mesh: Mesh, axis: str = "points"):
-    """Rasterize one frame with the cloud sharded over `axis`.
+    """Rasterize one disc-only frame with the cloud sharded over `axis`.
 
-    Returns replicated (H, W, 3) rgb, (H, W) depth and global index.
+    Returns replicated (H, W, 3) rgb, (H, W) depth, global index, and the
+    total binning overflow count (0 = exact; >0 = raise max_per_tile).
     """
     n = positions.shape[0]
     n_dev = mesh.shape[axis]
     if n % n_dev:
         raise ValueError(f"point count {n} not divisible by {n_dev}")
 
-    other = tuple(a for a in mesh.axis_names if a != axis)
-
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(*[None] * 3), P(*[None] * 2), P(*[None] * 2)),
+        out_specs=(P(*[None] * 3), P(*[None] * 2), P(*[None] * 2), P()),
         check_vma=False,
     )
     def run(pos, rad, col):
-        # Collapse any leading unsharded axes contributed by `other`.
-        rgb, depth, idx = _shard_frame(pos, rad, col, camera, config, axis)
-        if other:
-            # Identical across the other axes; keep as-is (replicated).
-            pass
-        return rgb, depth, idx
+        return _shard_frame(pos, rad, col, camera, config, axis)
 
     return run(positions, radii, colors)
 
 
 def render_batch_sharded(positions, radii, colors, camera, config,
                          mesh: Mesh):
-    """Frames x points 2D-sharded batch render in ONE shard_map.
+    """Frames x points 2D-sharded disc-only batch render in ONE shard_map.
 
     positions: (F, N, 3); F divides mesh['frames'], N divides
     mesh['points'].  Each device holds a (F/df, N/dp) block, renders its
     point shards for its frames, and the z-buffers merge over the
     'points' axis only.  Returns (F, H, W[, 3]) rgb/depth/index with the
-    frame axis sharded over 'frames'.
+    frame axis sharded over 'frames', plus the (F,) overflow counts.
     """
     f = positions.shape[0]
     if f % mesh.shape["frames"] or positions.shape[1] % mesh.shape["points"]:
@@ -134,7 +196,7 @@ def render_batch_sharded(positions, radii, colors, camera, config,
         jax.shard_map, mesh=mesh,
         in_specs=(P("frames", "points"), P("frames", "points"),
                   P("frames", "points")),
-        out_specs=(P("frames"), P("frames"), P("frames")),
+        out_specs=(P("frames"), P("frames"), P("frames"), P("frames")),
         check_vma=False,
     )
     def run(pos, rad, col):
@@ -145,6 +207,170 @@ def render_batch_sharded(positions, radii, colors, camera, config,
         return jax.vmap(one)((pos, rad, col))
 
     return run(positions, radii, colors)
+
+
+# ---------------------------------------------------------------------------
+# Full-scene sharded rendering (ground + splats + trails, shaded)
+# ---------------------------------------------------------------------------
+
+
+def _scene_shard_frame(preset, config, axis_name, n_shards, film,
+                       droplet_lod, positions, velocities, frame_index,
+                       history, rotations, with_vel, with_history,
+                       with_rotations):
+    """One device's slice of a full-scene point-sharded frame.
+
+    Builds the same primitive soup as the single-device pipeline
+    (run.pipeline.build_primitives) over the LOCAL point shard, then maps
+    every local primitive row to the id it would have in the full-cloud
+    soup using the soup's part layout: per-point parts are row-major in
+    point index, so local row i of a part with c rows/point maps to
+    ``global_part_start + shard * n_local * c + i_within_part``.  Fixed
+    furniture (the ground) keeps its global ids but is masked valid on
+    shard 0 only, keeping global ids unique across shards.
+    """
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+
+    n_local = positions.shape[0]
+    shard = jax.lax.axis_index(axis_name)
+
+    film_kw = dict(width=film[0], height=film[1]) if film else {}
+    camera = Camera(
+        origin=camera_origin_jax(preset.camera_preset, frame_index,
+                                 preset.total_frames),
+        target=np.asarray(TARGETS[preset.camera_preset], np.float32),
+        fov_x_degrees=preset.fov_x_degrees, **film_kw)
+
+    prims, layout = build_primitives(
+        preset, camera, positions,
+        velocities if with_vel else None,
+        frame_index,
+        history if with_history else None,
+        rotations if with_rotations else None,
+        droplet_lod=droplet_lod, return_layout=True)
+
+    # Static layout walk: local row -> full-soup id constants.
+    offs = np.zeros(prims.count, np.int32)  # global_start - local_start
+    scale = np.zeros(prims.count, np.int32)  # n_local * rows_per_point
+    fixed = np.zeros(prims.count, bool)
+    loc = glob = 0
+    for rows, c in layout:
+        sl = slice(loc, loc + rows)
+        offs[sl] = glob - loc
+        if c == 0:
+            fixed[sl] = True
+            glob += rows
+        else:
+            scale[sl] = rows  # rows == n_local * c
+            glob += rows * n_shards
+        loc += rows
+
+    # Replicated furniture is valid on shard 0 only -> unique global ids.
+    valid = prims.valid & (jnp.asarray(~fixed) | (shard == 0))
+    prims = dataclasses.replace(prims, valid=valid)
+
+    depth, index = xla_tiled.rasterize_tiled(
+        prims, camera.width, camera.height,
+        tile_h=config.tile_h, tile_w=config.tile_w,
+        max_per_tile=config.max_per_tile)
+    overflow = tile_overflow(prims, camera.width, camera.height,
+                             tile_h=config.tile_h, tile_w=config.tile_w,
+                             max_per_tile=config.max_per_tile)
+
+    safe = jnp.maximum(index, 0)
+    gid = jnp.where(
+        index >= 0,
+        index + jnp.asarray(offs)[safe] + shard * jnp.asarray(scale)[safe],
+        IMAX)
+    return _merge_and_resolve(prims, camera, depth, index, gid,
+                              config.shading, axis_name, overflow)
+
+
+def render_scene_point_sharded(preset, positions, config, mesh: Mesh,
+                               velocities=None, frame_index=0,
+                               history=None, rotations=None,
+                               axis: str = "points", width=None, height=None,
+                               droplet_lod: str = "capsule") -> ShardedFrame:
+    """Full-scene render of ONE frame, point-sharded over `axis`.
+
+    Scene scope matches the reference's generate_xml_content
+    (/root/reference/traj_ball_renderer.py:309-333: ground + spheres +
+    velocity trails; droplet presets add oriented droplets,
+    /root/reference/traj_renderer.py:529-576), Lambert-shaded; the result
+    is winner-exact vs the single-device FramePipeline frame.
+
+    positions (N, 3) and optional velocities (N, 3) / history (T, N, 3) /
+    rotations (N, 4, 4) are sharded on their point axis; N must divide
+    the mesh axis.  Returns a replicated ShardedFrame.
+    """
+    n = positions.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"point count {n} not divisible by {n_dev}")
+
+    with_vel = velocities is not None
+    with_history = history is not None and history.shape[0] > 0
+    with_rotations = rotations is not None
+    velocities = (jnp.zeros_like(positions) if velocities is None
+                  else velocities)
+    history = (jnp.zeros((0, n, 3), jnp.float32) if history is None
+               else history)
+    rotations = (jnp.zeros((n, 4, 4), jnp.float32) if rotations is None
+                 else rotations)
+    film = (width, height) if width and height else None
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(None, axis), P(axis)),
+        out_specs=ShardedFrame(rgb=P(None, None, None), depth=P(None, None),
+                               index=P(None, None), overflow=P()),
+        check_vma=False,
+    )
+    def run(pos, vel, fi, hist, rot):
+        return _scene_shard_frame(
+            preset, config, axis, n_dev, film, droplet_lod,
+            pos, vel, fi, hist, rot, with_vel, with_history, with_rotations)
+
+    return run(positions, velocities, jnp.int32(frame_index), history,
+               rotations)
+
+
+def render_scene_batch_sharded(preset, positions, velocities, frame_indices,
+                               config, mesh: Mesh, width=None, height=None,
+                               droplet_lod: str = "capsule") -> ShardedFrame:
+    """Frames x points 2D-sharded FULL-SCENE batch render.
+
+    positions/velocities: (F, N, 3) with F dividing mesh['frames'] and N
+    dividing mesh['points']; frame_indices: (F,) int32 per-frame camera
+    time.  Velocity-trail presets only (history trails need the rolling
+    buffer, see run.trajectory).  Returns a ShardedFrame with leading
+    frame axis sharded over 'frames'.
+    """
+    f, n = positions.shape[:2]
+    if f % mesh.shape["frames"] or n % mesh.shape["points"]:
+        raise ValueError("batch/point axes must divide the mesh axes")
+    n_dev = mesh.shape["points"]
+    film = (width, height) if width and height else None
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("frames", "points"), P("frames", "points"), P("frames")),
+        out_specs=ShardedFrame(rgb=P("frames"), depth=P("frames"),
+                               index=P("frames"), overflow=P("frames")),
+        check_vma=False,
+    )
+    def run(pos, vel, fis):
+        def one(args):
+            p, v, fi = args
+            hist = jnp.zeros((0, p.shape[0], 3), jnp.float32)
+            rot = jnp.zeros((p.shape[0], 4, 4), jnp.float32)
+            return _scene_shard_frame(
+                preset, config, "points", n_dev, film, droplet_lod,
+                p, v, fi, hist, rot, True, False, False)
+
+        return jax.vmap(one)((pos, vel, fis))
+
+    return run(positions, velocities, jnp.asarray(frame_indices, jnp.int32))
 
 
 def render_frames_dp(step_fn, frame_args, mesh: Mesh, axis: str = "frames"):

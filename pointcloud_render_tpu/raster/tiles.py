@@ -44,6 +44,44 @@ class TileBins:
         return tile_drop + big_drop
 
 
+def tile_overflow(prims, width: int, height: int, tile_h: int = 8,
+                  tile_w: int = 128, max_per_tile: int = 512,
+                  max_tiles_per_prim: int = 16, max_big: int = 64):
+    """() int32: entries the capacity-capped table WOULD drop for this
+    scene/config (must mirror bin_primitives' defaults).  Cheap — one
+    scatter-add instead of the full binning sort — so sharded/streaming
+    paths can return it alongside every render (no silent truncation).
+    """
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    num_tiles = tiles_y * tiles_x
+
+    xmin, xmax = prims.bbox[:, 0], prims.bbox[:, 1]
+    ymin, ymax = prims.bbox[:, 2], prims.bbox[:, 3]
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ntx = tx1 - tx0 + 1
+    nty = ty1 - ty0 + 1
+    span = ntx * nty
+    is_big = (span > max_tiles_per_prim) & prims.valid
+    is_small = (span <= max_tiles_per_prim) & prims.valid
+
+    slot = np.arange(max_tiles_per_prim, dtype=np.int32)[None, :]
+    ex = slot % ntx[:, None]
+    ey = slot // ntx[:, None]
+    slot_ok = (slot < span[:, None]) & is_small[:, None]
+    tile_id = (ty0[:, None] + ey) * tiles_x + (tx0[:, None] + ex)
+    tile_id = jnp.where(slot_ok, tile_id, num_tiles)
+
+    counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[
+        tile_id.reshape(-1)].add(slot_ok.reshape(-1).astype(jnp.int32))
+    tile_drop = jnp.sum(jnp.maximum(counts[:num_tiles] - max_per_tile, 0))
+    big_drop = jnp.maximum(jnp.sum(is_big.astype(jnp.int32)) - max_big, 0)
+    return tile_drop + big_drop
+
+
 def bin_primitives(prims, width: int, height: int, tile_h: int = 8,
                    tile_w: int = 128, max_per_tile: int = 512,
                    max_tiles_per_prim: int = 16, max_big: int = 64) -> TileBins:

@@ -43,19 +43,28 @@ from pointcloud_render_tpu.scene.camera import TARGETS, Camera, camera_origin_ja
 
 def build_primitives(preset: ScenePreset, camera: Camera, positions,
                      velocities=None, frame_index=0, history=None,
-                     rotations=None, droplet_lod: str = "capsule"):
+                     rotations=None, droplet_lod: str = "capsule",
+                     return_layout: bool = False):
     """Assemble the frame's primitive soup (traceable).
 
     Primitive order (= depth-tie priority): ground, splats, trails.
+
+    With ``return_layout=True`` also returns the soup's part layout as a
+    list of ``(rows, rows_per_point)`` tuples (``rows_per_point == 0`` for
+    fixed furniture like the ground).  Every per-point part is row-major in
+    point index, so the layout is enough to map a row of a point-SHARD's
+    soup to its id in the full-cloud soup (parallel/render_parallel.py).
     """
     parts = [ground_plane(camera, preset.ground_half_extent,
                           preset.ground_center)]
+    per_point = [0]  # ground: fixed rows, not per-point
     color = np.asarray(preset.point_color, np.float32)
     n = positions.shape[0]
 
     if preset.splat == "sphere":
         parts.append(discs_from_points(
             positions, camera, np.full((n,), preset.point_radius, np.float32), color))
+        per_point.append(1)
     elif preset.splat == "droplet":
         if rotations is None:
             if velocities is None:
@@ -66,8 +75,12 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
                     velocities, positions)
         if droplet_lod == "mesh":
             verts, faces = droplet_mod.instance_droplets(rotations, positions)
-            parts.append(triangles_from_mesh(verts, faces, camera, color))
-        else:
+            tris = triangles_from_mesh(verts, faces, camera, color)
+            parts.append(tris)
+            # Near-clipping emits two stacked blocks of F rows each
+            # (primitives._near_clip_triangles); both blocks are row-major
+            # per point, so the layout records them as two entries.
+            per_point.append(("split2", tris.count // (2 * n)))
             # Capsule LOD: head sphere + tapering tail along the rotated
             # -z axis (column 2 of R gives R @ (0,0,-1) = tail direction).
             tail_dir = -rotations[:, :3, 2]
@@ -75,6 +88,7 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
             parts.append(discs_from_points(
                 positions, camera,
                 np.full((n,), droplet_mod.BASE_RADIUS, np.float32), color))
+            per_point.append(1)
             seg = jnp.stack([positions, tip], axis=1)  # (N, 2, 3)
             # Tapered tail: mesh radius at the cap edge down to a point
             # (the teardrop's r*(1-t)^2 profile, traj_renderer.py:129).
@@ -84,6 +98,7 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
                 (n, 2))
             parts.append(capsules_from_polylines(
                 seg, np.ones((n, 2), bool), camera, taper, color))
+            per_point.append(1)
     else:
         raise ValueError(f"unknown splat kind {preset.splat!r}")
 
@@ -94,6 +109,7 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
         parts.append(capsules_from_polylines(
             pts, vertex_valid, camera, preset.trail_radius,
             np.asarray(preset.trail_color, np.float32)))
+        per_point.append(pts.shape[1] - 1)
     elif preset.trail == "history" and history is not None \
             and history.shape[0] > 0:
         pts, valid, keep = trails_mod.catmull_rom_trails(history, positions)
@@ -101,8 +117,19 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
         parts.append(capsules_from_polylines(
             pts, vertex_valid, camera, preset.trail_radius,
             np.asarray(preset.trail_color, np.float32)))
+        per_point.append(pts.shape[1] - 1)
 
-    return ScreenPrimitives.concatenate(parts)
+    soup = ScreenPrimitives.concatenate(parts)
+    if not return_layout:
+        return soup
+    layout = []
+    for part, c in zip(parts, per_point):
+        if isinstance(c, tuple):  # ("split2", faces_per_point)
+            half = part.count // 2
+            layout += [(half, c[1]), (half, c[1])]
+        else:
+            layout.append((part.count, c))
+    return soup, layout
 
 
 def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,

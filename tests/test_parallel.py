@@ -34,9 +34,10 @@ def test_point_sharded_matches_single_device():
     cfg = RasterConfig(backend="tiled", max_per_tile=256)
 
     mesh = make_render_mesh(1, 8)
-    rgb, depth, idx = jax.jit(
+    rgb, depth, idx, overflow = jax.jit(
         lambda p, r, c: render_point_sharded(p, r, c, cam, cfg, mesh)
     )(pos, radii, colors)
+    assert int(overflow) == 0
 
     # Single-device truth.
     prims = discs_from_points(pos, cam, radii, colors)
@@ -67,7 +68,7 @@ def test_point_sharded_shard_count_invariance():
     outs = []
     for n_shards in (2, 4, 8):
         mesh = make_render_mesh(1, n_shards)
-        rgb, depth, idx = jax.jit(
+        rgb, depth, idx, _ = jax.jit(
             lambda p, r, c, m=mesh: render_point_sharded(p, r, c, cam, cfg, m)
         )(pos, radii, colors)
         outs.append((np.asarray(depth), np.asarray(idx)))
@@ -122,6 +123,117 @@ def test_2d_mesh_frames_by_points():
         dk, _ = xla_tiled.rasterize_tiled(prims, W, H, max_per_tile=256)
         dk, got = np.asarray(dk), np.asarray(depths[k])
         assert ((got == dk) | (np.isclose(got, dk, rtol=5e-7))).all()
+
+
+def test_scene_point_sharded_matches_pipeline():
+    """Full traj_ball scene (ground + spheres + velocity trails, shaded),
+    point-sharded 8 ways == the single-device FramePipeline frame,
+    winner-exact (VERDICT r1 item 4; scene scope matches
+    /root/reference/traj_ball_renderer.py:309-333)."""
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.parallel.render_parallel import (
+        render_scene_point_sharded,
+    )
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.raster.render import render
+    from pointcloud_render_tpu.scene.camera import TARGETS, camera_origin_jax
+
+    preset = PRESETS["traj_ball"]
+    rng = np.random.default_rng(7)
+    n = 256
+    pos = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    vel = (rng.normal(size=(n, 3)) * 3).astype(np.float32)
+    fi = 120
+    # 1024 keeps the SINGLE-DEVICE truth overflow-free too (at 256 the
+    # monolithic render drops 619 entries — exactly the silent-truncation
+    # failure mode tile_overflow exists to catch).
+    cfg = RasterConfig(backend="tiled", max_per_tile=1024)
+    mesh = make_render_mesh(1, 8)
+
+    out = jax.jit(lambda p, v: render_scene_point_sharded(
+        preset, p, cfg, mesh, velocities=v, frame_index=fi,
+        width=W, height=H))(pos, vel)
+    assert int(out.overflow) == 0
+
+    # Single-device truth through the same soup builder.
+    cam = Camera(
+        origin=camera_origin_jax(preset.camera_preset, jnp.int32(fi),
+                                 preset.total_frames),
+        target=jnp.asarray(TARGETS[preset.camera_preset], jnp.float32),
+        fov_x_degrees=preset.fov_x_degrees, width=W, height=H)
+    prims = build_primitives(preset, cam, jnp.asarray(pos),
+                             jnp.asarray(vel), jnp.int32(fi))
+    fb = render(prims, cam, cfg)
+
+    np.testing.assert_array_equal(np.asarray(out.index), np.asarray(fb.index))
+    hit = np.asarray(fb.index) >= 0
+    assert hit.mean() > 0.05
+    np.testing.assert_allclose(np.asarray(out.depth)[hit],
+                               np.asarray(fb.depth)[hit], rtol=5e-7)
+    # Shading tolerance: disc-rim sphere normals pass 1-ulp FMA-contraction
+    # differences through sqrt(1 - u^2 - v^2) near zero, amplifying them to
+    # ~1e-5 (geometry/winners above are exact; shading is the look layer).
+    np.testing.assert_allclose(np.asarray(out.rgb)[hit],
+                               np.asarray(fb.rgb)[hit], atol=5e-4)
+    # Scene completeness: trails (capsules) and ground (triangle) both won
+    # pixels somewhere in the sharded render.
+    kinds = np.asarray(prims.kind)[np.asarray(out.index)[hit]]
+    assert (kinds == 1).any(), "no trail capsule pixels"
+    assert (kinds == 2).any(), "no ground triangle pixels"
+
+
+def test_scene_batch_sharded_2d_mesh():
+    """(frames x points) 2D mesh full-scene batch == per-frame truth."""
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.parallel.render_parallel import (
+        render_scene_batch_sharded,
+        render_scene_point_sharded,
+    )
+
+    preset = PRESETS["traj_ball"]
+    rng = np.random.default_rng(8)
+    f, n = 2, 128
+    pos = rng.uniform(-0.4, 0.4, (f, n, 3)).astype(np.float32)
+    vel = (rng.normal(size=(f, n, 3)) * 3).astype(np.float32)
+    fis = np.array([40, 180], np.int32)
+    cfg = RasterConfig(backend="tiled", max_per_tile=256)
+    mesh = make_render_mesh(2, 4)
+
+    out = jax.jit(lambda p, v, i: render_scene_batch_sharded(
+        preset, p, v, i, cfg, mesh, width=W, height=H))(pos, vel, fis)
+    assert out.rgb.shape == (f, H, W, 3)
+    assert np.asarray(out.overflow).sum() == 0
+
+    mesh1 = make_render_mesh(1, 4)
+    for k in range(f):
+        ref = jax.jit(lambda p, v, k=k: render_scene_point_sharded(
+            preset, p, cfg, mesh1, velocities=v, frame_index=int(fis[k]),
+            width=W, height=H))(pos[k], vel[k])
+        np.testing.assert_array_equal(np.asarray(out.index[k]),
+                                      np.asarray(ref.index))
+        hit = np.asarray(ref.index) >= 0
+        # Same disc-rim FMA tolerance as the point-sharded test above.
+        np.testing.assert_allclose(np.asarray(out.rgb[k])[hit],
+                                   np.asarray(ref.rgb)[hit], atol=5e-4)
+
+
+def test_sharded_overflow_is_reported():
+    """Overflow density (tiny max_per_tile) must be COUNTED, not silent
+    (VERDICT r1 item 5)."""
+    cam = make_camera()
+    rng = np.random.default_rng(9)
+    n = 2048
+    # Everything lands in a few tiles -> guaranteed overflow at cap 32.
+    pos = rng.uniform(-0.02, 0.02, (n, 3)).astype(np.float32)
+    radii = np.full((n,), 0.01, np.float32)
+    colors = np.broadcast_to(np.array([0.3, 0.3, 0.3], np.float32), (n, 3))
+    cfg = RasterConfig(backend="tiled", max_per_tile=32)
+    mesh = make_render_mesh(1, 8)
+
+    *_, overflow = jax.jit(
+        lambda p, r, c: render_point_sharded(p, r, c, cam, cfg, mesh)
+    )(pos, radii, colors)
+    assert int(overflow) > 0
 
 
 def test_pod_mesh_layout():

@@ -97,20 +97,52 @@ def validate_on_chip(verbose=False):
 
     def both(pos, pts):
         soup = build(pos, pts)
-        dp, ip = rasterize_pallas_csr(soup, cam.width, cam.height)
         dt, it = xla_tiled.rasterize_tiled(soup, cam.width, cam.height,
                                            max_per_tile=1024)
-        return jnp.mean((ip == it).astype(jnp.float32))
+        # v1 kernel, generic mixed scene.
+        d1, i1 = rasterize_pallas_csr(soup, cam.width, cam.height)
+        # v2 kernel, generic rows (the trail/droplet path).
+        d2, i2 = rasterize_pallas_csr2(soup, cam.width, cam.height,
+                                       no_triangles=True, unroll=4)
+        # v2 disc fast path with a measured-capacity prefix gather (the
+        # exact config the timed frame below runs).
+        disc_soup = build_discs(pos)
+        ec = true_entry_count(disc_soup, cam.width, cam.height,
+                              no_triangles=True)
+        d3, i3 = rasterize_pallas_csr2(
+            disc_soup, cam.width, cam.height, discs_only=True, unroll=4,
+            entry_capacity=262144)
+        dt3, it3 = xla_tiled.rasterize_tiled(disc_soup, cam.width,
+                                             cam.height, max_per_tile=1024)
+        return (jnp.mean((i1 == it).astype(jnp.float32)),
+                jnp.mean((i2 == it).astype(jnp.float32)),
+                jnp.mean((i3 == it3).astype(jnp.float32)),
+                ec)
+
+    def build_discs(pos):
+        return ScreenPrimitives.concatenate([
+            ground_plane(cam, 10.0, (0., 0., -0.5)),
+            discs_from_points(pos, cam, jnp.full((n,), 0.004),
+                              np.array([0.3, 0.3, 0.3], np.float32)),
+        ])
+
+    from pointcloud_render_tpu.raster.pallas_csr2 import (
+        rasterize_pallas_csr2,
+        true_entry_count,
+    )
 
     compiled = aot.compile_const_free(both, jnp.asarray(pos),
                                       jnp.asarray(pts))
-    match = float(np.asarray(compiled(jnp.asarray(pos), jnp.asarray(pts))))
+    m1, m2, m3, ec = (np.asarray(v)
+                      for v in compiled(jnp.asarray(pos), jnp.asarray(pts)))
     if verbose:
-        print(f"# on-chip exactness: pallas-vs-tiled winner match = "
-              f"{match}", file=sys.stderr)
-    if match != 1.0:
+        print(f"# on-chip exactness: v1={float(m1)} v2={float(m2)} "
+              f"v2disc={float(m3)} (entries {int(ec)})", file=sys.stderr)
+    assert int(ec) <= 262144, "validation scene outgrew its capacity"
+    if not (float(m1) == float(m2) == float(m3) == 1.0):
         raise AssertionError(
-            f"EXACTNESS REGRESSION on this chip: winner match {match} != 1.0")
+            f"EXACTNESS REGRESSION on this chip: winner match "
+            f"v1={float(m1)} v2={float(m2)} v2disc={float(m3)} != 1.0")
 
 
 def run_bench(args):
@@ -136,18 +168,37 @@ def run_bench(args):
     camera = Camera(
         origin=jnp.asarray(np.array([2.0, 2.0, 2.0], np.float32)),
         target=jnp.asarray(np.array([0.0, 0.0, -0.05], np.float32)))
-    config = RasterConfig(backend=args.backend,
-                          max_per_tile=args.max_per_tile,
-                          max_tiles_per_prim=args.max_tiles_per_prim,
-                          no_triangles=True)  # bench scene: discs + big-list ground
 
-    def frame(positions, radii):
-        prims = ScreenPrimitives.concatenate([
+    def soup(positions, radii):
+        return ScreenPrimitives.concatenate([
             ground_plane(camera, 10.0, (0.0, 0.0, -0.5)),
             discs_from_points(positions, camera, radii,
                               np.array([0.3, 0.3, 0.3], np.float32)),
         ])
-        fb = render(prims, camera, config)
+
+    # The bench scene is discs over big-list furniture -> the disc fast
+    # path applies, with a MEASURED entry capacity (+10% headroom) whose
+    # exactness precondition is asserted here (pallas_csr2 docstring).
+    entry_capacity = None
+    if args.backend in ("auto", "pallas"):
+        from pointcloud_render_tpu.raster import pallas_csr2
+
+        ec = int(np.asarray(pallas_csr2.true_entry_count(
+            soup(positions, radii), camera.width, camera.height,
+            max_tiles_per_prim=args.max_tiles_per_prim, no_triangles=True)))
+        entry_capacity = ((int(ec * 1.1) + 127) // 128) * 128
+        assert ec <= entry_capacity
+        if args.verbose:
+            print(f"# true entries {ec}, capacity {entry_capacity}",
+                  file=sys.stderr)
+    config = RasterConfig(backend=args.backend,
+                          max_per_tile=args.max_per_tile,
+                          max_tiles_per_prim=args.max_tiles_per_prim,
+                          no_triangles=True, discs_only=True,
+                          entry_capacity=entry_capacity)
+
+    def frame(positions, radii):
+        fb = render(soup(positions, radii), camera, config)
         # Scalar checksum: fetching it forces the whole program to finish
         # (block_until_ready on lazy axon buffers is NOT a reliable fence).
         checksum = jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
@@ -167,24 +218,30 @@ def run_bench(args):
 
     _retry("compile+warmup", compile_and_warm)
 
-    def one_iter():
+    # Pipelined throughput: dispatch a round of frames back-to-back and
+    # fetch ONE checksum at the end — frames queue on-device, so the dev
+    # tunnel's ~25 ms per-fetch RTT is amortized across the round instead
+    # of being billed to every frame (the production serving pattern).
+    def one_round():
         t0 = time.perf_counter()
-        out = state["compiled"](positions, radii)
+        out = None
+        for _ in range(args.iters):
+            out = state["compiled"](positions, radii)
         float(np.asarray(out[2]))
-        return time.perf_counter() - t0, out
+        return (time.perf_counter() - t0) / args.iters, out
 
     times = []
     out = None
     k = 0
-    while len(times) < args.iters:
+    while len(times) < args.rounds:
         try:
-            dt, out = one_iter()
+            dt, out = one_round()
             times.append(dt)
         except Exception as e:
             k += 1
             if k > 3:
                 raise
-            print(f"# iteration failed ({type(e).__name__}); "
+            print(f"# round failed ({type(e).__name__}); "
                   f"recompiling ({k}/3)", file=sys.stderr)
             time.sleep(2.0 * k)
             _retry("recompile+warmup", compile_and_warm)
@@ -206,7 +263,10 @@ def main():
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--radius", type=float, default=0.002)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=10,
+                    help="frames per pipelined timing round")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="timing rounds (median taken)")
     ap.add_argument("--max-per-tile", type=int, default=4096)
     ap.add_argument("--max-tiles-per-prim", type=int, default=4)
     ap.add_argument("--skip-validate", action="store_true")

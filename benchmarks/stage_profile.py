@@ -1,47 +1,122 @@
-import time, numpy as np, jax, jax.numpy as jnp, sys, functools
-sys.path.insert(0, '/root/repo')
-from pointcloud_render_tpu.raster.primitives import discs_from_points, ScreenPrimitives
-from pointcloud_render_tpu.raster.render import ground_plane
-from pointcloud_render_tpu.raster.tiles import bin_primitives
-from pointcloud_render_tpu.raster import pallas_kernel
+"""Stage budget of the pallas_csr frame at bench settings (1M pts, 1080p).
+
+Cumulative stages (each includes the previous ones):
+  build   — project discs + ground, concat soup
+  bin     — + entry expansion + (tile,bucket) key sort
+  rows    — + searchsorted starts + sorted-order row gather/pack
+  raster  — + the Pallas CSR kernel
+  shade   — + the shading resolve (= the full bench frame)
+
+Pipelined timing (dispatch reps, fetch one scalar) excludes the tunnel RTT.
+Run: python benchmarks/stage_profile.py [--points N] [--mtp M]
+"""
+import sys, os, time, argparse
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointcloud_render_tpu.raster.primitives import (
+    ScreenPrimitives, discs_from_points)
+from pointcloud_render_tpu.raster.render import RasterConfig, ground_plane, render
+from pointcloud_render_tpu.raster import pallas_csr
 from pointcloud_render_tpu.scene.camera import Camera
 from pointcloud_render_tpu.utils import aot
 
-rng = np.random.default_rng(0)
-camera = Camera(origin=jnp.asarray(np.array([2.,2.,2.],np.float32)), target=jnp.asarray(np.array([0.,0.,-0.05],np.float32)))
-n = 1_000_000
-pos = jnp.asarray(rng.uniform(-0.5,0.5,(n,3)), jnp.float32)
-rad = jnp.full((n,), 0.002, jnp.float32)
+W, H = 1920, 1080
 
-def build(positions, radii):
-    return ScreenPrimitives.concatenate([
-        ground_plane(camera, 10.0, (0.,0.,-0.5)),
-        discs_from_points(positions, camera, radii, np.array([0.3,0.3,0.3],np.float32)),
-    ])
 
-def stage_build(positions, radii):
-    p = build(positions, radii)
-    return p.params.sum()
-
-def stage_bin(positions, radii, mtp):
-    p = build(positions, radii)
-    b = bin_primitives(p, 1920, 1080, max_per_tile=4096, max_tiles_per_prim=mtp)
-    return b.table.sum() + b.counts.max() + b.overflowed
-
-def stage_full(positions, radii, mtp):
-    p = build(positions, radii)
-    d, i = pallas_kernel.rasterize_pallas(p, 1920, 1080, max_per_tile=4096)
-    return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0)) + i.sum()
-
-def timed(fn, *a, reps=4):
+def timed(name, fn, *a, reps=6):
     c = aot.compile_const_free(fn, *a)
-    out = c(*a); v = np.asarray(out)  # force sync via transfer
-    ts=[]
+    out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0=time.perf_counter(); out = c(*a); v = np.asarray(out); ts.append(time.perf_counter()-t0)
-    return np.median(ts)
+        out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:34s} {dt * 1e3:8.2f} ms", flush=True)
+    return dt
 
-print(f'build+project: {timed(stage_build, pos, rad)*1e3:.1f}ms', flush=True)
-print(f'bin mtp=16:    {timed(functools.partial(stage_bin, mtp=16), pos, rad)*1e3:.1f}ms', flush=True)
-print(f'bin mtp=4:     {timed(functools.partial(stage_bin, mtp=4), pos, rad)*1e3:.1f}ms', flush=True)
-print(f'full mtp=16:   {timed(functools.partial(stage_full, mtp=16), pos, rad)*1e3:.1f}ms', flush=True)
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--mtp", type=int, default=4)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    camera = Camera(origin=jnp.asarray(np.array([2., 2., 2.], np.float32)),
+                    target=jnp.asarray(np.array([0., 0., -0.05], np.float32)))
+    n = args.points
+    pos = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    rad = jnp.full((n,), 0.002, jnp.float32)
+    mtp = args.mtp
+    tiles_y, tiles_x = -(-H // 8), -(-W // 128)
+    num_tiles = tiles_y * tiles_x
+
+    def build(p, r):
+        return ScreenPrimitives.concatenate([
+            ground_plane(camera, 10.0, (0., 0., -0.5)),
+            discs_from_points(p, camera, r, np.array([.3, .3, .3], np.float32)),
+        ])
+
+    def stage_build(p, r):
+        soup = build(p, r)
+        return soup.params.sum()
+
+    def stage_bin(p, r):
+        soup = build(p, r)
+        sk, sp, bl, bc, _ = pallas_csr._bin_csr(
+            soup, W, H, 8, 128, mtp, 1024, num_tiles, tiles_x, tiles_y,
+            force_tri_big=True)
+        return sk[0] + sp[0] + bc
+
+    def stage_rows(p, r):
+        soup = build(p, r)
+        sk, sp, bl, bc, blow = pallas_csr._bin_csr(
+            soup, W, H, 8, 128, mtp, 1024, num_tiles, tiles_x, tiles_y,
+            force_tri_big=True)
+        starts = jnp.searchsorted(
+            sk, np.arange(num_tiles + 1, dtype=np.int32)
+            * pallas_csr.N_BUCKETS).astype(jnp.int32)
+        e = sp.shape[0]
+        e_pad = -(-(e + 128 + 8) // 128) * 128
+        sp_p = jnp.pad(sp, (0, e_pad - e), constant_values=-1)
+        k_p = jnp.pad(sk, (0, e_pad - e))
+        safe = jnp.maximum(sp_p, 0)
+        rows = jnp.concatenate([
+            soup.params[safe],
+            sp_p.astype(jnp.float32)[:, None],
+            soup.kind[safe].astype(jnp.float32)[:, None],
+            blow(jax.lax.rem(k_p, pallas_csr.N_BUCKETS))[:, None],
+            jnp.zeros((e_pad, 1), jnp.float32),
+        ], axis=1)
+        return rows.sum() + starts[0].astype(jnp.float32)
+
+    def stage_raster(p, r):
+        soup = build(p, r)
+        d, i = pallas_csr.rasterize_pallas_csr(
+            soup, W, H, max_tiles_per_prim=mtp, no_triangles=True)
+        return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+
+    def stage_shade(p, r):
+        soup = build(p, r)
+        cfg = RasterConfig(backend="pallas", max_tiles_per_prim=mtp,
+                           no_triangles=True)
+        fb = render(soup, camera, cfg)
+        return jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
+
+    t1 = timed("build+project", stage_build, pos, rad)
+    t2 = timed("+ bin (expand+sort)", stage_bin, pos, rad)
+    t3 = timed("+ starts + row gather/pack", stage_rows, pos, rad)
+    t4 = timed("+ CSR kernel", stage_raster, pos, rad)
+    t5 = timed("+ shading (full frame)", stage_shade, pos, rad)
+    print(f"\ndeltas: bin={1e3*(t2-t1):.1f} rows={1e3*(t3-t2):.1f} "
+          f"kernel={1e3*(t4-t3):.1f} shade={1e3*(t5-t4):.1f} "
+          f"total={1e3*t5:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

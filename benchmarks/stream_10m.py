@@ -39,15 +39,21 @@ def main(n_total=10_000_000, chunk=1_000_000, width=3840, height=2160):
     d_w, _ = sr.rasterize([warm])
     float(jnp.isfinite(d_w).astype(jnp.float32).sum())  # force execution
     t1 = time.time()
-    depth, index = sr.rasterize(chunks())
+    depth, index, attrs = sr.rasterize(chunks(), return_attrs=True)
     hit = float(jnp.mean((index >= 0).astype(jnp.float32)))
     t2 = time.time()
     n_chunks = n_total // chunk
+    rgb = np.asarray(sr.resolve_rgb(depth, index, attrs))
+    out_png = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "stream_10m_rgb.png")
+    from pointcloud_render_tpu.io import png as png_io
+    png_io.write_png(out_png, rgb)
     print(f"warmup (compile + program load): {t1 - t0:.1f}s")
     print(f"streamed {n_total / 1e6:.0f}M points @ {width}x{height}: "
           f"{t2 - t1:.1f}s steady-state = {(t2 - t1) / n_chunks:.2f}s/chunk "
-          f"({n_total / (t2 - t1) / 1e6:.1f}M pts/s incl. host feed), "
+          f"= {n_total / (t2 - t1) / 1e6:.1f}M pts/s (incl. host feed), "
           f"hit_frac={hit:.3f}, max_id={int(index.max())}")
+    print(f"shaded RGB written: {out_png}")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,8 @@ def build_parser(preset_name=None):
                    help="also save per-frame depth buffers as .npy")
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
+    p.add_argument("--supersample", type=int, default=1,
+                   help="rfilter AA factor (1 = bit-exact single sample)")
     return p
 
 
@@ -54,7 +56,8 @@ def run(args, preset_name=None):
     preset = PRESETS[preset_name or args.preset]
     pipeline = FramePipeline(
         preset,
-        raster_config=RasterConfig(backend=args.backend),
+        raster_config=RasterConfig(backend=args.backend,
+                                   supersample=args.supersample),
         droplet_lod=args.droplet_lod,
         width=args.width, height=args.height,
     )

@@ -22,8 +22,14 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Initialize jax.distributed (no-op if already initialized or single
-    process).  Arguments default to the JAX_* environment variables."""
-    if jax.process_count() > 1:
+    process).  Arguments default to the JAX_* environment variables.
+
+    MUST run before any device use — even jax.process_count() brings the
+    backend up single-process and poisons the real initialize (found by
+    tests/test_multihost.py), so the already-initialized probe goes
+    through the distributed client state, not the device API."""
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
         return  # already initialized
     try:
         jax.distributed.initialize(
@@ -31,8 +37,8 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id)
     except (RuntimeError, ValueError):
-        # Already initialized, or single-process run without coordinator:
-        # both are fine — callers proceed with the local devices.
+        # Single-process run without a coordinator: fine — callers
+        # proceed with the local devices.
         pass
 
 

@@ -48,7 +48,7 @@ def composite_bruteforce(splats, width: int, height: int, chunk: int = 32,
     qx, qy = pixel_centers(height, width)
 
     def step(carry, i):
-        acc_c, acc_w, acc_a = carry
+        acc_c, acc_w = carry
         sl = i * chunk
         px = jax.lax.dynamic_slice_in_dim(sp["px"], sl, chunk)
         py = jax.lax.dynamic_slice_in_dim(sp["py"], sl, chunk)
@@ -66,21 +66,22 @@ def composite_bruteforce(splats, width: int, height: int, chunk: int = 32,
         inside = (d2 <= r2) & va[:, None, None]
         w = jnp.where(inside, al[:, None, None] * g, 0.0)
         acc_w = acc_w + jnp.sum(w, axis=0)
-        acc_a = acc_a + jnp.sum(w, axis=0)  # opacity accumulator (same kernel)
         acc_c = acc_c + jnp.einsum("nhw,nc->hwc", w, co)
-        return (acc_c, acc_w, acc_a), None
+        return (acc_c, acc_w), None
 
     init = (jnp.zeros((height, width, 3), jnp.float32),
-            jnp.zeros((height, width), jnp.float32),
             jnp.zeros((height, width), jnp.float32))
-    (acc_c, acc_w, acc_a), _ = jax.lax.scan(
+    (acc_c, acc_w), _ = jax.lax.scan(
         step, init, np.arange((n + pad) // chunk, dtype=np.int32))
-    return _resolve(acc_c, acc_w, acc_a, background)
+    return _resolve(acc_c, acc_w, background)
 
 
-def _resolve(acc_c, acc_w, acc_a, background):
+def _resolve(acc_c, acc_w, background):
+    """The weight sum serves double duty: color normalizer AND opacity
+    accumulator (w_i = alpha_i * G_i, so sum(w) is exactly the exponent
+    of the coverage term in the module formula)."""
     rgb = acc_c / jnp.maximum(acc_w, 1e-12)[..., None]
-    cover = 1.0 - jnp.exp(-acc_a)
+    cover = 1.0 - jnp.exp(-acc_w)
     bg = np.asarray(background, np.float32)
     return jnp.clip(cover[..., None] * rgb + (1 - cover[..., None]) * bg,
                     0.0, 1.0)
@@ -160,4 +161,4 @@ def composite_tiled(splats, width: int, height: int, tile_h: int = 8,
         .transpose(0, 2, 1, 3).reshape(tiles_y * tile_h, tiles_x * tile_w)
     acc_c = acc_c[:height, :width]
     acc_w = acc_w[:height, :width]
-    return _resolve(acc_c, acc_w, acc_w, background)
+    return _resolve(acc_c, acc_w, background)

@@ -340,9 +340,12 @@ def bin_diagnostics(prims, width: int, height: int, tile_h: int = 8,
 
 
 def _bin_csr(prims, width, height, tile_h, tile_w, max_tiles_per_prim,
-             max_big, num_tiles, tiles_x, tiles_y, force_tri_big=False):
+             max_big, num_tiles, tiles_x, tiles_y, force_tri_big=False,
+             force_capsule_big=False):
     """Entry expansion + int16 pair sort (see tiles.bin_primitives; this
-    variant skips the dense table build entirely)."""
+    variant skips the dense table build entirely).  force_*_big push whole
+    kinds onto the big list so the kernel can compile a narrower row
+    format (pallas_csr2's discs_only fast path)."""
     p = prims.count
     xmin, xmax = prims.bbox[:, 0], prims.bbox[:, 1]
     ymin, ymax = prims.bbox[:, 2], prims.bbox[:, 3]
@@ -356,6 +359,8 @@ def _bin_csr(prims, width, height, tile_h, tile_w, max_tiles_per_prim,
     is_big = (span > max_tiles_per_prim) & prims.valid
     if force_tri_big:
         is_big |= (prims.kind == 2) & prims.valid
+    if force_capsule_big:
+        is_big |= (prims.kind == 1) & prims.valid
     is_small = prims.valid & ~is_big
 
     slot = np.arange(max_tiles_per_prim, dtype=np.int32)[None, :]

@@ -42,6 +42,19 @@ class RasterConfig:
     # pallas: branch-free splat/trail fast path — triangles are forced to
     # the big list (do NOT combine with large small-triangle soups)
     no_triangles: bool = False
+    # pallas: 8-float disc rows; capsules AND triangles go to the big
+    # list (only for disc-cloud scenes — see pallas_csr2 docstring).
+    discs_only: bool = False
+    # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
+    unroll: int = 4
+    # pallas: static cap on the sorted-entry row gather.  None = exact;
+    # finite values REQUIRE true_entry_count(scene) <= capacity (bench.py
+    # checks once per scene shape) — entries beyond it are dropped.
+    entry_capacity: Optional[int] = None
+    # Reconstruction-filter AA: rasterize at supersample x resolution and
+    # collapse with the reference-matched gaussian rfilter (shading/aa.py).
+    # 1 = bit-exact single-sample contract (default).
+    supersample: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -76,6 +89,18 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             tile_h=config.tile_h, tile_w=config.tile_w,
             max_per_tile=config.max_per_tile)
     if backend == "pallas":
+        from pointcloud_render_tpu.raster import pallas_csr2  # noqa: PLC0415
+
+        return pallas_csr2.rasterize_pallas_csr2(
+            prims, width, height,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+            max_tiles_per_prim=config.max_tiles_per_prim,
+            no_triangles=config.no_triangles,
+            discs_only=config.discs_only,
+            unroll=config.unroll,
+            entry_capacity=config.entry_capacity,
+            interpret=jax.default_backend() != "tpu")
+    if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
 
         return pallas_csr.rasterize_pallas_csr(

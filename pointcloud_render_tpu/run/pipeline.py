@@ -136,19 +136,24 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
                with_rotations, film=None):
     import dataclasses as _dc
 
+    from pointcloud_render_tpu.shading import aa
+    from pointcloud_render_tpu.scene.camera import IMAGE_HEIGHT, IMAGE_WIDTH
+
     if preset.splat == "sphere" or droplet_lod != "mesh":
         # Scene emits only discs/capsules (+ the big-list ground):
         # compile the branch-free kernel path.
         raster_config = _dc.replace(raster_config, no_triangles=True)
+    ss = raster_config.supersample
 
     def step(positions, velocities, frame_index, history, rotations):
         origin = camera_origin_jax(preset.camera_preset, frame_index,
                                    preset.total_frames)
-        film_kw = dict(width=film[0], height=film[1]) if film else {}
+        w, h = film if film else (IMAGE_WIDTH, IMAGE_HEIGHT)
         camera = Camera(origin=origin,
                         target=np.asarray(TARGETS[preset.camera_preset],
                                           np.float32),
-                        fov_x_degrees=preset.fov_x_degrees, **film_kw)
+                        fov_x_degrees=preset.fov_x_degrees,
+                        width=w * ss, height=h * ss)
         prims = build_primitives(
             preset, camera,
             positions,
@@ -158,7 +163,15 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
             rotations if with_rotations else None,
             droplet_lod=droplet_lod,
         )
-        return render(prims, camera, raster_config)
+        fb = render(prims, camera, raster_config)
+        if ss == 1:
+            return fb
+        # Filtered RGB at target resolution; depth/index keep the
+        # nearest supersample's winners (AA is a look feature — the
+        # bit-exact contract is ss=1, shading/aa.py docstring).
+        return FrameBuffers(rgb=aa.downsample(fb.rgb, ss),
+                            depth=fb.depth[::ss, ::ss],
+                            index=fb.index[::ss, ::ss])
 
     return step
 

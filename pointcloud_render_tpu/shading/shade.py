@@ -37,7 +37,10 @@ class ShadingConfig:
     mode: str = "lambert"
     ambient: float = 0.3
     diffuse: float = 0.7
-    trail_boost: float = 1.3
+    # Reference trail specular: clip(1.5 * color, 0, 1)
+    # (traj_ball_renderer.py:179-182); trail pixels show
+    # clip(trail_boost * color) exactly (the final clip applies it).
+    trail_boost: float = 1.5
     background: tuple = (1.0, 1.0, 1.0)
 
 

@@ -53,6 +53,113 @@ class TestStreaming:
         assert idx.max() < 300  # padding sentinels never win
         assert (idx >= 0).any()
 
+    def test_streamed_rgb_matches_monolithic_shaded(self):
+        """Per-point colors + winner attrs streamed in chunks == the
+        monolithic render's shaded image (VERDICT r1 item 6)."""
+        from pointcloud_render_tpu.raster.render import render
+        from pointcloud_render_tpu.raster.primitives import ScreenPrimitives
+
+        cam = make_camera()
+        rng = np.random.default_rng(3)
+        n = 1024
+        pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        col = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+        sr = StreamingRasterizer(cam, chunk_points=256, radius_world=0.03,
+                                 backend="tiled")
+        d, i, attrs = sr.rasterize(
+            ((pos[k:k + 256], col[k:k + 256]) for k in range(0, n, 256)),
+            return_attrs=True)
+        rgb = np.asarray(sr.resolve_rgb(d, i, attrs))
+
+        prims = discs_from_points(pos, cam, jnp.full((n,), 0.03), col)
+        fb = render(prims, cam, RasterConfig(backend="tiled"))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(fb.index))
+        hit = np.asarray(fb.index) >= 0
+        assert hit.mean() > 0.05
+        # Disc-rim sqrt amplifies 1-ulp FMA differences (see test_parallel).
+        np.testing.assert_allclose(rgb[hit], np.asarray(fb.rgb)[hit],
+                                   atol=5e-4)
+
+    def test_streaming_composes_with_point_mesh(self):
+        """Streaming + ('points',) mesh: chunks sharded over 8 devices,
+        result winner-exact vs single-device streaming."""
+        from pointcloud_render_tpu.parallel.render_parallel import (
+            make_render_mesh,
+        )
+
+        cam = make_camera()
+        rng = np.random.default_rng(4)
+        n = 2048
+        pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        mesh = make_render_mesh(1, 8)
+        sr_m = StreamingRasterizer(cam, chunk_points=512, radius_world=0.03,
+                                   backend="tiled", mesh=mesh)
+        d_m, i_m = sr_m.rasterize(pos[k:k + 512] for k in range(0, n, 512))
+
+        sr_1 = StreamingRasterizer(cam, chunk_points=512, radius_world=0.03,
+                                   backend="tiled")
+        d_1, i_1 = sr_1.rasterize(pos[k:k + 512] for k in range(0, n, 512))
+        np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_1))
+        hit = np.asarray(i_1) >= 0
+        np.testing.assert_allclose(np.asarray(d_m)[hit],
+                                   np.asarray(d_1)[hit], rtol=5e-7)
+
+
+class TestAA:
+    def test_downsample_matches_reference(self):
+        from pointcloud_render_tpu.shading import aa
+
+        rng = np.random.default_rng(5)
+        hi = rng.uniform(0, 1, (16, 24, 3)).astype(np.float32)
+        for ss in (2, 3):
+            got = np.asarray(aa.downsample(jnp.asarray(hi[:ss * 5, :ss * 6]),
+                                           ss))
+            want = aa.downsample_reference(hi[:ss * 5, :ss * 6], ss)
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_kernel_normalized(self):
+        from pointcloud_render_tpu.shading import aa
+
+        for ss in (2, 4):
+            k = aa.gaussian_kernel(ss)
+            assert abs(k.sum() - 1.0) < 1e-6
+            assert k.shape == (2 * ss, 2 * ss)
+
+    def test_supersampled_pipeline_smooths_edges(self):
+        """ss=2 produces intermediate values on disc edges; ss=1 keeps the
+        hard single-sample contract (and identical winner buffers)."""
+        from pointcloud_render_tpu.run.pipeline import _make_step
+        from pointcloud_render_tpu.raster.render import RasterConfig
+
+        preset = PRESETS["traj_ball"]
+        rng = np.random.default_rng(6)
+        n = 64
+        pos = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3)), jnp.float32)
+        vel = jnp.zeros((n, 3), jnp.float32)
+        hist = jnp.zeros((0, n, 3), jnp.float32)
+        rot = jnp.zeros((0, 4, 4), jnp.float32)
+        fi = jnp.int32(0)
+
+        def run(ss):
+            step = _make_step(preset, RasterConfig(backend="tiled",
+                                                   supersample=ss),
+                              "capsule", True, False, False, film=(128, 64))
+            return step(pos, vel, fi, hist, rot)
+
+        fb1, fb2 = run(1), run(2)
+        assert fb1.rgb.shape == fb2.rgb.shape == (64, 128, 3)
+        assert fb2.depth.shape == (64, 128)
+        # ss=2 must introduce values strictly between splat color and
+        # background on silhouette pixels (the point of the rfilter).
+        gray1 = np.unique(np.round(np.asarray(fb1.rgb[..., 1]), 3)).size
+        gray2 = np.unique(np.round(np.asarray(fb2.rgb[..., 1]), 3)).size
+        assert gray2 > gray1 * 2, (gray1, gray2)
+        # Winner buffers at target res exist and hit the same ballpark.
+        assert fb2.index.shape == (64, 128)
+        h1 = (np.asarray(fb1.index) >= 0).mean()
+        h2 = (np.asarray(fb2.index) >= 0).mean()
+        assert abs(h1 - h2) < 0.05
+
 
 class TestAlpha:
     def test_tiled_matches_bruteforce(self):

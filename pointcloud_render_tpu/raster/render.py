@@ -100,6 +100,18 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             unroll=config.unroll,
             entry_capacity=config.entry_capacity,
             interpret=jax.default_backend() != "tpu")
+    if backend == "pallas3":
+        # Disc fast path: 2x2-span discs over LOW-ID furniture only (see
+        # pallas_csr3 preconditions); capsules/triangles/wide discs ride
+        # the big list.  Use "pallas" (v2) for trail/droplet scenes.
+        from pointcloud_render_tpu.raster import pallas_csr3  # noqa: PLC0415
+
+        return pallas_csr3.rasterize_pallas_csr3(
+            prims, width, height,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+            unroll=config.unroll,
+            entry_capacity=config.entry_capacity,
+            interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
 
@@ -116,6 +128,18 @@ def render(prims: ScreenPrimitives, camera,
            config: Optional[RasterConfig] = None) -> FrameBuffers:
     """Rasterize + shade a primitive soup through a Camera."""
     config = config or RasterConfig()
+    if _resolve_backend(config.backend) == "pallas3":
+        # Fused raster+shade: one 8-float winner-attribute gather instead
+        # of the id-resolve + 10-float shade gathers (bit-identical rgb;
+        # the index image is still produced, lazily).
+        from pointcloud_render_tpu.raster import pallas_csr3  # noqa: PLC0415
+
+        rgb, depth, index = pallas_csr3.render_shaded_csr3(
+            prims, camera, config.shading,
+            tile_h=config.tile_h, tile_w=config.tile_w,
+            unroll=config.unroll, entry_capacity=config.entry_capacity,
+            interpret=jax.default_backend() != "tpu")
+        return FrameBuffers(rgb=rgb, depth=depth, index=index)
     depth, index = rasterize(prims, camera.width, camera.height, config)
     rgb = shade_framebuffer(prims, camera, depth, index, config.shading)
     return FrameBuffers(rgb=rgb, depth=depth, index=index)

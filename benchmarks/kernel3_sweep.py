@@ -59,10 +59,14 @@ def main():
     ec2 = int(pallas_csr2.true_entry_count(soup, W, H, max_tiles_per_prim=4,
                                            no_triangles=True))
     cap2 = ((int(ec2 * 1.1) + 127) // 128) * 128
-    ec3 = int(pallas_csr3.true_entry_count3(soup, W, H))
-    cap3 = ((int(ec3 * 1.1) + 127) // 128) * 128
-    print(f"v2 entries {ec2} cap {cap2}; v3 entries {ec3} cap {cap3}",
-          flush=True)
+    caps = {}
+    for th, tw in ((8, 128), (32, 32), (16, 64)):
+        ec = int(pallas_csr3.true_entry_count3(soup, W, H, tile_h=th,
+                                               tile_w=tw))
+        caps[(th, tw)] = ((int(ec * 1.1) + 127) // 128) * 128
+        print(f"v3 {th}x{tw}: entries {ec} cap {caps[th, tw]}", flush=True)
+    cap3 = caps[(8, 128)]
+    print(f"v2 entries {ec2} cap {cap2}", flush=True)
 
     def v2(p, r):
         s = build(p, r)
@@ -81,12 +85,13 @@ def main():
     for kw in (
         dict(unroll=4, entry_capacity=cap3),
         dict(unroll=8, entry_capacity=cap3),
-        dict(unroll=2, entry_capacity=cap3),
-        dict(unroll=4, entry_capacity=cap3, chunk_rows=1024),
-        dict(unroll=8, entry_capacity=cap3, chunk_rows=1024),
         dict(unroll=4, entry_capacity=cap3, chunk_rows=256),
-        dict(unroll=16, entry_capacity=cap3),
-        dict(unroll=4),
+        dict(unroll=4, entry_capacity=cap3, chunk_rows=128),
+        dict(unroll=8, entry_capacity=cap3, chunk_rows=256),
+        dict(unroll=4, tile_h=32, tile_w=32, entry_capacity=caps[32, 32]),
+        dict(unroll=4, tile_h=32, tile_w=32, entry_capacity=caps[32, 32],
+             chunk_rows=256),
+        dict(unroll=4, tile_h=16, tile_w=64, entry_capacity=caps[16, 64]),
     ):
         name = "v3 " + " ".join(f"{k}={v}" for k, v in kw.items())
         timed(name, functools.partial(v3, **kw), pos, rad)

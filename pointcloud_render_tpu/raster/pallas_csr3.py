@@ -26,16 +26,23 @@ Driven by the round-2 on-chip microprofiles (docs/KERNEL_NOTES.md):
   footprint).  Processing in id order with strict < keeps the FIRST ==
   lowest id — exactly the lexicographic (depth, id) contract.  Two
   preconditions, both documented at the entry point:
-  - big-list primitives must carry LOWER ids than every binned disc
-    (furniture-first soups; the big loop runs first with the full
-    tie-break merge);
+  - exact-depth ties between a big-list primitive and a binned disc
+    keep the big one (the big loop runs first; strict < never
+    displaces it) — lexicographically correct iff big ids sit below
+    binned ids, as in the pipeline's furniture-first soups;
   - per-pixel depth of a binned entry must be CONSTANT (true for
     discs; capsules/triangles ride the big list on this path).
-* no bounds masking in the inner loop: chunk trip counts round up to
-  the unroll multiple; overrun entries belong to neighboring tiles
-  whose footprint cannot cover this tile (coverage is a subset of the
-  binned bbox), and padding rows have r^2 = 0 — both evaluate to +inf
-  and never win under strict <.
+* the inner loop processes whole PACK-aligned 16-entry scratch rows at
+  STATIC lane offsets (no per-pair address arithmetic); out-of-run
+  slots are inert, idempotent, or scalar-masked (the soundness cases
+  are spelled out at ``_make_kernel3.make_row_body``);
+* tile runs are sorted near-to-far by a z-bucket packed into the sort
+  key (``_bin_csr_2x2``), and the kernel STOPS STREAMING once the next
+  bucket's depth floor can no longer beat any pixel's winner — the
+  depth early-exit that skips most far-side overdraw;
+* the (8, 128) f32 VREG can represent a square (32, 32) or (16, 64)
+  PIXEL block instead of an (8, 128) strip (``tile_h``/``tile_w``):
+  squarer tiles cut multi-tile entry duplication.
 
 Contract (unchanged): winner per pixel = lexicographic min of
 (depth, primitive index); division-free per-pixel math (primitives.py).
@@ -63,17 +70,44 @@ DEFAULT_CHUNK_ROWS = 512
 DEFAULT_MAX_BIG = 1024
 
 
+def _zq_bits(num_tiles: int) -> int:
+    """Depth-bucket bits packed below the tile id in the int16 sort key
+    ((num_tiles+1) << bits must stay within int16)."""
+    b = 0
+    while b < 4 and ((num_tiles + 1) << (b + 1)) <= 32767:
+        b += 1
+    return b
+
+
 def _bin_csr_2x2(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
                  max_big=DEFAULT_MAX_BIG):
-    """Fixed-pattern 2x2 expansion + stable tile-key int16 sort.
+    """Fixed-pattern 2x2 expansion + stable (tile, z-bucket) int16 sort.
 
     Only DISC (kind 0) primitives whose bbox spans at most 2x2 tiles are
     binned; everything else (capsules, triangles, wide/tall discs) is a
     big-list primitive.  Returns (sorted_keys, sorted_prims, big_list,
-    big_count) — the stable sort makes each tile's run ascend in
-    primitive id, which the strict-< kernel relies on for exact ties.
+    big_count, zmeta) with zmeta = f32 [zmin, s, thr_scale] describing
+    the depth quantization (see below; all zeros when no bucket bits fit
+    the key, disabling the kernel's early exit).
+
+    Sort key = ``tile << zq_bits | qz`` where ``qz = clip(floor((z -
+    zmin) * s), 0, 2^zq_bits - 1)`` linearly buckets the BINNED discs'
+    depth range.  The stable sort therefore orders each tile's run by
+    (z-bucket, primitive id):
+    * depth TIES share a bucket, so tie order is id order and the
+      strict-< kernel's first-wins merge still realizes the
+      lexicographic (depth, id) contract;
+    * runs ascend near-to-far, enabling the kernel's depth early-exit:
+      every entry after one with bucket qz has true depth >= zmin +
+      qz * (1/s) (floor property), so once that bound >= the tile's
+      worst winning depth nothing remaining can win.  The kernel
+      recomputes qz from the last streamed depth with the same f32
+      arithmetic and applies a one-bucket + (1 - 1e-6) safety margin
+      (zmeta[2] = (1 - 1e-6) / s), keeping the exit sound under f32
+      rounding.
     """
     p = prims.count
+    zq_bits = _zq_bits(num_tiles)
     xmin, xmax = prims.bbox[:, 0], prims.bbox[:, 1]
     ymin, ymax = prims.bbox[:, 2], prims.bbox[:, 3]
     tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
@@ -88,7 +122,23 @@ def _bin_csr_2x2(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
 
     prim_id = np.arange(p, dtype=np.int32)
     home = ty0 * tiles_x + tx0
-    sent = np.int32(num_tiles)
+    sent = np.int32(num_tiles << zq_bits)
+
+    if zq_bits > 0:
+        nb = np.float32(1 << zq_bits)
+        z = prims.params[:, 2]
+        zmin = jnp.min(jnp.where(is_small, z, INF))
+        zmax = jnp.max(jnp.where(is_small, z, -INF))
+        rngz = zmax - zmin
+        s = jnp.where(rngz > 0, nb / rngz, 0.0)
+        qz = jnp.clip(jnp.floor((z - zmin) * s), 0.0,
+                      nb - 1).astype(jnp.int32)
+        home = (home << zq_bits) | qz
+        thr_scale = jnp.where(s > 0, np.float32(1.0 - 1e-6) / s, 0.0)
+        zmeta = jnp.stack([jnp.where(jnp.isfinite(zmin), zmin, 0.0),
+                           s, thr_scale])
+    else:
+        zmeta = jnp.zeros((3,), jnp.float32)
 
     keys = []
     for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):  # static pattern
@@ -97,16 +147,16 @@ def _bin_csr_2x2(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
             ok = ok & (ntx == 2)
         if dy:
             ok = ok & (nty == 2)
-        keys.append(jnp.where(ok, home + dy * tiles_x + dx, sent))
-    # id-major flattening (axis=1 stack): each tile's run after the
-    # stable sort is ascending in primitive id — a disc contributes at
-    # most one entry per DISTINCT tile, so ids never repeat in a run and
-    # the strict-< kernel's first-wins tie handling equals lowest-id.
+        keys.append(jnp.where(ok, home + ((dy * tiles_x + dx) << zq_bits),
+                              sent))
+    # id-major flattening (axis=1 stack): a disc contributes at most one
+    # entry per DISTINCT tile, so each tile run of the stable sort below
+    # ascends in (z-bucket, primitive id) with no repeated ids.
     flat_key = jnp.stack(keys, axis=1).reshape(-1)
     flat_prims = jnp.broadcast_to(prim_id[:, None], (p, 4)).reshape(-1)
-
     k16, sorted_prims = jax.lax.sort(
-        (flat_key.astype(jnp.int16), flat_prims), num_keys=1, is_stable=True)
+        (flat_key.astype(jnp.int16), flat_prims), num_keys=1,
+        is_stable=True)
     sorted_keys = k16.astype(jnp.int32)
 
     big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
@@ -115,7 +165,7 @@ def _bin_csr_2x2(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     big_list = big_list.at[big_idx].set(prim_id, mode="drop")
     big_list = big_list[:-1]
     big_count = jnp.sum(is_big.astype(jnp.int32))
-    return sorted_keys, sorted_prims, big_list, big_count
+    return sorted_keys, sorted_prims, big_list, big_count, zmeta
 
 
 def _preshade(prims, camera, shading):
@@ -159,23 +209,24 @@ def _pack_rows8(prims, sorted_prims, e_pad, big_list, shade_rgb, shade_flag,
     last row is the preshaded background (empty pixels resolve there).
     """
     e = sorted_prims.shape[0]
-    prims_p = jnp.pad(sorted_prims, (0, e_pad - e), constant_values=-1)
-    safe = jnp.maximum(prims_p, 0)
-    # ONE (P, 8) table -> ONE row gather: gathers are row-count bound
+    # Pad entries index the all-zero sentinel row (index P): the gather
+    # output IS the row buffer — no post-gather masking or re-concat.
+    prims_p = jnp.pad(sorted_prims, (0, e_pad - e),
+                      constant_values=prims.count)
+    # ONE (P+1, 8) table -> ONE row gather: gathers are row-count bound
     # (~6 ns/row), so splitting params/rgb/flag into separate gathers
-    # triples the cost.  r^2 is squared AFTER the gather (elementwise).
+    # triples the cost.  r^2 is squared at TABLE build (P rows), not
+    # per entry — bit-identical (same f32 multiply on the same input).
+    r = prims.params[:, 3]
     table8 = jnp.concatenate([
-        prims.params[:, 0:4], shade_rgb, shade_flag[:, None],
+        prims.params[:, 0:3], (r * r)[:, None], shade_rgb,
+        shade_flag[:, None],
     ], axis=1)
-    g = table8[safe]  # (e_pad, 8): px, py, z, r, c0, c1, c2, flag
-    live = prims_p >= 0
-    r2 = jnp.where(live, g[:, 3] * g[:, 3], 0.0)
-    binned = jnp.concatenate([g[:, 0:3], r2[:, None], g[:, 4:8]], axis=1)
+    table8 = jnp.pad(table8, ((0, 1), (0, 0)))
+    binned = table8[prims_p]  # (e_pad, 8): px, py, z, r^2, c0-c2, flag
 
-    big_safe = jnp.maximum(big_list, 0)
-    gb = table8[big_safe]
-    big_rows = jnp.concatenate(
-        [gb[:, 0:3], gb[:, 3:4] * gb[:, 3:4], gb[:, 4:8]], axis=1)
+    big_safe = jnp.where(big_list >= 0, big_list, prims.count)
+    big_rows = table8[big_safe]
 
     bg_row = jnp.concatenate([
         jnp.zeros((4,), jnp.float32),
@@ -186,28 +237,39 @@ def _pack_rows8(prims, sorted_prims, e_pad, big_list, shade_rgb, shade_flag,
 
 
 def _make_kernel3(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
-                  chunk_rows):
+                  chunk_rows, allow_exit):
+    assert chunk_rows % PACK == 0
+
     def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
                rows_hbm,  # (E_pad/16, 128) f32 in ANY/HBM
                big_params_ref,  # SMEM (16, BIG) f32
-               big_ids_ref,  # SMEM (1, BIG) i32
                big_kinds_ref,  # SMEM (1, BIG) i32
-               depth_out,  # VMEM (1, TH, TW) f32
-               ent_out,  # VMEM (1, TH, TW) i32 — global ENTRY index
+               zmeta_ref,  # SMEM (1, 3) f32: zmin, s, thr_scale
+               depth_out,  # VMEM (1, 8, 128) f32 — one pixel block
+               ent_out,  # VMEM (1, 8, 128) i32 — global ENTRY index
                scratch,  # SMEM (2, n_chunk_block, 128) f32
                sems):  # DMA sems (2,)
         tile = pl.program_id(0)
         ty = tile // tiles_x
         tx = tile % tiles_x
-        ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        qx = (tx * tile_w + ix).astype(jnp.float32) + 0.5
-        qy = (ty * tile_h + iy).astype(jnp.float32) + 0.5
+        # The (8, 128) f32 VREG covers a (tile_h, tile_w) PIXEL block:
+        # lane l, sublane s -> pixel (x = l % tile_w,
+        # y = s + 8 * (l // tile_w)).  All divisors are constants
+        # (shifts); tile_w = 128 reduces to the plain row-major tile.
+        ix = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        qx = (tx * tile_w + ix % tile_w).astype(jnp.float32) + 0.5
+        qy = (ty * tile_h + iy + 8 * (ix // tile_w)).astype(
+            jnp.float32) + 0.5
 
         start = starts_ref[tile]
         count = starts_ref[tile + 1] - start
         n_chunks = pl.cdiv(count, chunk_rows)
         big_n = starts_ref[pl.num_programs(0) + 1]
+        # Every chunk's DMA block is PACK-row aligned; the run starts o0
+        # entries into the first row (o0 is the same for every chunk
+        # because chunk_rows is a PACK multiple).
+        o0 = jax.lax.rem(start, PACK)
 
         def get_dma(slot, ci):
             g0 = start + ci * chunk_rows
@@ -221,77 +283,145 @@ def _make_kernel3(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         def _():
             get_dma(0, 0).start()
 
-        # Big primitives (furniture) first, with the FULL tie-break merge
-        # (big ids must be below every binned id — see the entry-point
-        # preconditions — so a binned strict-< loss on a tie is correct).
+        # Big primitives (furniture) first.  The big list ascends in
+        # primitive id (rank order == id order), so processing in rank
+        # order with strict < keeps the FIRST == lowest id on ties —
+        # the winner is tracked by RANK, which is also how big_params /
+        # big_rows are laid out (the id is recovered on the XLA side
+        # via big_list[rank]).
         def big_body(j, carry):
-            d, i = carry
+            d, rk = carry
             kind = big_kinds_ref[0, j]
-            pid = big_ids_ref[0, j]
             p = tuple(big_params_ref[r, j] for r in range(12))
             zc = _eval_scalar(kind, p, qx, qy)
-            better = (zc < d) | ((zc == d) & (pid < i))
-            return jnp.where(better, zc, d), jnp.where(better, pid, i)
+            better = zc < d
+            return jnp.where(better, zc, d), jnp.where(better, j, rk)
 
-        d_bg, i_bg = jax.lax.fori_loop(
+        d_bg, r_bg = jax.lax.fori_loop(
             0, big_n, big_body,
-            (jnp.full((tile_h, tile_w), INF, jnp.float32),
-             jnp.full((tile_h, tile_w), IMAX, jnp.int32)))
-        # Big winners travel as NEGATIVE entries: ent = -(pid + 2)
+            (jnp.full((8, 128), INF, jnp.float32),
+             jnp.full((8, 128), IMAX, jnp.int32)))
+        # Big winners travel as NEGATIVE entries: ent = -(rank + 2)
         # (distinct from the IMAX empty sentinel).
-        e_bg = jnp.where(i_bg == IMAX, IMAX, -(i_bg + 2))
+        e_bg = jnp.where(r_bg == IMAX, IMAX, -(r_bg + 2))
 
         # `unroll` independent (depth, entry) chains (see pallas_csr2).
         accs = [d_bg, e_bg]
         for _ in range(unroll - 1):
-            accs += [jnp.full((tile_h, tile_w), INF, jnp.float32),
-                     jnp.full((tile_h, tile_w), IMAX, jnp.int32)]
+            accs += [jnp.full((8, 128), INF, jnp.float32),
+                     jnp.full((8, 128), IMAX, jnp.int32)]
         init = tuple(accs)
 
-        def chunk_body(ci, accs_in):
-            slot = jax.lax.rem(ci, 2)
-
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
-
-            get_dma(slot, ci).wait()
-
-            g0 = start + ci * chunk_rows
-            o0 = jax.lax.rem(g0, PACK)
-            m = jnp.minimum(chunk_rows, count - ci * chunk_rows)
-
-            def eval_one(j, d0, e0):
-                # j may overrun m up to unroll-1 entries into the next
-                # tile's range (or zero padding): both are inert (the
-                # overrun disc cannot cover this tile; pads have r^2=0),
-                # and strict < means +inf never displaces anything.
-                lin = o0 + j
-                br = lin // PACK
-                lane = jax.lax.rem(lin, PACK) * ROW_F
-                px = scratch[slot, br, lane]
-                py = scratch[slot, br, lane + 1]
-                z = scratch[slot, br, lane + 2]
-                r2 = scratch[slot, br, lane + 3]
-                dx = qx - px
-                dy = qy - py
-                better = (dx * dx + dy * dy <= r2) & (z < d0)
-                ent = g0 + j  # global entry index (scalar, broadcast)
-                return (jnp.where(better, z, d0),
-                        jnp.where(better, ent, e0))
-
-            def prim_body(s, c2):
+        def make_row_body(slot, base_ent, lf_chunk):
+            # One PACK-aligned scratch row: 16 entries at STATIC lane
+            # offsets — no per-entry address arithmetic.  Rows always
+            # process all 16 slots; the out-of-run slots are sound:
+            #  * slots before the run start (chunk 0 row 0, u < o0) hold
+            #    the previous tile's run tail.  Such an entry CAN cover
+            #    this tile (it then also appears later in our own run),
+            #    and processing it early would beat an equal-depth
+            #    lower-id entry — so those slots are masked via a SCALAR
+            #    select to +inf depth (lf = live-from index, 0 for every
+            #    other row);
+            #  * slots past the run end are the next tiles' runs or zero
+            #    padding.  They come AFTER every own entry, so an
+            #    equal-depth own entry has already won under strict <;
+            #    a differing-depth cover resolves by true depth; zero
+            #    padding (r^2 = 0) covers no pixel center.  All inert or
+            #    idempotent — left unmasked;
+            #  * row overlap between consecutive chunks reprocesses the
+            #    same (z, ent) pairs — idempotent under strict <.
+            def row_body(br, c2):
                 out = list(c2)
-                base = s * unroll
-                for u in range(unroll):
-                    out[2 * u], out[2 * u + 1] = eval_one(
-                        base + u, out[2 * u], out[2 * u + 1])
+                row_ent = base_ent + br * PACK
+                lf = jnp.where(br == 0, lf_chunk, 0)
+                for u in range(PACK):
+                    lane = u * ROW_F
+                    px = scratch[slot, br, lane]
+                    py = scratch[slot, br, lane + 1]
+                    z = jnp.where(u >= lf, scratch[slot, br, lane + 2], INF)
+                    r2 = scratch[slot, br, lane + 3]
+                    ch = u % unroll
+                    d0, e0 = out[2 * ch], out[2 * ch + 1]
+                    dx = qx - px
+                    dy = qy - py
+                    better = (dx * dx + dy * dy <= r2) & (z < d0)
+                    out[2 * ch] = jnp.where(better, z, d0)
+                    out[2 * ch + 1] = jnp.where(better, row_ent + u, e0)
                 return tuple(out)
 
-            return jax.lax.fori_loop(0, pl.cdiv(m, unroll), prim_body,
-                                     accs_in)
+            return row_body
 
-        out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        def process_chunk(ci, slot, accs_in):
+            g0 = start + ci * chunk_rows
+            mc = jnp.minimum(chunk_rows, count - ci * chunk_rows)
+            n_rows = (o0 + mc + (PACK - 1)) // PACK
+            lf_chunk = jnp.where(ci == 0, o0, 0)
+            row_body = make_row_body(slot, g0 - o0, lf_chunk)
+            return jax.lax.fori_loop(0, n_rows, row_body, accs_in), n_rows
+
+        if allow_exit:
+            # Runs are sorted near-to-far (z-bucket order, _bin_csr_2x2):
+            # every unprocessed entry's depth is >= its bucket's floor
+            # >= the last streamed bucket's floor, so once that floor
+            # (minus a one-bucket + 1e-6 rounding margin) >= the tile's
+            # worst winning depth, nothing remaining can win under
+            # strict < — stop streaming.  (The last scratch slot may
+            # hold a NEXT tile's entry or padding — both quantize to an
+            # earlier-or-equal bucket, which only delays the exit,
+            # never wrongs it.)
+            zmin = zmeta_ref[0, 0]
+            zs = zmeta_ref[0, 1]
+            thr_scale = zmeta_ref[0, 2]
+
+            def cond(c):
+                return (c[0] < n_chunks) & jnp.logical_not(c[1])
+
+            def body(c):
+                ci = c[0]
+                accs_in = c[2:]
+                slot = jax.lax.rem(ci, 2)
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+                get_dma(slot, ci).wait()
+                accs_out, n_rows = process_chunk(ci, slot, accs_in)
+                dmin = accs_out[0]
+                for u in range(1, unroll):
+                    dmin = jnp.minimum(dmin, accs_out[2 * u])
+                dmax = jnp.max(dmin)
+                last_z = scratch[slot, n_rows - 1, (PACK - 1) * ROW_F + 2]
+                # Same f32 quantization as the binning, one bucket back.
+                qz = jnp.maximum(jnp.floor((last_z - zmin) * zs) - 1.0,
+                                 0.0)
+                done = zmin + qz * thr_scale >= dmax
+                return (ci + 1, done) + accs_out
+
+            final = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.bool_(False)) + init)
+            ci_end, done = final[0], final[1]
+            out = final[2:]
+
+            # Drain the prefetch issued for the never-processed chunk.
+            @pl.when(done & (ci_end < n_chunks))
+            def _():
+                get_dma(jax.lax.rem(ci_end, 2), ci_end).wait()
+        else:
+            def chunk_body(ci, accs_in):
+                slot = jax.lax.rem(ci, 2)
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+                get_dma(slot, ci).wait()
+                accs_out, _ = process_chunk(ci, slot, accs_in)
+                return accs_out
+
+            out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
         depth, ent = out[0], out[1]
         for u in range(1, unroll):
             du, eu = out[2 * u], out[2 * u + 1]
@@ -307,26 +437,27 @@ def _make_kernel3(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
     return kernel
 
 
-def true_entry_count3(prims, width: int, height: int, tile_h: int = 8,
-                      tile_w: int = 128):
+def true_entry_count3(prims, width: int, height: int, tile_h: int = 32,
+                      tile_w: int = 32):
     """() int32 non-sentinel entries under the 2x2 binning (the exactness
     precondition for a finite entry_capacity, as in pallas_csr2)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     sorted_keys, *_ = _bin_csr_2x2(prims, tile_h, tile_w, num_tiles,
-                                   tiles_x, tiles_y)
+                                   tiles_x, tiles_y)  # noqa: F841
     return jnp.searchsorted(
-        sorted_keys, jnp.int32(num_tiles)).astype(jnp.int32)
+        sorted_keys,
+        jnp.int32(num_tiles << _zq_bits(num_tiles))).astype(jnp.int32)
 
 
-def bin_diagnostics3(prims, width: int, height: int, tile_h: int = 8,
-                     tile_w: int = 128, max_big: int = DEFAULT_MAX_BIG):
+def bin_diagnostics3(prims, width: int, height: int, tile_h: int = 32,
+                     tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG):
     """Big-list overflow count under the 2x2 binning (0 = exact)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
-    _, _, big_list, big_count = _bin_csr_2x2(
+    _, _, big_list, big_count, _ = _bin_csr_2x2(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y, max_big=max_big)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
@@ -337,16 +468,23 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
     """Shared binning + kernel launch.  Returns (depth, ent, rows_flat,
     sorted_prims, e_pad) — ent encodes binned entries >= 0, big winners
     as -(pid+2), empties as IMAX."""
+    if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
+        raise ValueError(
+            "pallas_csr3 pixel blocks must hold exactly one (8, 128) "
+            "f32 VREG: tile_h * tile_w == 1024 with tile_w in "
+            "{16, 32, 64, 128}")
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
 
-    sorted_keys, sorted_prims, big_list, big_count = _bin_csr_2x2(
+    sorted_keys, sorted_prims, big_list, big_count, zmeta = _bin_csr_2x2(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y)
 
+    zq_bits = _zq_bits(num_tiles)
     starts = jnp.searchsorted(
         sorted_keys,
-        np.arange(num_tiles + 1, dtype=np.int32)).astype(jnp.int32)
+        np.arange(num_tiles + 1, dtype=np.int32) << zq_bits
+    ).astype(jnp.int32)
 
     e = sorted_prims.shape[0]
     if entry_capacity is not None:
@@ -365,7 +503,6 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
                           prims.kind[big_safe], -1)[None, :]
     big_params = jnp.zeros((16, big_list.shape[0]), jnp.float32)
     big_params = big_params.at[:12, :].set(prims.params[big_safe].T)
-    big_ids = big_list[None, :]
 
     scalars = jnp.concatenate([
         starts, jnp.minimum(big_count, big_list.shape[0])[None].astype(
@@ -382,13 +519,13 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),
+            pl.BlockSpec((1, 3), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -398,36 +535,46 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
     )
 
     kernel = _make_kernel3(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
-                           chunk_rows)
+                           chunk_rows, allow_exit=zq_bits > 0)
     depth_t, ent_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(scalars, rows, big_params, big_ids, big_kinds)
+    )(scalars, rows, big_params, big_kinds, zmeta[None, :])
 
-    depth = depth_t.reshape(tiles_y, tiles_x, tile_h, tile_w) \
-        .transpose(0, 2, 1, 3).reshape(tiles_y * tile_h, tiles_x * tile_w)
-    ent = ent_t.reshape(tiles_y, tiles_x, tile_h, tile_w) \
-        .transpose(0, 2, 1, 3).reshape(tiles_y * tile_h, tiles_x * tile_w)
+    # Undo the kernel's VREG->pixel-block mapping: lane l, sublane s of
+    # tile (ty, tx) is pixel (x = tx*tw + l % tw,
+    # y = ty*th + s + 8*(l // tw)).
+    nq = 128 // tile_w
+
+    def assemble(t):
+        return t.reshape(tiles_y, tiles_x, 8, nq, tile_w) \
+            .transpose(0, 3, 2, 1, 4) \
+            .reshape(tiles_y * tile_h, tiles_x * tile_w)
+
+    depth = assemble(depth_t)
+    ent = assemble(ent_t)
     return depth[:height, :width], ent[:height, :width], rows_flat, \
-        sorted_prims, e_pad
+        sorted_prims, big_list, e_pad
 
 
-def _resolve_ids(ent, depth, sorted_prims):
-    """Entry image -> primitive-id image (one gather; lazily DCE'd when
-    callers only consume rgb/depth)."""
+def _resolve_ids(ent, depth, sorted_prims, big_list):
+    """Entry image -> primitive-id image (two gathers; lazily DCE'd
+    when callers only consume rgb/depth).  Big winners carry their big
+    RANK (-(rank+2)); the id is big_list[rank]."""
     prims_pad = jnp.pad(sorted_prims, (0, 1), constant_values=-1)
     binned_id = prims_pad[jnp.clip(ent, 0, prims_pad.shape[0] - 1)]
-    idx = jnp.where(ent < 0, -ent - 2, binned_id)
+    big_rank = jnp.clip(-ent - 2, 0, big_list.shape[0] - 1)
+    idx = jnp.where(ent < 0, big_list[big_rank], binned_id)
     return jnp.where(jnp.isinf(depth), -1, idx)
 
 
-def rasterize_pallas_csr3(prims, width: int, height: int, tile_h: int = 8,
-                          tile_w: int = 128, unroll: int = 4,
+def rasterize_pallas_csr3(prims, width: int, height: int, tile_h: int = 32,
+                          tile_w: int = 32, unroll: int = 4,
                           entry_capacity=None,
                           chunk_rows: int = DEFAULT_CHUNK_ROWS,
                           interpret: bool = False):
@@ -438,22 +585,25 @@ def rasterize_pallas_csr3(prims, width: int, height: int, tile_h: int = 8,
     O(T x big) — use pallas_csr2 for trail/droplet-heavy scenes).
 
     EXACTNESS PRECONDITIONS (see module docstring):
-    * big-list primitives (non-discs / wide discs) must carry LOWER
-      primitive ids than every binned disc — true for the pipeline's
-      furniture-first soups; violating scenes must use pallas_csr2;
+    * an exact-depth TIE between a big-list primitive and a binned disc
+      resolves to the BIG one; that equals the lexicographic (depth, id)
+      contract iff every big-list primitive's id is below the binned
+      disc's — true for the pipeline's furniture-first soups.  Scenes
+      mixing big and binned prims at identical depths across that order
+      must use pallas_csr2 (per-pair id tie-break);
     * with a finite ``entry_capacity``, true_entry_count3(scene) must be
       <= entry_capacity (same policy as pallas_csr2).
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
-    depth, ent, _, sorted_prims, _ = _raster_core(
+    depth, ent, _, sorted_prims, big_list, _ = _raster_core(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, interpret, zeros3, zerosf, (0.0, 0.0, 0.0))
-    return depth, _resolve_ids(ent, depth, sorted_prims)
+    return depth, _resolve_ids(ent, depth, sorted_prims, big_list)
 
 
-def render_shaded_csr3(prims, camera, shading, tile_h: int = 8,
-                       tile_w: int = 128, unroll: int = 4,
+def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
+                       tile_w: int = 32, unroll: int = 4,
                        entry_capacity=None,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
                        interpret: bool = False):
@@ -467,13 +617,13 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 8,
     """
     width, height = camera.width, camera.height
     shade_rgb, shade_flag = _preshade(prims, camera, shading)
-    depth, ent, rows_flat, sorted_prims, e_pad = _raster_core(
+    depth, ent, rows_flat, sorted_prims, big_list, e_pad = _raster_core(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, interpret, shade_rgb, shade_flag, shading.background)
 
     # Winner attribute rows: binned entries index directly; big winners
-    # live at [e_pad, e_pad + BIG); empties resolve to the final
-    # background row.
+    # carry their big RANK, matching big_rows' rank-order layout at
+    # [e_pad, e_pad + BIG); empties resolve to the final background row.
     n_rows = rows_flat.shape[0]
     shade_idx = jnp.where(ent == IMAX, n_rows - 1,
                           jnp.where(ent < 0, e_pad + (-ent - 2), ent))
@@ -500,4 +650,4 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 8,
     bg = np.asarray(shading.background, np.float32)
     hit = jnp.isfinite(depth)
     rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
-    return rgb, depth, _resolve_ids(ent, depth, sorted_prims)
+    return rgb, depth, _resolve_ids(ent, depth, sorted_prims, big_list)

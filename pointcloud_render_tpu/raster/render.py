@@ -106,9 +106,11 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
         # the big list.  Use "pallas" (v2) for trail/droplet scenes.
         from pointcloud_render_tpu.raster import pallas_csr3  # noqa: PLC0415
 
+        # v3 defaults its own (32, 32) pixel blocks (the measured
+        # optimum); config.tile_h/tile_w describe the strip-tiled
+        # backends and are not forwarded.
         return pallas_csr3.rasterize_pallas_csr3(
             prims, width, height,
-            tile_h=config.tile_h, tile_w=config.tile_w,
             unroll=config.unroll,
             entry_capacity=config.entry_capacity,
             interpret=jax.default_backend() != "tpu")
@@ -136,7 +138,6 @@ def render(prims: ScreenPrimitives, camera,
 
         rgb, depth, index = pallas_csr3.render_shaded_csr3(
             prims, camera, config.shading,
-            tile_h=config.tile_h, tile_w=config.tile_w,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
             interpret=jax.default_backend() != "tpu")
         return FrameBuffers(rgb=rgb, depth=depth, index=index)

@@ -160,6 +160,22 @@ class TestPallasCsr3:
         assert_buffers_match(d_o, i_o, d_p, i_p, "csr3 dense",
                              exact_depth=True)
 
+    def test_pixel_block_mappings_winner_exact(self):
+        """Every supported VREG->pixel-block mapping (square and wide
+        tiles) must produce the identical winner image — including the
+        depth early-exit, which is active in all of them."""
+        from pointcloud_render_tpu.raster.pallas_csr3 import rasterize_pallas_csr3
+
+        cam = make_camera()
+        soup = _disc_soup(cam, n=500, ties=30)
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        for th, tw in ((32, 32), (16, 64), (64, 16)):
+            d_p, i_p = rasterize_pallas_csr3(soup, W, H, tile_h=th,
+                                             tile_w=tw, interpret=True)
+            assert_buffers_match(d_o, i_o, d_p, i_p,
+                                 f"csr3 block {th}x{tw}",
+                                 exact_depth=False, depth_rtol=2e-5)
+
     def test_render_dispatch_backend_pallas3(self):
         cam = make_camera()
         soup = _disc_soup(cam)

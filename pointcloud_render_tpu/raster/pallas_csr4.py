@@ -1,0 +1,531 @@
+"""CSR Pallas rasterizer v4: the GENERIC binned path (discs + capsules).
+
+v3 (pallas_csr3) is the minimum-cost disc fast path; its binned entries
+must have constant per-pixel depth, so trail capsules ride the O(T x big)
+big list — unusable for trail-heavy scenes (a traj_ball frame is half
+capsules).  v4 keeps v3's machinery — fixed 2x2 binning on square 32x32
+pixel blocks, z-bucket sort keys with an in-kernel depth early-exit,
+PACK-aligned static lane addressing, fused shading — and generalizes the
+row format to the full capsule parameterization:
+
+* one branchless eval covers discs AND capsules: a disc is a degenerate
+  capsule (params[4:9] = 0 -> t = 0), exactly as the CPU oracle treats
+  them (cpu_reference.py) and with the identical formula as
+  pallas_csr._eval_capsule — bit-for-bit the same coverage and depth;
+* rows carry the PRIMITIVE ID AS A FLOAT (exact for id < 2^24) and the
+  kernel does the full lexicographic (depth, id) tie-break per pair.
+  Consequences, all simplifications over v3:
+  - the winner is ORDER-INDEPENDENT, so the binning sort can be
+    UNSTABLE (measured ~2.7 ms cheaper than stable at 4M slots) and the
+    v3 leading-stranger masking is unnecessary;
+  - big-list ties are exact too (big rows carry the same float id) —
+    v3's "big ids below binned ids" precondition is gone;
+  - there is no entry->id resolve: the index image is int(idf), and the
+    fused shading gathers the (P+1, 16) PRIM table by winner id.
+* the early-exit bound uses a per-primitive DEPTH LOWER BOUND zlb
+  (discs: z; capsules: min(z0, z0 + dz) — the capsule depth eval
+  z0 + dz*t, t in [0,1], can never go below it), bucketed into the sort
+  key exactly as v3 buckets disc z.
+
+Row format (16 f32, PACK = 8 entries per 128-lane scratch row):
+  [0:9]  params x0, y0, z0, r0, dx, dy, dz, dr, inv_len2
+  [9]    primitive id as f32
+  [10:13] shading rgb (raw disc color, or preshaded capsule/triangle)
+  [13]   flag: disc -> 1/max(r, 1e-6) (per-pixel lambert); else -1
+  [14]   zlb (early-exit depth lower bound)
+  [15]   pad
+
+Contract (unchanged): winner per pixel = lexicographic min of
+(depth, primitive index); division-free per-pixel math (primitives.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pointcloud_render_tpu.raster.pallas_csr import _eval_scalar
+from pointcloud_render_tpu.raster.pallas_csr3 import _preshade, _zq_bits
+from pointcloud_render_tpu.raster.primitives import (
+    KIND_CAPSULE,
+    KIND_DISC,
+)
+
+INF = np.float32(np.inf)
+IMAX = np.int32(2147483647)
+F_EMPTY = np.float32(1 << 24)  # > every representable prim id
+ROW_F = 16
+PACK = 128 // ROW_F  # 8 entries per 128-lane row
+DEFAULT_CHUNK_ROWS = 512
+DEFAULT_MAX_BIG = 1024
+
+
+def _z_lower_bound(prims):
+    """(P,) sound per-prim lower bound of the eval'd depth.
+
+    Disc/capsule depth = z0 + dz*t with t in [0, 1] -> min(z0, z0+dz).
+    Triangles never bin here (big list), their value is unused.
+    """
+    z0 = prims.params[:, 2]
+    dz = prims.params[:, 6]
+    return jnp.minimum(z0, z0 + dz)
+
+
+def _bin_csr4(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
+              max_big=DEFAULT_MAX_BIG):
+    """Fixed-pattern 2x2 expansion + UNSTABLE (tile, zlb-bucket) sort.
+
+    Discs and capsules whose bbox spans at most 2x2 tiles are binned;
+    triangles, wide prims, and invalids ride the big list.  Returns
+    (sorted_keys, sorted_prims, big_list, big_count, zmeta); zmeta as in
+    pallas_csr3._bin_csr_2x2 but over the binned prims' zlb.  The sort
+    is unstable — v4's per-pair id tie-break makes the winner
+    order-independent, so only the (tile, bucket) grouping matters.
+    """
+    p = prims.count
+    zq_bits = _zq_bits(num_tiles)
+    xmin, xmax = prims.bbox[:, 0], prims.bbox[:, 1]
+    ymin, ymax = prims.bbox[:, 2], prims.bbox[:, 3]
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ntx = tx1 - tx0 + 1
+    nty = ty1 - ty0 + 1
+    binnable = (prims.kind == KIND_DISC) | (prims.kind == KIND_CAPSULE)
+    fits = (ntx <= 2) & (nty <= 2) & binnable
+    is_small = prims.valid & fits
+    is_big = prims.valid & ~fits
+
+    prim_id = np.arange(p, dtype=np.int32)
+    home = ty0 * tiles_x + tx0
+    sent = np.int32(num_tiles << zq_bits)
+
+    zlb = _z_lower_bound(prims)
+    if zq_bits > 0:
+        nb = np.float32(1 << zq_bits)
+        zmin = jnp.min(jnp.where(is_small, zlb, INF))
+        zmax = jnp.max(jnp.where(is_small, zlb, -INF))
+        rngz = zmax - zmin
+        s = jnp.where(rngz > 0, nb / rngz, 0.0)
+        qz = jnp.clip(jnp.floor((zlb - zmin) * s), 0.0,
+                      nb - 1).astype(jnp.int32)
+        home = (home << zq_bits) | qz
+        thr_scale = jnp.where(s > 0, np.float32(1.0 - 1e-6) / s, 0.0)
+        zmeta = jnp.stack([jnp.where(jnp.isfinite(zmin), zmin, 0.0),
+                           s, thr_scale])
+    else:
+        zmeta = jnp.zeros((3,), jnp.float32)
+
+    keys = []
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):  # static pattern
+        ok = is_small
+        if dx:
+            ok = ok & (ntx == 2)
+        if dy:
+            ok = ok & (nty == 2)
+        keys.append(jnp.where(ok, home + ((dy * tiles_x + dx) << zq_bits),
+                              sent))
+    flat_key = jnp.stack(keys, axis=1).reshape(-1)
+    flat_prims = jnp.broadcast_to(prim_id[:, None], (p, 4)).reshape(-1)
+    k16, sorted_prims = jax.lax.sort(
+        (flat_key.astype(jnp.int16), flat_prims), num_keys=1,
+        is_stable=False)
+    sorted_keys = k16.astype(jnp.int32)
+
+    big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+    big_idx = jnp.where(is_big & (big_rank < max_big), big_rank, max_big)
+    big_list = jnp.full((max_big + 1,), -1, jnp.int32)
+    big_list = big_list.at[big_idx].set(prim_id, mode="drop")
+    big_list = big_list[:-1]
+    big_count = jnp.sum(is_big.astype(jnp.int32))
+    return sorted_keys, sorted_prims, big_list, big_count, zmeta
+
+
+def true_entry_count4(prims, width: int, height: int, tile_h: int = 32,
+                      tile_w: int = 32):
+    """() int32 non-sentinel entries under the v4 binning (the exactness
+    precondition for a finite entry_capacity)."""
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    num_tiles = tiles_y * tiles_x
+    sorted_keys, *_ = _bin_csr4(prims, tile_h, tile_w, num_tiles,
+                                tiles_x, tiles_y)
+    return jnp.searchsorted(
+        sorted_keys,
+        jnp.int32(num_tiles << _zq_bits(num_tiles))).astype(jnp.int32)
+
+
+def bin_diagnostics4(prims, width: int, height: int, tile_h: int = 32,
+                     tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG):
+    """Big-list overflow count under the v4 binning (0 = exact)."""
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    num_tiles = tiles_y * tiles_x
+    _, _, big_list, big_count, _ = _bin_csr4(
+        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y, max_big=max_big)
+    return jnp.maximum(big_count - big_list.shape[0], 0)
+
+
+def _build_table16(prims, shade_rgb, shade_flag):
+    """(P+1, 16) f32 prim table; row P is the all-zero pad/sentinel.
+
+    Serves BOTH the sorted-entry row gather (kernel streaming) and the
+    per-pixel winner gather (fused shading, indexed by prim id).
+    """
+    p = prims.count
+    idf = jnp.arange(p, dtype=jnp.float32)
+    table = jnp.concatenate([
+        prims.params[:, 0:9],
+        idf[:, None],
+        shade_rgb,
+        shade_flag[:, None],
+        _z_lower_bound(prims)[:, None],
+        jnp.zeros((p, 1), jnp.float32),
+    ], axis=1)
+    return jnp.pad(table, ((0, 1), (0, 0)))
+
+
+def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
+                  chunk_rows, allow_exit):
+    assert chunk_rows % PACK == 0
+
+    def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
+               rows_hbm,  # (E_pad/8, 128) f32 in ANY/HBM
+               big_params_ref,  # SMEM (16, BIG) f32; row 12 = id as f32
+               big_kinds_ref,  # SMEM (1, BIG) i32
+               zmeta_ref,  # SMEM (1, 3) f32: zmin, s, thr_scale
+               depth_out,  # VMEM (1, 8, 128) f32 — one pixel block
+               idf_out,  # VMEM (1, 8, 128) f32 — winner id as f32
+               scratch,  # SMEM (2, n_chunk_block, 128) f32
+               sems):  # DMA sems (2,)
+        tile = pl.program_id(0)
+        ty = tile // tiles_x
+        tx = tile % tiles_x
+        # VREG (8, 128) -> (tile_h, tile_w) pixel block (pallas_csr3).
+        ix = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        qx = (tx * tile_w + ix % tile_w).astype(jnp.float32) + 0.5
+        qy = (ty * tile_h + iy + 8 * (ix // tile_w)).astype(
+            jnp.float32) + 0.5
+
+        start = starts_ref[tile]
+        count = starts_ref[tile + 1] - start
+        n_chunks = pl.cdiv(count, chunk_rows)
+        big_n = starts_ref[pl.num_programs(0) + 1]
+        o0 = jax.lax.rem(start, PACK)
+
+        def get_dma(slot, ci):
+            g0 = start + ci * chunk_rows
+            return pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(g0 // PACK, n_chunk_block), :],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        # Big primitives (triangles / wide prims) first, with the full
+        # (depth, id) tie-break — exact against binned prims too, since
+        # the binned merge below uses the same lexicographic compare.
+        def big_body(j, carry):
+            d, di = carry
+            kind = big_kinds_ref[0, j]
+            p = tuple(big_params_ref[r, j] for r in range(12))
+            idf = big_params_ref[12, j]
+            zc = _eval_scalar(kind, p, qx, qy)
+            better = (zc < d) | ((zc == d) & (idf < di))
+            return jnp.where(better, zc, d), jnp.where(better, idf, di)
+
+        d_bg, i_bg = jax.lax.fori_loop(
+            0, big_n, big_body,
+            (jnp.full((8, 128), INF, jnp.float32),
+             jnp.full((8, 128), F_EMPTY, jnp.float32)))
+
+        accs = [d_bg, i_bg]
+        for _ in range(unroll - 1):
+            accs += [jnp.full((8, 128), INF, jnp.float32),
+                     jnp.full((8, 128), F_EMPTY, jnp.float32)]
+        init = tuple(accs)
+
+        def make_row_body(slot):
+            # Whole PACK-aligned 8-entry rows at STATIC lane offsets.
+            # No stranger masking (cf. pallas_csr3): the per-pair id
+            # tie-break makes processing order irrelevant, and
+            # out-of-run slots are inert (cannot cover this tile; zero
+            # pad rows cover nothing: rad = 0 and every pixel center is
+            # >= 0.5 from the origin) or idempotent duplicates.
+            def row_body(br, c2):
+                out = list(c2)
+                for u in range(PACK):
+                    lane = u * ROW_F
+                    x0 = scratch[slot, br, lane]
+                    y0 = scratch[slot, br, lane + 1]
+                    z0 = scratch[slot, br, lane + 2]
+                    r0 = scratch[slot, br, lane + 3]
+                    sdx = scratch[slot, br, lane + 4]
+                    sdy = scratch[slot, br, lane + 5]
+                    sdz = scratch[slot, br, lane + 6]
+                    sdr = scratch[slot, br, lane + 7]
+                    il2 = scratch[slot, br, lane + 8]
+                    idf = scratch[slot, br, lane + 9]
+                    ch = u % unroll
+                    d0, di = out[2 * ch], out[2 * ch + 1]
+                    dx = qx - x0
+                    dy = qy - y0
+                    t = jnp.clip((dx * sdx + dy * sdy) * il2, 0.0, 1.0)
+                    cx = dx - t * sdx
+                    cy = dy - t * sdy
+                    rad = r0 + sdr * t
+                    z = z0 + sdz * t
+                    cov = cx * cx + cy * cy <= rad * rad
+                    better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+                    out[2 * ch] = jnp.where(better, z, d0)
+                    out[2 * ch + 1] = jnp.where(better, idf, di)
+                return tuple(out)
+
+            return row_body
+
+        def process_chunk(ci, slot, accs_in):
+            mc = jnp.minimum(chunk_rows, count - ci * chunk_rows)
+            n_rows = (o0 + mc + (PACK - 1)) // PACK
+            return jax.lax.fori_loop(0, n_rows, make_row_body(slot),
+                                     accs_in), n_rows
+
+        if allow_exit:
+            # Runs ascend in zlb-bucket; every unprocessed entry's depth
+            # >= its zlb >= the last streamed bucket's floor (one bucket
+            # + 1e-6 margin back) — soundness as in pallas_csr3, with
+            # zlb in row slot 14.
+            zmin = zmeta_ref[0, 0]
+            zs = zmeta_ref[0, 1]
+            thr_scale = zmeta_ref[0, 2]
+
+            def cond(c):
+                return (c[0] < n_chunks) & jnp.logical_not(c[1])
+
+            def body(c):
+                ci = c[0]
+                accs_in = c[2:]
+                slot = jax.lax.rem(ci, 2)
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+                get_dma(slot, ci).wait()
+                accs_out, n_rows = process_chunk(ci, slot, accs_in)
+                dmin = accs_out[0]
+                for u in range(1, unroll):
+                    dmin = jnp.minimum(dmin, accs_out[2 * u])
+                dmax = jnp.max(dmin)
+                last_zlb = scratch[slot, n_rows - 1,
+                                   (PACK - 1) * ROW_F + 14]
+                qz = jnp.maximum(
+                    jnp.floor((last_zlb - zmin) * zs) - 1.0, 0.0)
+                done = zmin + qz * thr_scale >= dmax
+                return (ci + 1, done) + accs_out
+
+            final = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.bool_(False)) + init)
+            ci_end, done = final[0], final[1]
+            out = final[2:]
+
+            @pl.when(done & (ci_end < n_chunks))
+            def _():
+                get_dma(jax.lax.rem(ci_end, 2), ci_end).wait()
+        else:
+            def chunk_body(ci, accs_in):
+                s = jax.lax.rem(ci, 2)
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+                get_dma(s, ci).wait()
+                accs_out, _ = process_chunk(ci, s, accs_in)
+                return accs_out
+
+            out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+        depth, idf = out[0], out[1]
+        for u in range(1, unroll):
+            du, iu = out[2 * u], out[2 * u + 1]
+            better = (du < depth) | ((du == depth) & (iu < idf))
+            depth = jnp.where(better, du, depth)
+            idf = jnp.where(better, iu, idf)
+
+        depth_out[0, :, :] = depth
+        idf_out[0, :, :] = idf
+
+    return kernel
+
+
+def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
+                  entry_capacity, chunk_rows, interpret, shade_rgb,
+                  shade_flag):
+    """Shared binning + kernel launch.  Returns (depth, idf_img, table16)."""
+    if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
+        raise ValueError(
+            "pallas_csr4 pixel blocks must hold exactly one (8, 128) "
+            "f32 VREG: tile_h * tile_w == 1024 with tile_w in "
+            "{16, 32, 64, 128}")
+    if prims.count >= (1 << 24):
+        raise ValueError("float id encoding supports < 2^24 primitives")
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    num_tiles = tiles_y * tiles_x
+
+    sorted_keys, sorted_prims, big_list, big_count, zmeta = _bin_csr4(
+        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y)
+
+    zq_bits = _zq_bits(num_tiles)
+    starts = jnp.searchsorted(
+        sorted_keys,
+        np.arange(num_tiles + 1, dtype=np.int32) << zq_bits
+    ).astype(jnp.int32)
+
+    e = sorted_prims.shape[0]
+    if entry_capacity is not None:
+        e = min(e, int(entry_capacity))
+        sorted_prims = sorted_prims[:e]
+        starts = jnp.minimum(starts, e)
+    e_pad = -(-(e + chunk_rows + PACK) // chunk_rows) * chunk_rows
+
+    table16 = _build_table16(prims, shade_rgb, shade_flag)
+    prims_p = jnp.pad(sorted_prims, (0, e_pad - e),
+                      constant_values=prims.count)
+    rows = table16[prims_p].reshape(e_pad // PACK, 128)
+
+    big_safe = jnp.maximum(big_list, 0)
+    big_kinds = jnp.where((big_list >= 0) & prims.valid[big_safe],
+                          prims.kind[big_safe], -1)[None, :]
+    big_params = jnp.zeros((16, big_list.shape[0]), jnp.float32)
+    big_params = big_params.at[:12, :].set(prims.params[big_safe].T)
+    big_params = big_params.at[12, :].set(big_safe.astype(jnp.float32))
+
+    scalars = jnp.concatenate([
+        starts, jnp.minimum(big_count, big_list.shape[0])[None].astype(
+            jnp.int32)])
+
+    n_chunk_block = chunk_rows // PACK + 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((16, big_list.shape[0]), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, n_chunk_block, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
+                           chunk_rows, allow_exit=zq_bits > 0)
+    depth_t, idf_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, rows, big_params, big_kinds, zmeta[None, :])
+
+    nq = 128 // tile_w
+
+    def assemble(t):
+        return t.reshape(tiles_y, tiles_x, 8, nq, tile_w) \
+            .transpose(0, 3, 2, 1, 4) \
+            .reshape(tiles_y * tile_h, tiles_x * tile_w)
+
+    depth = assemble(depth_t)[:height, :width]
+    idf = assemble(idf_t)[:height, :width]
+    return depth, idf, table16
+
+
+def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
+                          tile_w: int = 32, unroll: int = 4,
+                          entry_capacity=None,
+                          chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                          interpret: bool = False):
+    """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
+
+    Generic binned path: every valid disc/capsule spanning <= 2x2 pixel
+    blocks is binned; triangles and wider prims ride the big list
+    (exact; O(T x big), capped at DEFAULT_MAX_BIG — check
+    bin_diagnostics4 for overflow).  Ties are exact for EVERY mix of
+    kinds (full per-pair lexicographic compare).  With a finite
+    ``entry_capacity``, true_entry_count4(scene) must be <= it.
+    """
+    zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
+    zerosf = jnp.zeros((prims.count,), jnp.float32)
+    depth, idf, _ = _raster_core4(
+        prims, width, height, tile_h, tile_w, unroll, entry_capacity,
+        chunk_rows, interpret, zeros3, zerosf)
+    index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
+    return depth, index
+
+
+def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
+                       tile_w: int = 32, unroll: int = 4,
+                       entry_capacity=None,
+                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                       interpret: bool = False):
+    """Rasterize + shade in one pass: (rgb, depth, index).
+
+    Matches shading.shade_framebuffer bit-for-bit (lambert and flat
+    modes) with ONE 16-float per-pixel gather of the prim table by
+    winner id.  Same preconditions as rasterize_pallas_csr4.
+    """
+    width, height = camera.width, camera.height
+    shade_rgb, shade_flag = _preshade(prims, camera, shading)
+    depth, idf, table16 = _raster_core4(
+        prims, width, height, tile_h, tile_w, unroll, entry_capacity,
+        chunk_rows, interpret, shade_rgb, shade_flag)
+
+    hit = jnp.isfinite(depth)
+    index = jnp.where(hit, idf.astype(jnp.int32), -1)
+    safe = jnp.where(hit, index, prims.count)  # pad row: zeros
+    a = table16[safe]  # (H, W, 16)
+
+    if shading.mode == "flat":
+        rgb = a[..., 10:13]
+    else:
+        qx = (np.arange(width, dtype=np.float32) + 0.5)[None, :]
+        qy = (np.arange(height, dtype=np.float32) + 0.5)[:, None]
+        m = camera.world_to_camera_matrix()
+        l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
+        inv_r = a[..., 13]
+        u = (qx - a[..., 0]) * inv_r
+        v = -(qy - a[..., 1]) * inv_r
+        w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
+        nz = -jnp.sqrt(w2)
+        ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
+        lit = shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
+        is_disc = inv_r > 0
+        rgb = jnp.where(is_disc[..., None], a[..., 10:13] * lit[..., None],
+                        a[..., 10:13])
+
+    bg = np.asarray(shading.background, np.float32)
+    rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
+    return rgb, depth, index

@@ -148,7 +148,13 @@ def capsules_from_polylines(
     py = proj["py"].reshape(n, v)
     z = proj["z"].reshape(n, v)
     r = proj["r_px"].reshape(n, v)
-    pvalid = proj["valid"].reshape(n, v) & vertex_valid
+    # Depth cull per VERTEX (a near/far-crossing segment's projection is
+    # unusable), but screen cull per SEGMENT bbox: a segment is kept
+    # when any part of it may touch the film, so long segments (e.g. the
+    # collapsed single-capsule velocity trails) don't vanish just
+    # because one endpoint projects off-screen.
+    zok = (z > camera.near) & (z < camera.far)
+    pvalid = zok & vertex_valid
 
     x0, y0, z0, r0 = px[:, :-1], py[:, :-1], z[:, :-1], r[:, :-1]
     x1, y1, z1, r1 = px[:, 1:], py[:, 1:], z[:, 1:], r[:, 1:]
@@ -164,6 +170,9 @@ def capsules_from_polylines(
     ymin = jnp.minimum(y0 - r0, y1 - r1).reshape(-1)
     ymax = jnp.maximum(y0 + r0, y1 + r1).reshape(-1)
     bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=1)
+    on_film = ((xmax >= 0) & (xmin <= camera.width)
+               & (ymax >= 0) & (ymin <= camera.height))
+    seg_valid = seg_valid & on_film.reshape(n, v - 1)
     m = n * (v - 1)
     colors = jnp.asarray(colors, jnp.float32)
     if colors.ndim == 1:

@@ -114,6 +114,17 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             unroll=config.unroll,
             entry_capacity=config.entry_capacity,
             interpret=jax.default_backend() != "tpu")
+    if backend == "pallas4":
+        # Generic binned path: discs AND capsules bin (2x2-span of its
+        # 32x32 blocks); triangles/wide prims ride the big list.  Exact
+        # ties for every kind mix (per-pair id compare).
+        from pointcloud_render_tpu.raster import pallas_csr4  # noqa: PLC0415
+
+        return pallas_csr4.rasterize_pallas_csr4(
+            prims, width, height,
+            unroll=config.unroll,
+            entry_capacity=config.entry_capacity,
+            interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
 
@@ -130,6 +141,14 @@ def render(prims: ScreenPrimitives, camera,
            config: Optional[RasterConfig] = None) -> FrameBuffers:
     """Rasterize + shade a primitive soup through a Camera."""
     config = config or RasterConfig()
+    if _resolve_backend(config.backend) == "pallas4":
+        from pointcloud_render_tpu.raster import pallas_csr4  # noqa: PLC0415
+
+        rgb, depth, index = pallas_csr4.render_shaded_csr4(
+            prims, camera, config.shading,
+            unroll=config.unroll, entry_capacity=config.entry_capacity,
+            interpret=jax.default_backend() != "tpu")
+        return FrameBuffers(rgb=rgb, depth=depth, index=index)
     if _resolve_backend(config.backend) == "pallas3":
         # Fused raster+shade: one 8-float winner-attribute gather instead
         # of the id-resolve + 10-float shade gathers (bit-identical rgb;

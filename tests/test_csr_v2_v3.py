@@ -221,3 +221,134 @@ class TestPallasCsr3:
             np.testing.assert_allclose(np.asarray(fb_t.rgb),
                                        np.asarray(fb_3.rgb), atol=1e-6,
                                        err_msg=f"rgb {mode}")
+
+
+class TestPallasCsr4:
+    """Generic binned kernel: discs AND capsules bin; full per-pair
+    (depth, id) tie-break — exact for every kind mix and any sort order."""
+
+    def _mixed_soup(self, cam, seed=11):
+        from pointcloud_render_tpu.raster.primitives import (
+            capsules_from_polylines,
+        )
+
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-0.4, 0.4, size=(20, 5, 3)).astype(np.float32)
+        caps = capsules_from_polylines(
+            jnp.asarray(pts), np.ones((20, 5), bool), cam, 0.003,
+            np.array([0.2, 1.0, 0.4], np.float32))
+        wide = discs_from_points(
+            jnp.asarray(rng.uniform(-0.3, 0.3, (10, 3)).astype(np.float32)),
+            cam, jnp.full((10,), 0.2, jnp.float32),
+            np.array([0.6, 0.4, 0.2], np.float32))
+        small = discs_from_points(
+            jnp.asarray(rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)),
+            cam, jnp.full((300,), 0.01, jnp.float32),
+            np.array([0.3, 0.3, 0.3], np.float32))
+        dup_pos = rng.uniform(-0.5, 0.5, (40, 3)).astype(np.float32)
+        dup = discs_from_points(jnp.asarray(dup_pos), cam,
+                                jnp.full((40,), 0.05, jnp.float32),
+                                np.array([0.9, 0.1, 0.1], np.float32))
+        # Duplicated discs -> exact depth ties; wide discs interleave the
+        # big list with binned ids (the case that breaks rank==id maps).
+        return ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), caps, wide, small,
+             dup, dup])
+
+    def test_mixed_scene_winner_exact(self):
+        from pointcloud_render_tpu.raster.pallas_csr4 import rasterize_pallas_csr4
+
+        cam = make_camera()
+        soup = self._mixed_soup(cam)
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        d_p, i_p = rasterize_pallas_csr4(soup, W, H, interpret=True)
+        assert_buffers_match(d_o, i_o, d_p, i_p, "csr4 mixed",
+                             exact_depth=False, depth_rtol=2e-5)
+        # Disc depth stays bit-exact (CLAUDE.md invariant).
+        kind = np.asarray(soup.kind)
+        disc = (np.asarray(i_o) >= 0) & (kind[np.maximum(i_o, 0)] == 0)
+        np.testing.assert_array_equal(np.asarray(d_p)[disc],
+                                      np.asarray(d_o)[disc])
+
+    def test_capacity_prefix_and_blocks(self):
+        from pointcloud_render_tpu.raster.pallas_csr4 import (
+            rasterize_pallas_csr4,
+            true_entry_count4,
+        )
+
+        cam = make_camera()
+        soup = self._mixed_soup(cam, seed=5)
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        for th, tw in ((32, 32), (16, 64)):
+            ec = int(true_entry_count4(soup, W, H, tile_h=th, tile_w=tw))
+            cap = ((ec + 127) // 128) * 128
+            d_p, i_p = rasterize_pallas_csr4(
+                soup, W, H, tile_h=th, tile_w=tw, entry_capacity=cap,
+                interpret=True)
+            assert_buffers_match(d_o, i_o, d_p, i_p,
+                                 f"csr4 {th}x{tw} cap={cap}",
+                                 exact_depth=False, depth_rtol=2e-5)
+
+    def test_fused_shading_matches_shade_framebuffer(self):
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        soup = self._mixed_soup(cam)
+        for mode in ("lambert", "flat"):
+            cfg_t = RasterConfig(backend="tiled", max_per_tile=2048,
+                                 shading=ShadingConfig(mode=mode))
+            cfg_4 = RasterConfig(backend="pallas4",
+                                 shading=ShadingConfig(mode=mode))
+            fb_t = render(soup, cam, cfg_t)
+            fb_4 = render(soup, cam, cfg_4)
+            np.testing.assert_array_equal(np.asarray(fb_t.index),
+                                          np.asarray(fb_4.index),
+                                          err_msg=f"index {mode}")
+            np.testing.assert_allclose(np.asarray(fb_t.rgb),
+                                       np.asarray(fb_4.rgb), atol=1e-6,
+                                       err_msg=f"rgb {mode}")
+
+    def test_collapsed_velocity_trails_roundtrip(self):
+        """The pipeline's 8-segment straight-trail collapse must render
+        the same capsule coverage as the full 21-point chain."""
+        from pointcloud_render_tpu.configs import PRESETS
+        from pointcloud_render_tpu.geometry import trails as trails_mod
+        from pointcloud_render_tpu.raster.primitives import (
+            capsules_from_polylines,
+        )
+        from pointcloud_render_tpu.run.pipeline import build_primitives
+
+        preset = PRESETS["traj_ball"]
+        cam = make_camera()
+        rng = np.random.default_rng(7)
+        n = 120
+        pos = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)), jnp.float32)
+        vel = jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)
+        fi = jnp.int32(120)
+        soup = build_primitives(preset, cam, pos, vel, fi)
+        pts, valid = trails_mod.velocity_trails(pos, vel, fi,
+                                                preset.trail_schedule)
+        full_caps = capsules_from_polylines(
+            pts, jnp.broadcast_to(valid[:, None], pts.shape[:2]), cam,
+            preset.trail_radius,
+            np.asarray(preset.trail_color, np.float32))
+        d_c, i_c = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        # Chain soup: same parts but the full 21-point trails.
+        chain = ScreenPrimitives.concatenate([
+            ground_plane(cam, preset.ground_half_extent,
+                         preset.ground_center),
+            discs_from_points(pos, cam,
+                              np.full((n,), preset.point_radius,
+                                      np.float32),
+                              np.asarray(preset.point_color, np.float32)),
+            full_caps,
+        ])
+        d_f, i_f = cpu_reference.rasterize_reference(to_host(chain), W, H)
+        kc = np.asarray(soup.kind)[np.maximum(np.asarray(i_c), 0)]
+        kf = np.asarray(chain.kind)[np.maximum(np.asarray(i_f), 0)]
+        cap_c = (np.asarray(i_c) >= 0) & (kc == 1)
+        cap_f = (np.asarray(i_f) >= 0) & (kf == 1)
+        assert cap_f.sum() > 100
+        # Identical capsule-covered pixel sets (same union geometry).
+        agree = (cap_c == cap_f).mean()
+        assert agree > 0.999, f"trail coverage changed: {agree}"

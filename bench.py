@@ -308,6 +308,14 @@ def run_bench(args):
 
 
 def main():
+    # Persistent compile cache (works with the axon backend; saves the
+    # multi-minute scan/kernel compiles on every rerun).
+    try:
+        import jax  # noqa: PLC0415
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--backend", default="pallas3",

@@ -506,16 +506,23 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
     safe = jnp.where(hit, index, prims.count)  # pad row: zeros
-    a = table16[safe]  # (H, W, 16)
+    # Gathers are row-count bound but byte-width still shows at 2M
+    # pixels: shade from a compact 8-float table [x0, y0, c0, c1, c2,
+    # flag, 0, 0] (one O(P) repack) instead of the 16-float kernel rows.
+    table8 = jnp.concatenate([
+        table16[:, 0:2], table16[:, 10:14],
+        jnp.zeros((table16.shape[0], 2), jnp.float32),
+    ], axis=1)
+    a = table8[safe]  # (H, W, 8)
 
     if shading.mode == "flat":
-        rgb = a[..., 10:13]
+        rgb = a[..., 2:5]
     else:
         qx = (np.arange(width, dtype=np.float32) + 0.5)[None, :]
         qy = (np.arange(height, dtype=np.float32) + 0.5)[:, None]
         m = camera.world_to_camera_matrix()
         l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
-        inv_r = a[..., 13]
+        inv_r = a[..., 5]
         u = (qx - a[..., 0]) * inv_r
         v = -(qy - a[..., 1]) * inv_r
         w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
@@ -523,8 +530,8 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
         ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
         lit = shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
         is_disc = inv_r > 0
-        rgb = jnp.where(is_disc[..., None], a[..., 10:13] * lit[..., None],
-                        a[..., 10:13])
+        rgb = jnp.where(is_disc[..., None], a[..., 2:5] * lit[..., None],
+                        a[..., 2:5])
 
     bg = np.asarray(shading.background, np.float32)
     rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)

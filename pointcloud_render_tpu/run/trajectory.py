@@ -60,8 +60,17 @@ class TrajectoryScanRenderer:
         self._compiled = None
 
     def _make_chunk_fn(self):
+        import dataclasses as _dc
+
         preset = self.preset
         config = self.raster_config
+        if (config.backend == "auto" and jax.default_backend() == "tpu"
+                and (preset.splat == "sphere"
+                     or self.droplet_lod != "mesh")):
+            # Disc/capsule-only soups: the v4 generic binned kernel
+            # (run/pipeline._make_step applies the same upgrade).
+            config = _dc.replace(config, backend="pallas4",
+                                 no_triangles=True)
         dt = self.dt
         motion = self.motion_color
         lod = self.droplet_lod
@@ -109,6 +118,51 @@ class TrajectoryScanRenderer:
 
         return chunk_fn
 
+    def _probe_entry_capacity(self, positions, velocities, frame_indices):
+        """Measure the v4 binned-entry count at the trajectory extremes
+        and fix config.entry_capacity (+30% margin) so the per-frame
+        sorted-row gather covers real entries instead of all 4P slots
+        (an uncapped 100k-point trail frame pays ~14 ms extra).
+        The probe advects the cloud to each sampled frame when dt != 0.
+        """
+        import dataclasses as _dc
+
+        from pointcloud_render_tpu.raster import pallas_csr4
+        from pointcloud_render_tpu.run.pipeline import build_primitives
+        from pointcloud_render_tpu.scene.camera import (
+            IMAGE_HEIGHT,
+            IMAGE_WIDTH,
+        )
+
+        preset = self.preset
+        ids = sorted(frame_indices)
+        samples = {ids[0], ids[len(ids) // 4], ids[len(ids) // 2],
+                   ids[3 * len(ids) // 4], ids[-1]}
+
+        def probe(fi, p, v):
+            camera = Camera(
+                origin=camera_origin_jax(preset.camera_preset, fi,
+                                         preset.total_frames),
+                target=np.asarray(TARGETS[preset.camera_preset],
+                                  np.float32),
+                fov_x_degrees=preset.fov_x_degrees)
+            prims = build_primitives(preset, camera, p, v, fi,
+                                     droplet_lod=self.droplet_lod)
+            return pallas_csr4.true_entry_count4(
+                prims, IMAGE_WIDTH, IMAGE_HEIGHT)
+
+        jp = aot.compile_const_free(probe, jnp.int32(0), positions,
+                                    velocities)
+        worst = 0
+        for fi in sorted(samples):
+            p = (dynamics.advect(positions, velocities, self.dt * fi)
+                 if self.dt else positions)
+            worst = max(worst, int(np.asarray(
+                jp(jnp.int32(fi), p, velocities))))
+        cap = ((int(worst * 1.3) + 127) // 128) * 128
+        self.raster_config = _dc.replace(self.raster_config,
+                                         entry_capacity=cap)
+
     def render_frames(self, positions, velocities, frame_indices):
         """Render the given frame indices in chunks; returns a list of
         (H, W, 3) uint8 numpy frames and the final (advected) positions."""
@@ -116,6 +170,14 @@ class TrajectoryScanRenderer:
 
         positions = jnp.asarray(positions, jnp.float32)
         velocities = jnp.asarray(velocities, jnp.float32)
+        if (self._compiled is None
+                and self.raster_config.entry_capacity is None
+                and self.raster_config.backend == "auto"
+                and jax.default_backend() == "tpu"
+                and (self.preset.splat == "sphere"
+                     or self.droplet_lod != "mesh")):
+            self._probe_entry_capacity(positions, velocities,
+                                       list(frame_indices))
         history = jnp.broadcast_to(positions[None],
                                    (HISTORY_WINDOW,) + positions.shape) \
             if self.preset.trail == "history" else \

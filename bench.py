@@ -127,10 +127,15 @@ def validate_on_chip(verbose=False):
                                        unroll=4)
         d5, i5 = rasterize_pallas_csr3(disc_soup, cam.width, cam.height,
                                        unroll=4, entry_capacity=262144)
+        # v4 generic path on the MIXED scene (capsules binned) — the
+        # pipeline's TPU default for splat/trail scenes.
+        d6, i6 = rasterize_pallas_csr4(soup, cam.width, cam.height,
+                                       unroll=4)
         return (jnp.mean((i1 == it).astype(jnp.float32)),
                 jnp.mean((i2 == it).astype(jnp.float32)),
                 jnp.mean((i3 == it3).astype(jnp.float32)),
                 jnp.mean(((i4 == it3) & (i5 == it3)).astype(jnp.float32)),
+                jnp.mean((i6 == it).astype(jnp.float32)),
                 ec)
 
     def build_discs(pos):
@@ -145,22 +150,24 @@ def validate_on_chip(verbose=False):
         true_entry_count,
     )
     from pointcloud_render_tpu.raster.pallas_csr3 import rasterize_pallas_csr3
+    from pointcloud_render_tpu.raster.pallas_csr4 import rasterize_pallas_csr4
 
     compiled = aot.compile_const_free(both, jnp.asarray(pos),
                                       jnp.asarray(pts))
-    m1, m2, m3, m4, ec = (np.asarray(v)
-                          for v in compiled(jnp.asarray(pos),
-                                            jnp.asarray(pts)))
+    m1, m2, m3, m4, m5, ec = (np.asarray(v)
+                              for v in compiled(jnp.asarray(pos),
+                                                jnp.asarray(pts)))
     if verbose:
         print(f"# on-chip exactness: v1={float(m1)} v2={float(m2)} "
-              f"v2disc={float(m3)} v3disc={float(m4)} (entries {int(ec)})",
-              file=sys.stderr)
+              f"v2disc={float(m3)} v3disc={float(m4)} v4mixed={float(m5)} "
+              f"(entries {int(ec)})", file=sys.stderr)
     assert int(ec) <= 262144, "validation scene outgrew its capacity"
-    if not (float(m1) == float(m2) == float(m3) == float(m4) == 1.0):
+    if not (float(m1) == float(m2) == float(m3) == float(m4)
+            == float(m5) == 1.0):
         raise AssertionError(
             f"EXACTNESS REGRESSION on this chip: winner match "
             f"v1={float(m1)} v2={float(m2)} v2disc={float(m3)} "
-            f"v3disc={float(m4)} != 1.0")
+            f"v3disc={float(m4)} v4mixed={float(m5)} != 1.0")
 
 
 def run_bench(args):

@@ -293,10 +293,59 @@ class FramePipeline:
         else:
             history = jnp.zeros((0, positions.shape[0], 3), jnp.float32)
 
+        self._check_v4_overflow(positions, velocities, frame_index,
+                                history, with_history)
         return _render_step(
             self.preset, self.raster_config, self.droplet_lod,
             has_vel, with_history, with_rotations, self.film,
             positions, velocities, jnp.int32(frame_index), history, rotations)
+
+    def _check_v4_overflow(self, positions, velocities, frame_index,
+                           history, with_history):
+        """One-time loud check of the v4 big-list capacity on the scene
+        shape (the TPU auto path bins discs/capsules; prims spanning
+        more than 2x2 pixel blocks ride a capped big list — overflow
+        would drop them silently)."""
+        if getattr(self, "_v4_ovf_checked", False):
+            return
+        if not (self.raster_config.backend == "auto"
+                and jax.default_backend() == "tpu"
+                and (self.preset.splat == "sphere"
+                     or self.droplet_lod != "mesh")):
+            return
+        self._v4_ovf_checked = True
+        from pointcloud_render_tpu.raster import pallas_csr4  # noqa: PLC0415
+        from pointcloud_render_tpu.scene.camera import (  # noqa: PLC0415
+            IMAGE_HEIGHT,
+            IMAGE_WIDTH,
+        )
+
+        w, h = self.film if self.film else (IMAGE_WIDTH, IMAGE_HEIGHT)
+        ss = self.raster_config.supersample
+
+        def probe(p, v, fi, hist):
+            camera = Camera(
+                origin=camera_origin_jax(self.preset.camera_preset, fi,
+                                         self.preset.total_frames),
+                target=np.asarray(TARGETS[self.preset.camera_preset],
+                                  np.float32),
+                fov_x_degrees=self.preset.fov_x_degrees,
+                width=w * ss, height=h * ss)
+            prims = build_primitives(
+                self.preset, camera, p, v, fi,
+                hist if with_history else None, None,
+                droplet_lod=self.droplet_lod)
+            return pallas_csr4.bin_diagnostics4(prims, w * ss, h * ss)
+
+        ovf = int(np.asarray(aot.compile_const_free(
+            probe, positions, velocities, jnp.int32(frame_index),
+            history)(positions, velocities, jnp.int32(frame_index),
+                     history)))
+        if ovf > 0:
+            raise RuntimeError(
+                f"pallas_csr4 big-list overflow ({ovf} primitives) — the "
+                f"render would silently drop them. Use "
+                f"RasterConfig(backend='pallas') (v2 bins wide prims).")
 
     # -- full frame ----------------------------------------------------------
     def process(self, file_path: str, frame_index: int = 0,

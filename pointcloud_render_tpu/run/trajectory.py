@@ -148,8 +148,10 @@ class TrajectoryScanRenderer:
                 fov_x_degrees=preset.fov_x_degrees)
             prims = build_primitives(preset, camera, p, v, fi,
                                      droplet_lod=self.droplet_lod)
-            return pallas_csr4.true_entry_count4(
-                prims, IMAGE_WIDTH, IMAGE_HEIGHT)
+            return (pallas_csr4.true_entry_count4(
+                        prims, IMAGE_WIDTH, IMAGE_HEIGHT),
+                    pallas_csr4.bin_diagnostics4(
+                        prims, IMAGE_WIDTH, IMAGE_HEIGHT))
 
         jp = aot.compile_const_free(probe, jnp.int32(0), positions,
                                     velocities)
@@ -157,8 +159,15 @@ class TrajectoryScanRenderer:
         for fi in sorted(samples):
             p = (dynamics.advect(positions, velocities, self.dt * fi)
                  if self.dt else positions)
-            worst = max(worst, int(np.asarray(
-                jp(jnp.int32(fi), p, velocities))))
+            ec, ovf = (int(np.asarray(x))
+                       for x in jp(jnp.int32(fi), p, velocities))
+            if ovf > 0:
+                raise RuntimeError(
+                    f"pallas_csr4 big-list overflow ({ovf} primitives) "
+                    f"at frame {fi} — the render would silently drop "
+                    f"them. Use backend='pallas' (v2 bins wide prims) "
+                    f"or reduce primitive screen extents.")
+            worst = max(worst, ec)
         cap = ((int(worst * 1.3) + 127) // 128) * 128
         self.raster_config = _dc.replace(self.raster_config,
                                          entry_capacity=cap)

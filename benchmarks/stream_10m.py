@@ -19,12 +19,29 @@ from pointcloud_render_tpu.scene.camera import Camera
 
 
 def main(n_total=10_000_000, chunk=1_000_000, width=3840, height=2160):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     cam = Camera(origin=jnp.asarray(np.array([2., 2., 2.], np.float32)),
                  target=jnp.asarray(np.array([0., 0., -0.05], np.float32)),
                  width=width, height=height)
-    sr = StreamingRasterizer(cam, chunk_points=chunk, radius_world=0.0015,
-                             backend="pallas")
     rng = np.random.default_rng(0)
+
+    # Probe one chunk's binned-entry count and cap the per-chunk row
+    # gather (+25% margin; chunks are iid subsets so counts are close —
+    # the rasterizer ASSERTS the precondition post hoc on every chunk).
+    from pointcloud_render_tpu.raster import pallas_csr3
+    from pointcloud_render_tpu.raster.primitives import discs_from_points
+    probe_pts = rng.uniform(-0.5, 0.5, (chunk, 3)).astype(np.float32)
+    prims = discs_from_points(jnp.asarray(probe_pts), cam,
+                              jnp.full((chunk,), 0.0015, jnp.float32),
+                              np.array([0.3, 0.3, 0.3], np.float32))
+    ec = int(np.asarray(jax.jit(pallas_csr3.true_entry_count3,
+                                static_argnums=(1, 2))(
+        prims, width, height)))
+    cap = ((int(ec * 1.25) + 127) // 128) * 128
+    print(f"probe: {ec} entries/chunk, capacity {cap}", flush=True)
+
+    sr = StreamingRasterizer(cam, chunk_points=chunk, radius_world=0.0015,
+                             backend="pallas", entry_capacity=cap)
 
     def chunks():
         for k in range(n_total // chunk):
@@ -48,6 +65,25 @@ def main(n_total=10_000_000, chunk=1_000_000, width=3840, height=2160):
                            "stream_10m_rgb.png")
     from pointcloud_render_tpu.io import png as png_io
     png_io.write_png(out_png, rgb)
+    # Device-side steady state: repeated steps on a RESIDENT chunk
+    # (isolates the chip from this dev env's ~75 MB/s host tunnel,
+    # which dominates the end-to-end number below).
+    dev = jnp.asarray(warm)
+    col = jnp.broadcast_to(jnp.asarray(sr.color), (chunk, 3))
+    d0 = jnp.full((height, width), jnp.inf, jnp.float32)
+    i0 = jnp.full((height, width), np.int32(2147483647), jnp.int32)
+    a0 = jnp.zeros((height, width, 6), jnp.float32)
+    out = sr._step(dev, col, jnp.int32(0), d0, i0, a0)
+    float(jnp.sum(out[0][jnp.isfinite(out[0])]))
+    t0d = time.time()
+    reps = 10
+    for _ in range(reps):
+        out = sr._step(dev, col, jnp.int32(0), d0, i0, a0)
+    float(jnp.sum(jnp.where(jnp.isfinite(out[0]), out[0], 0.0)))
+    dt_dev = (time.time() - t0d) / reps
+    print(f"device-side step: {dt_dev * 1e3:.0f} ms/chunk = "
+          f"{chunk / dt_dev / 1e6:.1f}M pts/s on-chip", flush=True)
+
     print(f"warmup (compile + program load): {t1 - t0:.1f}s")
     print(f"streamed {n_total / 1e6:.0f}M points @ {width}x{height}: "
           f"{t2 - t1:.1f}s steady-state = {(t2 - t1) / n_chunks:.2f}s/chunk "

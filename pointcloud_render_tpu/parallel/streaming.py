@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from pointcloud_render_tpu.raster import pallas_csr, xla_tiled
+from pointcloud_render_tpu.raster import pallas_csr3, xla_tiled
 from pointcloud_render_tpu.raster.primitives import discs_from_points
 from pointcloud_render_tpu.utils import aot
 
@@ -76,7 +76,8 @@ class StreamingRasterizer:
 
     def __init__(self, camera, chunk_points: int, radius_world: float,
                  backend: Optional[str] = None,
-                 color=(0.3, 0.3, 0.3), mesh=None):
+                 color=(0.3, 0.3, 0.3), mesh=None,
+                 entry_capacity: Optional[int] = None):
         self.camera = camera
         self.chunk_points = int(chunk_points)
         self.radius = float(radius_world)
@@ -84,7 +85,9 @@ class StreamingRasterizer:
         self.backend = backend or (
             "pallas" if jax.default_backend() == "tpu" else "tiled")
         self.mesh = mesh
+        self.entry_capacity = entry_capacity
         self._step = None
+        self._max_entries = 0
 
     # -- device step ---------------------------------------------------------
 
@@ -95,16 +98,22 @@ class StreamingRasterizer:
             chunk, cam, jnp.full((chunk.shape[0],), self.radius, jnp.float32),
             colors)
         if self.backend == "pallas":
-            d, i = pallas_csr.rasterize_pallas_csr(
-                prims, cam.width, cam.height, no_triangles=True,
-                interpret=jax.default_backend() != "tpu")
+            # v3 disc fast path (chunks are pure discs).  The true
+            # (pre-capacity) entry count rides along so rasterize() can
+            # assert the finite-capacity exactness precondition post hoc.
+            d, i, tc = pallas_csr3.rasterize_pallas_csr3(
+                prims, cam.width, cam.height,
+                entry_capacity=self.entry_capacity,
+                interpret=jax.default_backend() != "tpu",
+                return_entry_count=True)
         else:
             d, i = xla_tiled.rasterize_tiled(prims, cam.width, cam.height)
+            tc = jnp.int32(0)
         # Fused winner-attribute gather: (px, py, r, rgb) per hit pixel.
         table = jnp.concatenate([
             prims.params[:, 0:2], prims.params[:, 3:4], prims.color], axis=1)
         attr = table[jnp.maximum(i, 0)]  # (H, W, 6)
-        return d, i, attr
+        return d, i, attr, tc
 
     def _merge(self, d, gi, attr, depth, index, attrs):
         take = (d < depth) | ((d == depth) & (gi < index))
@@ -116,10 +125,10 @@ class StreamingRasterizer:
         cam = self.camera
 
         def step_single(chunk, colors, offset, depth, index, attrs):
-            d, i, attr = self._raster_local(chunk, colors)
+            d, i, attr, tc = self._raster_local(chunk, colors)
             gi = jnp.where(i >= 0, i + offset, IMAX)
             d = jnp.where(i >= 0, d, INF)
-            return self._merge(d, gi, attr, depth, index, attrs)
+            return self._merge(d, gi, attr, depth, index, attrs) + (tc,)
 
         if self.mesh is None:
             return step_single
@@ -135,13 +144,14 @@ class StreamingRasterizer:
             jax.shard_map, mesh=mesh,
             in_specs=(P("points"), P("points"), P(), P(None, None),
                       P(None, None), P(None, None, None)),
-            out_specs=(P(None, None), P(None, None), P(None, None, None)),
+            out_specs=(P(None, None), P(None, None), P(None, None, None),
+                       P()),
             check_vma=False,
         )
         def step_sharded(chunk, colors, offset, depth, index, attrs):
             n_local = chunk.shape[0]
             shard = jax.lax.axis_index("points")
-            d, i, attr = self._raster_local(chunk, colors)
+            d, i, attr, tc = self._raster_local(chunk, colors)
             gi = jnp.where(i >= 0, i + offset + shard * n_local, IMAX)
             d = jnp.where(i >= 0, d, INF)
             # Merge across the mesh first (lexicographic pmin), then fold
@@ -152,7 +162,8 @@ class StreamingRasterizer:
             mine = (d == best_d) & (gi == best_gi) & (gi != IMAX)
             attr_sum = jax.lax.psum(
                 jnp.where(mine[..., None], attr, 0.0), "points")
-            return self._merge(best_d, best_gi, attr_sum, depth, index, attrs)
+            return self._merge(best_d, best_gi, attr_sum, depth, index,
+                               attrs) + (jax.lax.pmax(tc, "points"),)
 
         return step_sharded
 
@@ -173,6 +184,7 @@ class StreamingRasterizer:
         depth = jnp.full((cam.height, cam.width), jnp.inf, jnp.float32)
         index = jnp.full((cam.height, cam.width), IMAX, jnp.int32)
         attrs = jnp.zeros((cam.height, cam.width, 6), jnp.float32)
+        tc_max = jnp.int32(0)
         offset = 0
         for chunk in chunks:
             if isinstance(chunk, tuple):
@@ -193,9 +205,21 @@ class StreamingRasterizer:
             col = jnp.asarray(colors)
             if self._step is None:
                 self._compile(dev, col, depth, index, attrs)
-            depth, index, attrs = self._step(dev, col, jnp.int32(offset),
-                                             depth, index, attrs)
+            depth, index, attrs, tc = self._step(dev, col, jnp.int32(offset),
+                                                 depth, index, attrs)
+            # Device-side running max: ONE scalar fetch at the end (a
+            # per-chunk fetch costs a full tunnel RTT each).
+            tc_max = jnp.maximum(tc_max, tc)
             offset += n
+        if self.entry_capacity is not None and offset:
+            worst = int(np.asarray(tc_max))
+            self._max_entries = worst
+            if worst > self.entry_capacity:
+                raise RuntimeError(
+                    f"streaming entry_capacity {self.entry_capacity} "
+                    f"exceeded (a chunk binned {worst} entries) — the "
+                    f"render silently truncated; rerun with capacity >= "
+                    f"{worst}.")
         index = jnp.where(jnp.isinf(depth), -1, index)
         if return_attrs:
             return depth, index, attrs

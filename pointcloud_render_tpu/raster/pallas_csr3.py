@@ -485,6 +485,9 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
         sorted_keys,
         np.arange(num_tiles + 1, dtype=np.int32) << zq_bits
     ).astype(jnp.int32)
+    # True (pre-capacity) entry count — callers with a finite
+    # entry_capacity can check the exactness precondition post hoc.
+    true_count = starts[num_tiles]
 
     e = sorted_prims.shape[0]
     if entry_capacity is not None:
@@ -559,7 +562,7 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
     depth = assemble(depth_t)
     ent = assemble(ent_t)
     return depth[:height, :width], ent[:height, :width], rows_flat, \
-        sorted_prims, big_list, e_pad
+        sorted_prims, big_list, e_pad, true_count
 
 
 def _resolve_ids(ent, depth, sorted_prims, big_list):
@@ -577,7 +580,8 @@ def rasterize_pallas_csr3(prims, width: int, height: int, tile_h: int = 32,
                           tile_w: int = 32, unroll: int = 4,
                           entry_capacity=None,
                           chunk_rows: int = DEFAULT_CHUNK_ROWS,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          return_entry_count: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Disc fast path: every binned entry is a 2x2-tile-span disc;
@@ -596,10 +600,13 @@ def rasterize_pallas_csr3(prims, width: int, height: int, tile_h: int = 32,
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
-    depth, ent, _, sorted_prims, big_list, _ = _raster_core(
+    depth, ent, _, sorted_prims, big_list, _, true_count = _raster_core(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, interpret, zeros3, zerosf, (0.0, 0.0, 0.0))
-    return depth, _resolve_ids(ent, depth, sorted_prims, big_list)
+    index = _resolve_ids(ent, depth, sorted_prims, big_list)
+    if return_entry_count:
+        return depth, index, true_count
+    return depth, index
 
 
 def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
@@ -617,7 +624,7 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
     """
     width, height = camera.width, camera.height
     shade_rgb, shade_flag = _preshade(prims, camera, shading)
-    depth, ent, rows_flat, sorted_prims, big_list, e_pad = _raster_core(
+    depth, ent, rows_flat, sorted_prims, big_list, e_pad, _tc = _raster_core(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, interpret, shade_rgb, shade_flag, shading.background)
 

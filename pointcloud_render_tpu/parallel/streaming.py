@@ -98,17 +98,33 @@ class StreamingRasterizer:
             chunk, cam, jnp.full((chunk.shape[0],), self.radius, jnp.float32),
             colors)
         if self.backend == "pallas":
-            # v3 disc fast path (chunks are pure discs).  The true
-            # (pre-capacity) entry count rides along so rasterize() can
-            # assert the finite-capacity exactness precondition post hoc.
-            d, i, tc = pallas_csr3.rasterize_pallas_csr3(
-                prims, cam.width, cam.height,
-                entry_capacity=self.entry_capacity,
-                interpret=jax.default_backend() != "tpu",
-                return_entry_count=True)
-        else:
-            d, i = xla_tiled.rasterize_tiled(prims, cam.width, cam.height)
-            tc = jnp.int32(0)
+            # v3 disc fast path with the primitive id riding the row's
+            # flag slot (exact as f32 below 2^24): ONE winner gather
+            # yields id AND shading attributes — no separate entry->id
+            # resolve or attribute gather.  The true (pre-capacity)
+            # entry count rides along so rasterize() can assert the
+            # finite-capacity exactness precondition post hoc.
+            idf = jnp.arange(prims.count, dtype=jnp.float32)
+            d, ent, rows_flat, _sp, _bl, e_pad, tc = \
+                pallas_csr3._raster_core(
+                    prims, cam.width, cam.height, 32, 32, 4,
+                    self.entry_capacity, pallas_csr3.DEFAULT_CHUNK_ROWS,
+                    jax.default_backend() != "tpu", prims.color, idf,
+                    (0.0, 0.0, 0.0))
+            n_rows = rows_flat.shape[0]
+            shade_idx = jnp.where(
+                ent == IMAX, n_rows - 1,
+                jnp.where(ent < 0, e_pad + (-ent - 2), ent))
+            a = rows_flat[jnp.clip(shade_idx, 0, n_rows - 1)]
+            i = jnp.where(jnp.isinf(d), -1, a[..., 7].astype(jnp.int32))
+            # (px, py, r, rgb); r = sqrt(r^2) is within 1 ulp of the
+            # projected radius — resolve_rgb's Lambert tolerance.
+            attr = jnp.concatenate(
+                [a[..., 0:2], jnp.sqrt(a[..., 3:4]), a[..., 4:7]],
+                axis=-1)
+            return d, i, attr, tc
+        d, i = xla_tiled.rasterize_tiled(prims, cam.width, cam.height)
+        tc = jnp.int32(0)
         # Fused winner-attribute gather: (px, py, r, rgb) per hit pixel.
         table = jnp.concatenate([
             prims.params[:, 0:2], prims.params[:, 3:4], prims.color], axis=1)

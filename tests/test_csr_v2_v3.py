@@ -352,3 +352,29 @@ class TestPallasCsr4:
         # Identical capsule-covered pixel sets (same union geometry).
         agree = (cap_c == cap_f).mean()
         assert agree > 0.999, f"trail coverage changed: {agree}"
+
+
+class TestV4OverflowGuard:
+    def test_trajectory_probe_raises_on_big_overflow(self):
+        """run/trajectory's capacity probe must refuse scenes whose
+        non-binnable prims exceed the v4 big-list cap (they would be
+        dropped silently)."""
+        import pytest
+
+        from pointcloud_render_tpu.configs import PRESETS
+        from pointcloud_render_tpu.run.trajectory import (
+            TrajectoryScanRenderer,
+        )
+
+        # Giant splat radius -> every disc spans > 2x2 blocks -> all big.
+        import dataclasses as _dc
+
+        preset = _dc.replace(PRESETS["traj_ball"], point_radius=0.45,
+                             trail="none")
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(-0.4, 0.4, (3000, 3)).astype(np.float32)
+        vel = np.zeros((3000, 3), np.float32)
+        r = TrajectoryScanRenderer(preset)
+        with pytest.raises(RuntimeError, match="big-list overflow"):
+            r._probe_entry_capacity(jnp.asarray(pos), jnp.asarray(vel),
+                                    list(range(4)))

@@ -53,6 +53,31 @@ class TestStreaming:
         assert idx.max() < 300  # padding sentinels never win
         assert (idx >= 0).any()
 
+    def test_pallas_backend_capacity_assertion(self):
+        """The v3 streaming path must match tiled winner-exactly AND
+        raise loudly when a chunk's true entry count exceeds the
+        configured capacity (the silent-truncation guard)."""
+        import pytest
+
+        cam = make_camera()
+        rng = np.random.default_rng(2)
+        n = 512
+        pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        sr = StreamingRasterizer(cam, chunk_points=256, radius_world=0.03,
+                                 backend="pallas", entry_capacity=65536)
+        d_s, i_s = sr.rasterize([pos[:256], pos[256:]])
+        prims = discs_from_points(pos, cam, jnp.full((n,), 0.03),
+                                  np.array([0.3, 0.3, 0.3], np.float32))
+        d_1, i_1 = xla_tiled.rasterize_tiled(prims, W, H)
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_1))
+        assert sr._max_entries > 0
+
+        tiny = StreamingRasterizer(cam, chunk_points=256,
+                                   radius_world=0.03, backend="pallas",
+                                   entry_capacity=64)
+        with pytest.raises(RuntimeError, match="entry_capacity"):
+            tiny.rasterize([pos[:256]])
+
     def test_streamed_rgb_matches_monolithic_shaded(self):
         """Per-point colors + winner attrs streamed in chunks == the
         monolithic render's shaded image (VERDICT r1 item 6)."""

@@ -378,3 +378,29 @@ class TestV4OverflowGuard:
         with pytest.raises(RuntimeError, match="big-list overflow"):
             r._probe_entry_capacity(jnp.asarray(pos), jnp.asarray(vel),
                                     list(range(4)))
+
+
+class TestV4Determinism:
+    def test_order_permutation_determinism(self):
+        """Permuting primitive order changes ids but not the image —
+        v4's unstable sort must not introduce order sensitivity (the
+        per-pair (depth, id) tie-break makes winners order-free)."""
+        from pointcloud_render_tpu.raster.pallas_csr4 import rasterize_pallas_csr4
+
+        cam = make_camera()
+        rng = np.random.default_rng(3)
+        n = 300
+        pos = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+        perm = rng.permutation(n)
+        a = discs_from_points(jnp.asarray(pos), cam, jnp.full((n,), 0.03),
+                              jnp.array([0.3, 0.3, 0.3]))
+        b = discs_from_points(jnp.asarray(pos[perm]), cam,
+                              jnp.full((n,), 0.03),
+                              jnp.array([0.3, 0.3, 0.3]))
+        d_a, i_a = rasterize_pallas_csr4(a, W, H, interpret=True)
+        d_b, i_b = rasterize_pallas_csr4(b, W, H, interpret=True)
+        i_a, i_b = np.asarray(i_a), np.asarray(i_b)
+        np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+        hit = i_a >= 0
+        np.testing.assert_array_equal(
+            np.where(hit, perm[i_b.clip(0)], -1), np.where(hit, i_a, -1))

@@ -32,10 +32,14 @@ Two levels of API:
   ``run.pipeline.build_primitives`` — the lexicographic merge is then
   shard-count invariant by construction.
 
-Capacity: these paths rasterize through the capacity-capped tiled
-backend, so every entry point also returns the binning OVERFLOW count
-(psum over shards; 0 = every primitive rasterized exactly).  Callers must
-treat overflow > 0 as a failed render — raise ``max_per_tile`` and rerun.
+Capacity: the full-scene paths dispatch on ``config.backend`` — the
+capacity-capped tiled backend (default) or the capacity-free Pallas
+kernels (``pallas4`` for splat/trail mixes, ``pallas5`` for Morton-
+ordered clouds; see ``_rasterize_shard``).  Every entry point returns the
+binning OVERFLOW count (psum over shards; 0 = every primitive rasterized
+exactly — for Pallas backends this is the big-list drop count).  Callers
+must treat overflow > 0 as a failed render — raise ``max_per_tile`` /
+``max_big`` and rerun.
 """
 
 from __future__ import annotations
@@ -214,6 +218,47 @@ def render_batch_sharded(positions, radii, colors, camera, config,
 # ---------------------------------------------------------------------------
 
 
+def _rasterize_shard(prims, camera, config):
+    """Backend dispatch for a shard's local z-buffer: the capacity-capped
+    tiled backend (default) or a capacity-free Pallas kernel (v4: generic
+    splat/trail mix; v5: chunk-binned Morton clouds).  Pallas kernels
+    compose with shard_map exactly as parallel/streaming.py's v3 usage;
+    the returned overflow is the kernel's big-list drop count (0 = every
+    primitive rasterized exactly), psum-reduced by the caller."""
+    from pointcloud_render_tpu.raster.render import _resolve_backend
+
+    backend = _resolve_backend(config.backend)
+    interpret = jax.default_backend() != "tpu"
+    if backend in ("pallas4", "pallas", "pallas3"):
+        # v4 serves every sharded pallas request: same generic scene
+        # scope as v2/v3 but capacity-free for binned prims and exact
+        # per-pair ties (v3's low-id-furniture precondition does not
+        # hold for point shards, whose furniture mask varies by shard).
+        from pointcloud_render_tpu.raster import pallas_csr4
+
+        depth, index, diag = pallas_csr4.rasterize_pallas_csr4(
+            prims, camera.width, camera.height, unroll=config.unroll,
+            entry_capacity=config.entry_capacity, interpret=interpret,
+            return_diag=True)
+        return depth, index, diag["big_overflow"]
+    if backend == "pallas5":
+        from pointcloud_render_tpu.raster import pallas_csr5
+
+        depth, index, diag = pallas_csr5.rasterize_pallas_csr5(
+            prims, camera.width, camera.height,
+            entry_capacity=config.entry_capacity, interpret=interpret,
+            return_diag=True)
+        return depth, index, diag["big_overflow"]
+    depth, index = xla_tiled.rasterize_tiled(
+        prims, camera.width, camera.height,
+        tile_h=config.tile_h, tile_w=config.tile_w,
+        max_per_tile=config.max_per_tile)
+    overflow = tile_overflow(prims, camera.width, camera.height,
+                             tile_h=config.tile_h, tile_w=config.tile_w,
+                             max_per_tile=config.max_per_tile)
+    return depth, index, overflow
+
+
 def _scene_shard_frame(preset, config, axis_name, n_shards, film,
                        droplet_lod, positions, velocities, frame_index,
                        history, rotations, with_vel, with_history,
@@ -269,13 +314,7 @@ def _scene_shard_frame(preset, config, axis_name, n_shards, film,
     valid = prims.valid & (jnp.asarray(~fixed) | (shard == 0))
     prims = dataclasses.replace(prims, valid=valid)
 
-    depth, index = xla_tiled.rasterize_tiled(
-        prims, camera.width, camera.height,
-        tile_h=config.tile_h, tile_w=config.tile_w,
-        max_per_tile=config.max_per_tile)
-    overflow = tile_overflow(prims, camera.width, camera.height,
-                             tile_h=config.tile_h, tile_w=config.tile_w,
-                             max_per_tile=config.max_per_tile)
+    depth, index, overflow = _rasterize_shard(prims, camera, config)
 
     safe = jnp.maximum(index, 0)
     gid = jnp.where(

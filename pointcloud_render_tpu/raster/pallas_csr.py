@@ -281,7 +281,7 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((ROW_F, big_list.shape[0]), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),

@@ -345,7 +345,7 @@ def rasterize_pallas_csr2(prims, width: int, height: int, tile_h: int = 8,
         num_scalar_prefetch=1,
         grid=(n_programs,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16, big_list.shape[0]), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),

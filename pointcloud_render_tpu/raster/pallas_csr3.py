@@ -517,7 +517,7 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16, big_list.shape[0]), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),

@@ -368,8 +368,13 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 
 def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
                   entry_capacity, chunk_rows, interpret, shade_rgb,
-                  shade_flag):
-    """Shared binning + kernel launch.  Returns (depth, idf_img, table16)."""
+                  shade_flag, max_big=DEFAULT_MAX_BIG):
+    """Shared binning + kernel launch.
+
+    Returns (depth, idf_img, table16, diag) where diag carries the
+    DEVICE-SIDE exactness certificates: ``true_entries`` (must be <= any
+    finite entry_capacity) and ``big_overflow`` (must be 0) — one scalar
+    fetch certifies a whole frame post hoc (cf. parallel/streaming.py)."""
     if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
         raise ValueError(
             "pallas_csr4 pixel blocks must hold exactly one (8, 128) "
@@ -382,13 +387,16 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
     num_tiles = tiles_y * tiles_x
 
     sorted_keys, sorted_prims, big_list, big_count, zmeta = _bin_csr4(
-        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y)
+        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
+        max_big=max_big)
 
     zq_bits = _zq_bits(num_tiles)
     starts = jnp.searchsorted(
         sorted_keys,
         np.arange(num_tiles + 1, dtype=np.int32) << zq_bits
     ).astype(jnp.int32)
+    diag = dict(true_entries=starts[num_tiles],
+                big_overflow=jnp.maximum(big_count - big_list.shape[0], 0))
 
     e = sorted_prims.shape[0]
     if entry_capacity is not None:
@@ -419,7 +427,7 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16, big_list.shape[0]), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),
@@ -460,14 +468,16 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
 
     depth = assemble(depth_t)[:height, :width]
     idf = assemble(idf_t)[:height, :width]
-    return depth, idf, table16
+    return depth, idf, table16, diag
 
 
 def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
                           tile_w: int = 32, unroll: int = 4,
                           entry_capacity=None,
                           chunk_rows: int = DEFAULT_CHUNK_ROWS,
-                          interpret: bool = False):
+                          max_big: int = DEFAULT_MAX_BIG,
+                          interpret: bool = False,
+                          return_diag: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Generic binned path: every valid disc/capsule spanning <= 2x2 pixel
@@ -479,10 +489,12 @@ def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
-    depth, idf, _ = _raster_core4(
+    depth, idf, _, diag = _raster_core4(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
-        chunk_rows, interpret, zeros3, zerosf)
+        chunk_rows, interpret, zeros3, zerosf, max_big=max_big)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
+    if return_diag:
+        return depth, index, diag
     return depth, index
 
 
@@ -490,7 +502,9 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
                        tile_w: int = 32, unroll: int = 4,
                        entry_capacity=None,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
-                       interpret: bool = False):
+                       max_big: int = DEFAULT_MAX_BIG,
+                       interpret: bool = False,
+                       return_diag: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -499,9 +513,9 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
     """
     width, height = camera.width, camera.height
     shade_rgb, shade_flag = _preshade(prims, camera, shading)
-    depth, idf, table16 = _raster_core4(
+    depth, idf, table16, diag = _raster_core4(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
-        chunk_rows, interpret, shade_rgb, shade_flag)
+        chunk_rows, interpret, shade_rgb, shade_flag, max_big=max_big)
 
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
@@ -535,4 +549,6 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
 
     bg = np.asarray(shading.background, np.float32)
     rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
+    if return_diag:
+        return rgb, depth, index, diag
     return rgb, depth, index

@@ -33,32 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from pointcloud_render_tpu.raster import pallas_csr3, xla_tiled
-from pointcloud_render_tpu.raster.primitives import discs_from_points
+from pointcloud_render_tpu.raster import pallas_csr4, xla_tiled
+from pointcloud_render_tpu.raster.primitives import KIND_DISC, discs_from_points
+from pointcloud_render_tpu.shading.shade import ShadingConfig, shade_winner_attrs
 from pointcloud_render_tpu.utils import aot
 
 IMAX = np.int32(2147483647)
 INF = np.float32(np.inf)
-
-
-def _shade_disc(px, py, r, rgb, hit, camera, ambient=0.3, diffuse=0.7,
-                background=(1.0, 1.0, 1.0)):
-    """Sphere-normal Lambert for disc winners (mirrors shading.shade)."""
-    h, w = hit.shape
-    m = camera.world_to_camera_matrix()
-    l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
-    qx = (np.arange(w, dtype=np.float32) + 0.5)[None, :]
-    qy = (np.arange(h, dtype=np.float32) + 0.5)[:, None]
-    inv_r = 1.0 / jnp.maximum(r, 1e-6)
-    u = (qx - px) * inv_r
-    v = -(qy - py) * inv_r
-    w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
-    nz = -jnp.sqrt(w2)
-    ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
-    lit = ambient + diffuse * jnp.maximum(ndotl, 0.0)
-    out = rgb * lit[..., None]
-    bg = np.asarray(background, np.float32)
-    return jnp.clip(jnp.where(hit[..., None], out, bg), 0.0, 1.0)
 
 
 class StreamingRasterizer:
@@ -68,16 +49,22 @@ class StreamingRasterizer:
       camera: the Camera.
       chunk_points: points per streamed chunk (static shape).
       radius_world: world-space splat radius.
-      backend: "pallas" | "tiled" | None (auto).
+      backend: "pallas" (the v4 generic binned kernel — exact per-pair
+        (depth, id) ties for any primitive mix) | "tiled" | None (auto).
       color: (3,) default color, used when a chunk has no per-point colors.
       mesh: optional jax Mesh with a 'points' axis — each chunk is
         point-sharded across it (composes streaming with the device mesh).
+      soup_fn: optional (positions, colors, *extras) -> ScreenPrimitives
+        per-chunk builder for NON-disc streamed scenes (e.g. discs +
+        velocity-trail capsules); defaults to disc splats.  Chunks in
+        ``rasterize`` may then be (positions, colors, *extras) tuples.
     """
 
     def __init__(self, camera, chunk_points: int, radius_world: float,
                  backend: Optional[str] = None,
                  color=(0.3, 0.3, 0.3), mesh=None,
-                 entry_capacity: Optional[int] = None):
+                 entry_capacity: Optional[int] = None,
+                 soup_fn=None, shading: ShadingConfig = ShadingConfig()):
         self.camera = camera
         self.chunk_points = int(chunk_points)
         self.radius = float(radius_world)
@@ -86,50 +73,50 @@ class StreamingRasterizer:
             "pallas" if jax.default_backend() == "tpu" else "tiled")
         self.mesh = mesh
         self.entry_capacity = entry_capacity
+        self.soup_fn = soup_fn
+        self.shading = shading
         self._step = None
         self._max_entries = 0
 
     # -- device step ---------------------------------------------------------
 
-    def _raster_local(self, chunk, colors):
-        """One device's (or the whole chip's) rasterization of a chunk."""
+    def _build_soup(self, chunk, colors, extras):
+        if self.soup_fn is not None:
+            return self.soup_fn(chunk, colors, *extras)
         cam = self.camera
-        prims = discs_from_points(
+        return discs_from_points(
             chunk, cam, jnp.full((chunk.shape[0],), self.radius, jnp.float32),
             colors)
+
+    def _raster_local(self, chunk, colors, extras):
+        """One device's (or the whole chip's) rasterization of a chunk."""
+        cam = self.camera
+        prims = self._build_soup(chunk, colors, extras)
         if self.backend == "pallas":
-            # v3 disc fast path with the primitive id riding the row's
-            # flag slot (exact as f32 below 2^24): ONE winner gather
-            # yields id AND shading attributes — no separate entry->id
-            # resolve or attribute gather.  The true (pre-capacity)
-            # entry count rides along so rasterize() can assert the
-            # finite-capacity exactness precondition post hoc.
-            idf = jnp.arange(prims.count, dtype=jnp.float32)
-            d, ent, rows_flat, _sp, _bl, e_pad, tc = \
-                pallas_csr3._raster_core(
-                    prims, cam.width, cam.height, 32, 32, 4,
-                    self.entry_capacity, pallas_csr3.DEFAULT_CHUNK_ROWS,
-                    jax.default_backend() != "tpu", prims.color, idf,
-                    (0.0, 0.0, 0.0))
-            n_rows = rows_flat.shape[0]
-            shade_idx = jnp.where(
-                ent == IMAX, n_rows - 1,
-                jnp.where(ent < 0, e_pad + (-ent - 2), ent))
-            a = rows_flat[jnp.clip(shade_idx, 0, n_rows - 1)]
-            i = jnp.where(jnp.isinf(d), -1, a[..., 7].astype(jnp.int32))
-            # (px, py, r, rgb); r = sqrt(r^2) is within 1 ulp of the
-            # projected radius — resolve_rgb's Lambert tolerance.
-            attr = jnp.concatenate(
-                [a[..., 0:2], jnp.sqrt(a[..., 3:4]), a[..., 4:7]],
-                axis=-1)
-            return d, i, attr, tc
-        d, i = xla_tiled.rasterize_tiled(prims, cam.width, cam.height)
-        tc = jnp.int32(0)
-        # Fused winner-attribute gather: (px, py, r, rgb) per hit pixel.
+            # v4 generic binned kernel (public API): capacity-free for
+            # binned prims, exact per-pair (depth, id) ties for every
+            # kind mix.  The diag carries the true (pre-capacity) entry
+            # count so rasterize() asserts the finite-capacity exactness
+            # precondition post hoc with one scalar fetch.
+            d, i, diag = pallas_csr4.rasterize_pallas_csr4(
+                prims, cam.width, cam.height, unroll=4,
+                entry_capacity=self.entry_capacity,
+                interpret=jax.default_backend() != "tpu",
+                return_diag=True)
+            tc = diag["true_entries"]
+            ovf = diag["big_overflow"]
+        else:
+            d, i = xla_tiled.rasterize_tiled(prims, cam.width, cam.height)
+            tc = ovf = jnp.int32(0)
+        # Fused winner-attribute gather: (px, py, rflag, rgb) per hit
+        # pixel; rflag = projected radius for discs, -1 for capsules
+        # (shade_winner_attrs applies the trail boost there).
+        rflag = jnp.where(prims.kind == KIND_DISC,
+                          prims.params[:, 3], -1.0)
         table = jnp.concatenate([
-            prims.params[:, 0:2], prims.params[:, 3:4], prims.color], axis=1)
+            prims.params[:, 0:2], rflag[:, None], prims.color], axis=1)
         attr = table[jnp.maximum(i, 0)]  # (H, W, 6)
-        return d, i, attr, tc
+        return d, i, attr, tc, ovf
 
     def _merge(self, d, gi, attr, depth, index, attrs):
         take = (d < depth) | ((d == depth) & (gi < index))
@@ -138,13 +125,11 @@ class StreamingRasterizer:
                 jnp.where(take[..., None], attr, attrs))
 
     def _make_step(self):
-        cam = self.camera
-
-        def step_single(chunk, colors, offset, depth, index, attrs):
-            d, i, attr, tc = self._raster_local(chunk, colors)
+        def step_single(chunk, colors, extras, offset, depth, index, attrs):
+            d, i, attr, tc, ovf = self._raster_local(chunk, colors, extras)
             gi = jnp.where(i >= 0, i + offset, IMAX)
             d = jnp.where(i >= 0, d, INF)
-            return self._merge(d, gi, attr, depth, index, attrs) + (tc,)
+            return self._merge(d, gi, attr, depth, index, attrs) + (tc, ovf)
 
         if self.mesh is None:
             return step_single
@@ -155,19 +140,24 @@ class StreamingRasterizer:
             raise ValueError(
                 f"chunk_points {self.chunk_points} not divisible by "
                 f"{n_dev} devices")
+        if self.soup_fn is not None:
+            raise NotImplementedError(
+                "mesh-sharded streaming requires per-point global-id "
+                "mapping for multi-primitive soups (run.parallel scene "
+                "sharding); use soup_fn without a mesh")
 
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(P("points"), P("points"), P(), P(None, None),
+            in_specs=(P("points"), P("points"), P(), P(), P(None, None),
                       P(None, None), P(None, None, None)),
             out_specs=(P(None, None), P(None, None), P(None, None, None),
-                       P()),
+                       P(), P()),
             check_vma=False,
         )
-        def step_sharded(chunk, colors, offset, depth, index, attrs):
+        def step_sharded(chunk, colors, extras, offset, depth, index, attrs):
             n_local = chunk.shape[0]
             shard = jax.lax.axis_index("points")
-            d, i, attr, tc = self._raster_local(chunk, colors)
+            d, i, attr, tc, ovf = self._raster_local(chunk, colors, extras)
             gi = jnp.where(i >= 0, i + offset + shard * n_local, IMAX)
             d = jnp.where(i >= 0, d, INF)
             # Merge across the mesh first (lexicographic pmin), then fold
@@ -179,33 +169,42 @@ class StreamingRasterizer:
             attr_sum = jax.lax.psum(
                 jnp.where(mine[..., None], attr, 0.0), "points")
             return self._merge(best_d, best_gi, attr_sum, depth, index,
-                               attrs) + (jax.lax.pmax(tc, "points"),)
+                               attrs) + (jax.lax.pmax(tc, "points"),
+                                         jax.lax.pmax(ovf, "points"))
 
         return step_sharded
 
-    def _compile(self, example_chunk, example_colors, depth, index, attrs):
+    def _compile(self, example_chunk, example_colors, example_extras,
+                 depth, index, attrs):
         self._step = aot.compile_const_free(
-            self._make_step(), example_chunk, example_colors, jnp.int32(0),
-            depth, index, attrs)
+            self._make_step(), example_chunk, example_colors,
+            example_extras, jnp.int32(0), depth, index, attrs)
 
     # -- host loop -------------------------------------------------------------
 
     def rasterize(self, chunks: Iterable, return_attrs: bool = False):
         """Consume an iterable of (C, 3) position chunks — or (positions,
-        colors) tuples for per-point colors; the last chunk may be short
-        (padded with culled sentinels).  Returns (depth, index) with
-        global point indices, plus the winner attribute buffer when
-        ``return_attrs`` (use ``resolve_rgb`` to shade it)."""
+        colors[, *extras]) tuples for per-point colors and ``soup_fn``
+        companions; the last chunk may be short (padded with culled
+        sentinels).  Returns (depth, index) with global PRIMITIVE indices
+        (point indices for the default disc soup), plus the winner
+        attribute buffer when ``return_attrs`` (``resolve_rgb`` shades
+        it)."""
         cam = self.camera
         depth = jnp.full((cam.height, cam.width), jnp.inf, jnp.float32)
         index = jnp.full((cam.height, cam.width), IMAX, jnp.int32)
         attrs = jnp.zeros((cam.height, cam.width, 6), jnp.float32)
         tc_max = jnp.int32(0)
+        ovf_max = jnp.int32(0)
         offset = 0
+        prims_per_chunk = None
         for chunk in chunks:
+            extras = ()
             if isinstance(chunk, tuple):
-                chunk, colors = chunk
+                chunk, colors, *extras = chunk
                 colors = np.asarray(colors, np.float32)
+                extras = tuple(jnp.asarray(np.asarray(e, np.float32))
+                               for e in extras)
             else:
                 colors = np.broadcast_to(self.color,
                                          (np.asarray(chunk).shape[0], 3))
@@ -217,20 +216,37 @@ class StreamingRasterizer:
                     [chunk, np.full((pad, 3), np.float32(1e30))])
                 colors = np.concatenate(
                     [colors, np.zeros((pad, 3), np.float32)])
+                extras = tuple(jnp.concatenate(
+                    [e, jnp.zeros((pad,) + e.shape[1:], e.dtype)])
+                    for e in extras)
             dev = jnp.asarray(chunk)
             col = jnp.asarray(colors)
+            if prims_per_chunk is None:
+                # Global ids advance by the chunk's PRIMITIVE count
+                # (static: fixed chunk shape -> fixed soup size).
+                prims_per_chunk = jax.eval_shape(
+                    lambda c, k, e: self._build_soup(c, k, e).kind,
+                    dev, col, extras).shape[0]
             if self._step is None:
-                self._compile(dev, col, depth, index, attrs)
-            depth, index, attrs, tc = self._step(dev, col, jnp.int32(offset),
-                                                 depth, index, attrs)
+                self._compile(dev, col, extras, depth, index, attrs)
+            depth, index, attrs, tc, ovf = self._step(
+                dev, col, extras, jnp.int32(offset), depth, index, attrs)
             # Device-side running max: ONE scalar fetch at the end (a
             # per-chunk fetch costs a full tunnel RTT each).
             tc_max = jnp.maximum(tc_max, tc)
-            offset += n
-        if self.entry_capacity is not None and offset:
+            ovf_max = jnp.maximum(ovf_max, ovf)
+            offset += prims_per_chunk
+        if offset:
             worst = int(np.asarray(tc_max))
+            ovf_w = int(np.asarray(ovf_max))
             self._max_entries = worst
-            if worst > self.entry_capacity:
+            if ovf_w > 0:
+                raise RuntimeError(
+                    f"streaming big-list overflow ({ovf_w} primitives) — "
+                    f"the render silently dropped them; raise max_big or "
+                    f"reduce primitive extents.")
+            if (self.entry_capacity is not None
+                    and worst > self.entry_capacity):
                 raise RuntimeError(
                     f"streaming entry_capacity {self.entry_capacity} "
                     f"exceeded (a chunk binned {worst} entries) — the "
@@ -242,10 +258,15 @@ class StreamingRasterizer:
         return depth, index
 
     def resolve_rgb(self, depth, index, attrs, shaded: bool = True):
-        """Winner attributes -> final RGB image ((H, W, 3) float32)."""
+        """Winner attributes -> final RGB image ((H, W, 3) float32).
+
+        ONE shader for every path: shading.shade.shade_winner_attrs —
+        the same sphere-Lambert as the monolithic render, with capsule
+        winners (attr rflag <= 0) taking the reference trail boost."""
         hit = index >= 0
         if not shaded:
             bg = np.ones(3, np.float32)
             return jnp.where(hit[..., None], attrs[..., 3:6], bg)
-        return _shade_disc(attrs[..., 0], attrs[..., 1], attrs[..., 2],
-                           attrs[..., 3:6], hit, self.camera)
+        return shade_winner_attrs(attrs[..., 0], attrs[..., 1],
+                                  attrs[..., 2], attrs[..., 3:6], hit,
+                                  self.camera, self.shading)

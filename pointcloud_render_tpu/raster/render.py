@@ -125,6 +125,17 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             unroll=config.unroll,
             entry_capacity=config.entry_capacity,
             interpret=jax.default_backend() != "tpu")
+    if backend == "pallas5":
+        # Chunk-binned path for Morton-ordered clouds (scene/spatial):
+        # 16-prim superrow binning kills the per-prim sort/gather cost;
+        # unsorted clouds degrade to the big list (loud on overflow).
+        from pointcloud_render_tpu.raster import pallas_csr5  # noqa: PLC0415
+
+        return pallas_csr5.rasterize_pallas_csr5(
+            prims, width, height,
+            unroll=config.unroll,
+            entry_capacity=config.entry_capacity,
+            interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
 
@@ -138,18 +149,38 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
 
 
 def render(prims: ScreenPrimitives, camera,
-           config: Optional[RasterConfig] = None) -> FrameBuffers:
-    """Rasterize + shade a primitive soup through a Camera."""
+           config: Optional[RasterConfig] = None,
+           return_diag: bool = False):
+    """Rasterize + shade a primitive soup through a Camera -> FrameBuffers.
+
+    ``return_diag=True`` additionally returns the backend's device-side
+    exactness certificate ``{"true_entries", "big_overflow"}`` (v4/v5
+    kernels; zeros for backends without capacity preconditions).  Carry
+    the running max through a scan and check ONE scalar post hoc to
+    certify EVERY frame against a finite entry_capacity — the streaming
+    pattern (parallel/streaming.py), closing the probe-gap hole.
+    """
     config = config or RasterConfig()
-    if _resolve_backend(config.backend) == "pallas4":
+    backend = _resolve_backend(config.backend)
+    if backend == "pallas4":
         from pointcloud_render_tpu.raster import pallas_csr4  # noqa: PLC0415
 
-        rgb, depth, index = pallas_csr4.render_shaded_csr4(
+        rgb, depth, index, diag = pallas_csr4.render_shaded_csr4(
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
-            interpret=jax.default_backend() != "tpu")
-        return FrameBuffers(rgb=rgb, depth=depth, index=index)
-    if _resolve_backend(config.backend) == "pallas3":
+            interpret=jax.default_backend() != "tpu", return_diag=True)
+        fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+        return (fb, diag) if return_diag else fb
+    if backend == "pallas5":
+        from pointcloud_render_tpu.raster import pallas_csr5  # noqa: PLC0415
+
+        rgb, depth, index, diag = pallas_csr5.render_shaded_csr5(
+            prims, camera, config.shading,
+            unroll=config.unroll, entry_capacity=config.entry_capacity,
+            interpret=jax.default_backend() != "tpu", return_diag=True)
+        fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+        return (fb, diag) if return_diag else fb
+    if backend == "pallas3":
         # Fused raster+shade: one 8-float winner-attribute gather instead
         # of the id-resolve + 10-float shade gathers (bit-identical rgb;
         # the index image is still produced, lazily).
@@ -159,10 +190,24 @@ def render(prims: ScreenPrimitives, camera,
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
             interpret=jax.default_backend() != "tpu")
-        return FrameBuffers(rgb=rgb, depth=depth, index=index)
+        fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+        if return_diag:
+            from pointcloud_render_tpu.raster import pallas_csr3 as _v3
+
+            diag = dict(
+                true_entries=_v3.true_entry_count3(
+                    prims, camera.width, camera.height),
+                big_overflow=_v3.bin_diagnostics3(
+                    prims, camera.width, camera.height))
+            return fb, diag
+        return fb
     depth, index = rasterize(prims, camera.width, camera.height, config)
     rgb = shade_framebuffer(prims, camera, depth, index, config.shading)
-    return FrameBuffers(rgb=rgb, depth=depth, index=index)
+    fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+    if return_diag:
+        return fb, dict(true_entries=jnp.int32(0),
+                        big_overflow=jnp.int32(0))
+    return fb
 
 
 # ---------------------------------------------------------------------------

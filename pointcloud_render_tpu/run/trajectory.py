@@ -78,7 +78,7 @@ class TrajectoryScanRenderer:
 
         def chunk_fn(positions, velocities, frame_ids, history):
             def step(carry, fi):
-                pos, vel, hist = carry
+                pos, vel, hist, tc_max, ovf_max = carry
                 origin = camera_origin_jax(preset.camera_preset, fi,
                                            preset.total_frames)
                 camera = Camera(
@@ -103,18 +103,29 @@ class TrajectoryScanRenderer:
                             prims.color, colors, 4, axis=0),
                         valid=prims.valid, bbox=prims.bbox,
                         normal=prims.normal)
-                fb = render(prims, camera, config)
+                # Device-side exactness certificate, carried as a running
+                # max over EVERY frame of the chunk (not just probed
+                # samples — closes the probe-gap silent-truncation hole;
+                # the streaming.py pattern).  One scalar pair leaves the
+                # device per chunk.
+                fb, diag = render(prims, camera, config, return_diag=True)
+                tc2 = jnp.maximum(tc_max, diag["true_entries"])
+                ovf2 = jnp.maximum(ovf_max, diag["big_overflow"])
                 # Rolling history: push the CURRENT positions (the frame
                 # just rendered used only prior frames, reference
                 # traj_renderer.py:754-761 semantics).
                 new_hist = jnp.concatenate([hist[1:], pos[None]], axis=0) \
                     if with_history else hist
                 new_pos = dynamics.advect(pos, vel, dt) if dt else pos
-                return (new_pos, vel, new_hist), srgb_encode_u8(fb.rgb)
+                return (new_pos, vel, new_hist, tc2, ovf2), \
+                    srgb_encode_u8(fb.rgb)
 
-            (pos_out, _, hist_out), frames = jax.lax.scan(
-                step, (positions, velocities, history), frame_ids)
-            return frames, pos_out, hist_out
+            (pos_out, _, hist_out, tc_max, ovf_max), frames = jax.lax.scan(
+                step,
+                (positions, velocities, history, jnp.int32(0),
+                 jnp.int32(0)),
+                frame_ids)
+            return frames, pos_out, hist_out, tc_max, ovf_max
 
         return chunk_fn
 
@@ -202,8 +213,29 @@ class TrajectoryScanRenderer:
                 self._compiled = aot.compile_const_free(
                     self._make_chunk_fn(), positions, velocities, fi,
                     history)
-            frames, positions, history = self._compiled(
+            frames, positions, history, tc_max, ovf_max = self._compiled(
                 positions, velocities, fi, history)
+            self._certify_chunk(int(np.asarray(tc_max)),
+                                int(np.asarray(ovf_max)), chunk_ids)
             frames = np.asarray(frames)
             out.extend(frames[: len(chunk_ids)])
         return out, positions
+
+    def _certify_chunk(self, tc_max: int, ovf_max: int, chunk_ids):
+        """Post-hoc per-chunk exactness check: the scan carried the max
+        binned-entry count and big-list overflow over EVERY rendered
+        frame; a capacity violation means dropped primitives, so fail
+        LOUDLY instead of returning a silently truncated image."""
+        cap = self.raster_config.entry_capacity
+        if cap is not None and tc_max > cap:
+            raise RuntimeError(
+                f"entry capacity violated in frames {chunk_ids[0]}.."
+                f"{chunk_ids[-1]}: max true_entry_count {tc_max} > "
+                f"capacity {cap} — the probe margin was too small; "
+                f"re-render with entry_capacity >= {tc_max}.")
+        if ovf_max > 0:
+            raise RuntimeError(
+                f"big-list overflow ({ovf_max} primitives) in frames "
+                f"{chunk_ids[0]}..{chunk_ids[-1]} — the render dropped "
+                f"them. Raise max_big or reduce primitive screen "
+                f"extents.")

@@ -6,8 +6,10 @@ radius 2 px — reference: traj_ball_renderer.py:20-27 '<sampler ...
 sampleCount=128>' + hdrfilm).  A single-sample rasterizer shows hard
 1-pixel stair-steps on the 0.0007-radius trail curves; this module adds
 the TPU-native equivalent: rasterize at ``ss``x resolution and collapse
-with a truncated gaussian matched to the reference filter (stddev 0.5
-TARGET px = 0.5*ss supersampled px, radius 2 target px).
+with the reference-matched offset-truncated gaussian (stddev 0.5 TARGET
+px = 0.5*ss supersampled px, radius 4*stddev = 2 target px, per-axis
+offset so the weight is exactly 0 at the radius — Mitsuba's gaussian
+rfilter formula).
 
 The filter runs as one depthwise stride-``ss`` convolution — XLA maps it
 onto the MXU and it costs ~1 ms at 1080p/ss=2.
@@ -28,23 +30,28 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
-def gaussian_kernel(ss: int, stddev_px: float = 0.5, radius_px: float = 1.0):
+def gaussian_kernel(ss: int, stddev_px: float = 0.5, radius_px: float = 2.0):
     """(K, K) float32 filter over supersampled texels for one target pixel.
 
-    stddev/radius are in TARGET pixels (the reference rfilter's stddev is
-    0.5; radius 1.0 keeps the kernel within the 3-sigma support while
-    staying separable-cheap: K = 2*radius*ss).  Normalized to sum 1.
+    stddev/radius are in TARGET pixels and default to the reference
+    rfilter's exact parameterization — Mitsuba's gaussian has stddev 0.5
+    and radius 4*stddev = 2 px, evaluated separably per axis as the
+    OFFSET-truncated form max(0, exp(-x^2/2s^2) - exp(-r^2/2s^2)) so the
+    weight reaches zero exactly at the radius
+    (/root/reference/traj_ball_renderer.py:20-27 hdrfilm gaussian).
+    K = 2*radius*ss texels; normalized to sum 1.
     """
     k = int(2 * radius_px * ss)
     # Texel centers relative to the target pixel center, in target px.
     coords = (np.arange(k) - (k - 1) / 2.0) / ss
-    g = np.exp(-0.5 * (coords / stddev_px) ** 2)
+    offset = np.exp(-0.5 * (radius_px / stddev_px) ** 2)
+    g = np.maximum(0.0, np.exp(-0.5 * (coords / stddev_px) ** 2) - offset)
     w = np.outer(g, g)
     return (w / w.sum()).astype(np.float32)
 
 
 def downsample(rgb, ss: int, stddev_px: float = 0.5,
-               radius_px: float = 1.0):
+               radius_px: float = 2.0):
     """(H*ss, W*ss, 3) -> (H, W, 3) gaussian-filtered RGB."""
     if ss == 1:
         return rgb
@@ -62,7 +69,7 @@ def downsample(rgb, ss: int, stddev_px: float = 0.5,
 
 
 def downsample_reference(rgb, ss: int, stddev_px: float = 0.5,
-                         radius_px: float = 1.0):
+                         radius_px: float = 2.0):
     """NumPy oracle for :func:`downsample` (tests)."""
     rgb = np.asarray(rgb, np.float32)
     k = gaussian_kernel(ss, stddev_px, radius_px)

@@ -44,6 +44,40 @@ class ShadingConfig:
     background: tuple = (1.0, 1.0, 1.0)
 
 
+def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
+                       config: ShadingConfig = ShadingConfig()):
+    """Shade WINNER-ATTRIBUTE buffers (no primitive soup needed).
+
+    The streamed/sharded paths carry per-pixel winner attributes through
+    their merges instead of re-gathering from a soup; this is the same
+    sphere-normal Lambert as :func:`shade_framebuffer`'s disc branch,
+    evaluated from those buffers.  ``rflag``: projected disc radius in
+    px (> 0), or <= 0 for capsule winners, which take the flat
+    ``trail_boost`` (reference trail specular, traj_ball_renderer.py:
+    179-182).  One shader for every path — keep formulas in lockstep
+    with shade_framebuffer.
+    """
+    h, w = hit.shape
+    if config.mode == "flat":
+        out = rgb
+    else:
+        m = camera.world_to_camera_matrix()
+        l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
+        qx = (np.arange(w, dtype=np.float32) + 0.5)[None, :]
+        qy = (np.arange(h, dtype=np.float32) + 0.5)[:, None]
+        inv_r = 1.0 / jnp.maximum(rflag, 1e-6)
+        u = (qx - px) * inv_r
+        v = -(qy - py) * inv_r
+        w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
+        nz = -jnp.sqrt(w2)
+        ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
+        lit = config.ambient + config.diffuse * jnp.maximum(ndotl, 0.0)
+        lit = jnp.where(rflag > 0, lit, config.trail_boost)
+        out = rgb * lit[..., None]
+    bg = np.asarray(config.background, np.float32)
+    return jnp.clip(jnp.where(hit[..., None], out, bg), 0.0, 1.0)
+
+
 def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
     """Resolve winning primitives to shaded RGB.
 

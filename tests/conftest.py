@@ -22,3 +22,14 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
+
+# Best-effort native-lib build so the C++ IO fast path is EXERCISED by
+# the suite (test_native.py skips without it) instead of silently
+# shipping untested.  ~1 s with g++; failures fall back to skipping.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "native", "libpcr_native.so")
+if not os.path.exists(_so):
+    import subprocess
+
+    subprocess.run(["make", "-C", os.path.join(_repo, "native")],
+                   capture_output=True, timeout=120, check=False)

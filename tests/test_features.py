@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pointcloud_render_tpu.parallel.streaming import StreamingRasterizer
 from pointcloud_render_tpu.raster import alpha, xla_tiled
@@ -54,7 +55,8 @@ class TestStreaming:
         assert (idx >= 0).any()
 
     def test_pallas_backend_capacity_assertion(self):
-        """The v3 streaming path must match tiled winner-exactly AND
+        """The pallas streaming path (v4 kernel) must match tiled
+        winner-exactly AND
         raise loudly when a chunk's true entry count exceeds the
         configured capacity (the silent-truncation guard)."""
         import pytest
@@ -77,6 +79,67 @@ class TestStreaming:
                                    entry_capacity=64)
         with pytest.raises(RuntimeError, match="entry_capacity"):
             tiny.rasterize([pos[:256]])
+
+    def test_streamed_trail_scene_matches_monolithic(self):
+        """A soup_fn streaming chunks of discs + velocity-trail capsules
+        (the traj_ball primitive soup) == the monolithic v4 render of the
+        concatenated soup, winner-exact, with capsule winners shaded by
+        the shared trail-boost shader (VERDICT r2 item 7)."""
+        from pointcloud_render_tpu.geometry.trails import velocity_trails
+        from pointcloud_render_tpu.raster.pallas_csr4 import (
+            rasterize_pallas_csr4,
+        )
+        from pointcloud_render_tpu.raster.primitives import (
+            ScreenPrimitives,
+            capsules_from_polylines,
+        )
+        from pointcloud_render_tpu.shading.shade import (
+            ShadingConfig,
+            shade_winner_attrs,
+        )
+
+        cam = make_camera()
+        rng = np.random.default_rng(13)
+        n, c = 512, 256
+        pos = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+        vel = (rng.normal(size=(n, 3)) * 3).astype(np.float32)
+        green = np.array([0.2, 1.0, 0.4], np.float32)
+
+        def soup_fn(p, colors, v):
+            discs = discs_from_points(
+                p, cam, jnp.full((p.shape[0],), 0.02, jnp.float32), colors)
+            pts, ok = velocity_trails(p, v, jnp.int32(120))
+            vv = jnp.broadcast_to(ok[:, None], pts.shape[:2])
+            caps = capsules_from_polylines(pts, vv, cam, 0.003, green)
+            return ScreenPrimitives.concatenate([discs, caps])
+
+        sr = StreamingRasterizer(cam, chunk_points=c, radius_world=0.02,
+                                 backend="pallas", soup_fn=soup_fn)
+        d_s, i_s, attrs = sr.rasterize(
+            [(pos[:c], np.broadcast_to(sr.color, (c, 3)), vel[:c]),
+             (pos[c:], np.broadcast_to(sr.color, (c, 3)), vel[c:])],
+            return_attrs=True)
+
+        soup = ScreenPrimitives.concatenate([
+            soup_fn(jnp.asarray(pos[:c]), jnp.broadcast_to(sr.color, (c, 3)),
+                    jnp.asarray(vel[:c])),
+            soup_fn(jnp.asarray(pos[c:]), jnp.broadcast_to(sr.color, (c, 3)),
+                    jnp.asarray(vel[c:]))])
+        d_1, i_1 = rasterize_pallas_csr4(soup, W, H, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_1))
+        hit = np.asarray(i_1) >= 0
+        assert hit.mean() > 0.02
+        kinds = np.asarray(soup.kind)[np.asarray(i_s)[hit]]
+        assert (kinds == 1).any(), "no capsule winners streamed"
+        # Shared-shader check: capsule pixels carry the flat trail boost.
+        rgb = np.asarray(sr.resolve_rgb(d_s, i_s, attrs))
+        cap_px = np.zeros_like(hit)
+        cap_px[hit] = kinds == 1
+        want = np.clip(green * ShadingConfig().trail_boost, 0, 1)
+        np.testing.assert_allclose(rgb[cap_px],
+                                   np.broadcast_to(want, rgb[cap_px].shape),
+                                   atol=1e-6)
+        assert shade_winner_attrs is not None
 
     def test_streamed_rgb_matches_monolithic_shaded(self):
         """Per-point colors + winner attrs streamed in chunks == the
@@ -148,7 +211,49 @@ class TestAA:
         for ss in (2, 4):
             k = aa.gaussian_kernel(ss)
             assert abs(k.sum() - 1.0) < 1e-6
-            assert k.shape == (2 * ss, 2 * ss)
+            # Reference rfilter support: radius 2 target px (= 4*stddev).
+            assert k.shape == (4 * ss, 4 * ss)
+
+    def test_kernel_matches_mitsuba_film_convolution(self):
+        """Pin the filter against a direct NumPy evaluation of Mitsuba's
+        gaussian rfilter (stddev 0.5, radius 2, per-axis offset
+        truncation max(0, exp(-x^2/2s^2) - exp(-r^2/2s^2))) applied as a
+        film convolution over the supersample texels (VERDICT r2 item 9;
+        /root/reference/traj_ball_renderer.py:20-27)."""
+        from pointcloud_render_tpu.shading import aa
+
+        stddev, radius = 0.5, 2.0
+        rng = np.random.default_rng(12)
+        ss = 2
+        h = w = 6
+        hi = rng.uniform(0, 1, (h * ss, w * ss, 3)).astype(np.float32)
+
+        def rfilter(x):
+            return max(0.0, float(np.exp(-0.5 * (x / stddev) ** 2)
+                                  - np.exp(-0.5 * (radius / stddev) ** 2)))
+
+        want = np.zeros((h, w, 3), np.float32)
+        for py in range(h):
+            for px in range(w):
+                acc = np.zeros(3)
+                wsum = 0.0
+                for ty in range(h * ss):
+                    for tx in range(w * ss):
+                        # Texel center in target-pixel coordinates.
+                        dx = (tx + 0.5) / ss - (px + 0.5)
+                        dy = (ty + 0.5) / ss - (py + 0.5)
+                        if abs(dx) >= radius or abs(dy) >= radius:
+                            continue
+                        wgt = rfilter(dx) * rfilter(dy)
+                        acc += wgt * hi[ty, tx]
+                        wsum += wgt
+                want[py, px] = acc / wsum
+        got = np.asarray(aa.downsample(jnp.asarray(hi), ss))
+        # Interior pixels see the full untruncated support; border pixels
+        # differ by normalization policy (Mitsuba renormalizes per pixel,
+        # the conv kernel pads with zeros), so pin the interior.
+        np.testing.assert_allclose(got[2:-2, 2:-2], want[2:-2, 2:-2],
+                                   atol=1e-5)
 
     def test_supersampled_pipeline_smooths_edges(self):
         """ss=2 produces intermediate values on disc edges; ss=1 keeps the
@@ -291,6 +396,22 @@ class TestTrajectoryScan:
 
         r0, r3 = centroid_row(frames[0]), centroid_row(frames[3])
         assert r0 > 0 and r3 > 0 and r3 < r0
+
+    def test_capacity_violation_is_loud(self, monkeypatch):
+        """An UNPROBED frame that exceeds the fixed entry capacity must
+        raise, not silently truncate (VERDICT r2 item 4): the scan
+        carries the device-side running max of true_entry_count and the
+        post-hoc certificate trips on it."""
+        self._small(monkeypatch)
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(-0.4, 0.4, (64, 3)).astype(np.float32)
+        vel = rng.normal(size=(64, 3)).astype(np.float32)
+        tr = TrajectoryScanRenderer(
+            PRESETS["traj_ball"],
+            RasterConfig(backend="pallas4", entry_capacity=8),
+            frames_per_chunk=2)
+        with pytest.raises(RuntimeError, match="entry capacity violated"):
+            tr.render_frames(pos, vel, [0, 199])
 
     def test_motion_coloring(self, monkeypatch):
         self._small(monkeypatch)

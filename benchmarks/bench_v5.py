@@ -71,7 +71,9 @@ def main():
 
     cam0 = make_camera(jnp.int32(0))
     w, h = cam0.width, cam0.height
-    probe_frames = (0, 60, 120, 199, 219)
+    # Probe the TIMED range (frames 0..frames-1), endpoints + quartiles.
+    probe_frames = tuple(sorted({0, args.frames // 4, args.frames // 2,
+                                 3 * args.frames // 4, args.frames - 1}))
 
     def time_episode(name, episode, *eargs):
         compiled = aot.compile_const_free(episode, *eargs)

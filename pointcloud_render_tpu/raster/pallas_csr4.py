@@ -52,6 +52,7 @@ from pointcloud_render_tpu.raster.pallas_csr3 import _preshade, _zq_bits
 from pointcloud_render_tpu.raster.primitives import (
     KIND_CAPSULE,
     KIND_DISC,
+    KIND_TRIANGLE,
 )
 
 INF = np.float32(np.inf)
@@ -63,23 +64,44 @@ DEFAULT_CHUNK_ROWS = 256  # sweep optimum (benchmarks/kernel4_sweep.py)
 DEFAULT_MAX_BIG = 1024
 
 
-def _z_lower_bound(prims):
+def _z_lower_bound(prims, with_triangles: bool = False):
     """(P,) sound per-prim lower bound of the eval'd depth.
 
     Disc/capsule depth = z0 + dz*t with t in [0, 1] -> min(z0, z0+dz).
-    Triangles never bin here (big list), their value is unused.
+    With ``with_triangles``, triangle depth = 1/iz with iz(x, y) linear
+    in screen space; its max over the triangle is bounded by the max
+    over the prim's own bbox corners, so 1/max(corner iz) is a sound
+    lower bound (0 where the bound degenerates — always sound).
     """
     z0 = prims.params[:, 2]
     dz = prims.params[:, 6]
-    return jnp.minimum(z0, z0 + dz)
+    zlb = jnp.minimum(z0, z0 + dz)
+    if not with_triangles:
+        return zlb
+    p = prims.params
+    izmax = None
+    for cx in (0, 1):
+        for cy in (2, 3):
+            qx = prims.bbox[:, cx]
+            qy = prims.bbox[:, cy]
+            e0 = p[:, 0] * qy - p[:, 1] * qx + p[:, 2]
+            e1 = p[:, 3] * qy - p[:, 4] * qx + p[:, 5]
+            e2 = p[:, 6] * qy - p[:, 7] * qx + p[:, 8]
+            iz = e0 * p[:, 9] + e1 * p[:, 10] + e2 * p[:, 11]
+            izmax = iz if izmax is None else jnp.maximum(izmax, iz)
+    zlb_tri = jnp.where(izmax > 0, 1.0 / jnp.where(izmax > 0, izmax, 1.0),
+                        0.0)
+    return jnp.where(prims.kind == KIND_TRIANGLE, zlb_tri, zlb)
 
 
 def _bin_csr4(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-              max_big=DEFAULT_MAX_BIG):
+              max_big=DEFAULT_MAX_BIG, bin_triangles=False):
     """Fixed-pattern 2x2 expansion + UNSTABLE (tile, zlb-bucket) sort.
 
-    Discs and capsules whose bbox spans at most 2x2 tiles are binned;
-    triangles, wide prims, and invalids ride the big list.  Returns
+    Discs and capsules whose bbox spans at most 2x2 tiles are binned
+    (plus triangles under ``bin_triangles`` — the mesh-LOD droplet mode);
+    wider prims, non-binnable kinds, and invalids ride the big list.
+    Returns
     (sorted_keys, sorted_prims, big_list, big_count, zmeta); zmeta as in
     pallas_csr3._bin_csr_2x2 but over the binned prims' zlb.  The sort
     is unstable — v4's per-pair id tie-break makes the winner
@@ -96,6 +118,8 @@ def _bin_csr4(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     ntx = tx1 - tx0 + 1
     nty = ty1 - ty0 + 1
     binnable = (prims.kind == KIND_DISC) | (prims.kind == KIND_CAPSULE)
+    if bin_triangles:
+        binnable = binnable | (prims.kind == KIND_TRIANGLE)
     fits = (ntx <= 2) & (nty <= 2) & binnable
     is_small = prims.valid & fits
     is_big = prims.valid & ~fits
@@ -104,7 +128,7 @@ def _bin_csr4(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     home = ty0 * tiles_x + tx0
     sent = np.int32(num_tiles << zq_bits)
 
-    zlb = _z_lower_bound(prims)
+    zlb = _z_lower_bound(prims, with_triangles=bin_triangles)
     if zq_bits > 0:
         nb = np.float32(1 << zq_bits)
         zmin = jnp.min(jnp.where(is_small, zlb, INF))
@@ -146,51 +170,72 @@ def _bin_csr4(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
 
 
 def true_entry_count4(prims, width: int, height: int, tile_h: int = 32,
-                      tile_w: int = 32):
+                      tile_w: int = 32, bin_triangles: bool = False):
     """() int32 non-sentinel entries under the v4 binning (the exactness
     precondition for a finite entry_capacity)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     sorted_keys, *_ = _bin_csr4(prims, tile_h, tile_w, num_tiles,
-                                tiles_x, tiles_y)
+                                tiles_x, tiles_y,
+                                bin_triangles=bin_triangles)
     return jnp.searchsorted(
         sorted_keys,
         jnp.int32(num_tiles << _zq_bits(num_tiles))).astype(jnp.int32)
 
 
 def bin_diagnostics4(prims, width: int, height: int, tile_h: int = 32,
-                     tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG):
+                     tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG,
+                     bin_triangles: bool = False):
     """Big-list overflow count under the v4 binning (0 = exact)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     _, _, big_list, big_count, _ = _bin_csr4(
-        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y, max_big=max_big)
+        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
+        max_big=max_big, bin_triangles=bin_triangles)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
-def _build_table16(prims, shade_rgb, shade_flag):
+def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
     """(P+1, 16) f32 prim table; row P is the all-zero pad/sentinel.
 
     Serves BOTH the sorted-entry row gather (kernel streaming) and the
     per-pixel winner gather (fused shading, indexed by prim id).
+
+    Under ``bin_triangles`` the layout is KERNEL-ONLY (the shade pass
+    builds its own compact table): triangle rows repurpose the
+    kernel-unused rgb/flag lanes for the inverse-z plane coefficients —
+    lanes [10:13] = params[9:12], lane 15 = 1.0 kind flag (0 for
+    capsule/disc rows, whose tri coefficients are 0).
     """
     p = prims.count
     idf = jnp.arange(p, dtype=jnp.float32)
+    zlb = _z_lower_bound(prims, with_triangles=bin_triangles)
+    if bin_triangles:
+        is_tri = (prims.kind == KIND_TRIANGLE)[:, None]
+        mid = jnp.where(is_tri,
+                        jnp.concatenate([prims.params[:, 9:12],
+                                         jnp.zeros((p, 1), jnp.float32)],
+                                        axis=1),
+                        jnp.concatenate([shade_rgb, shade_flag[:, None]],
+                                        axis=1))
+        tail = is_tri.astype(jnp.float32)
+    else:
+        mid = jnp.concatenate([shade_rgb, shade_flag[:, None]], axis=1)
+        tail = jnp.zeros((p, 1), jnp.float32)
     table = jnp.concatenate([
         prims.params[:, 0:9],
         idf[:, None],
-        shade_rgb,
-        shade_flag[:, None],
-        _z_lower_bound(prims)[:, None],
-        jnp.zeros((p, 1), jnp.float32),
+        mid,
+        zlb[:, None],
+        tail,
     ], axis=1)
     return jnp.pad(table, ((0, 1), (0, 0)))
 
 
 def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
-                  chunk_rows, allow_exit):
+                  chunk_rows, allow_exit, with_triangles=False):
     assert chunk_rows % PACK == 0
 
     def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
@@ -284,6 +329,26 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                     rad = r0 + sdr * t
                     z = z0 + sdz * t
                     cov = cx * cx + cy * cy <= rad * rad
+                    if with_triangles:
+                        # Branchless dual eval: the same 9 scalars are
+                        # the triangle's edge coefficients; lanes
+                        # [10:13] its iz plane, lane 15 the kind flag
+                        # (scalar — the select broadcasts it).  The
+                        # formula matches pallas_csr._eval_tri exactly.
+                        t9 = scratch[slot, br, lane + 10]
+                        t10 = scratch[slot, br, lane + 11]
+                        t11 = scratch[slot, br, lane + 12]
+                        kf = scratch[slot, br, lane + 15]
+                        e0 = x0 * qy - y0 * qx + z0
+                        e1 = r0 * qy - sdx * qx + sdy
+                        e2 = sdz * qy - sdr * qx + il2
+                        iz = e0 * t9 + e1 * t10 + e2 * t11
+                        cov_t = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                                 & (iz > 0))
+                        z_t = 1.0 / jnp.where(iz > 0, iz, 1.0)
+                        is_tri = kf > 0
+                        z = jnp.where(is_tri, z_t, z)
+                        cov = (is_tri & cov_t) | (~is_tri & cov)
                     better = cov & ((z < d0) | ((z == d0) & (idf < di)))
                     out[2 * ch] = jnp.where(better, z, d0)
                     out[2 * ch + 1] = jnp.where(better, idf, di)
@@ -368,7 +433,8 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 
 def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
                   entry_capacity, chunk_rows, interpret, shade_rgb,
-                  shade_flag, max_big=DEFAULT_MAX_BIG):
+                  shade_flag, max_big=DEFAULT_MAX_BIG,
+                  bin_triangles=False):
     """Shared binning + kernel launch.
 
     Returns (depth, idf_img, table16, diag) where diag carries the
@@ -388,7 +454,7 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
 
     sorted_keys, sorted_prims, big_list, big_count, zmeta = _bin_csr4(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big)
+        max_big=max_big, bin_triangles=bin_triangles)
 
     zq_bits = _zq_bits(num_tiles)
     starts = jnp.searchsorted(
@@ -405,7 +471,8 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
         starts = jnp.minimum(starts, e)
     e_pad = -(-(e + chunk_rows + PACK) // chunk_rows) * chunk_rows
 
-    table16 = _build_table16(prims, shade_rgb, shade_flag)
+    table16 = _build_table16(prims, shade_rgb, shade_flag,
+                             bin_triangles=bin_triangles)
     prims_p = jnp.pad(sorted_prims, (0, e_pad - e),
                       constant_values=prims.count)
     rows = table16[prims_p].reshape(e_pad // PACK, 128)
@@ -448,7 +515,8 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
     )
 
     kernel = _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
-                           chunk_rows, allow_exit=zq_bits > 0)
+                           chunk_rows, allow_exit=zq_bits > 0,
+                           with_triangles=bin_triangles)
     depth_t, idf_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -476,6 +544,7 @@ def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
                           entry_capacity=None,
                           chunk_rows: int = DEFAULT_CHUNK_ROWS,
                           max_big: int = DEFAULT_MAX_BIG,
+                          bin_triangles: bool = False,
                           interpret: bool = False,
                           return_diag: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
@@ -483,15 +552,20 @@ def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
     Generic binned path: every valid disc/capsule spanning <= 2x2 pixel
     blocks is binned; triangles and wider prims ride the big list
     (exact; O(T x big), capped at DEFAULT_MAX_BIG — check
-    bin_diagnostics4 for overflow).  Ties are exact for EVERY mix of
-    kinds (full per-pair lexicographic compare).  With a finite
-    ``entry_capacity``, true_entry_count4(scene) must be <= it.
+    bin_diagnostics4 for overflow).  ``bin_triangles`` additionally bins
+    small triangles (the mesh-LOD droplet mode,
+    /root/reference/traj_renderer.py:529-576 droplet instancing) via a
+    branchless per-slot dual eval — only the huge ground triangles stay
+    big.  Ties are exact for EVERY mix of kinds (full per-pair
+    lexicographic compare).  With a finite ``entry_capacity``,
+    true_entry_count4(scene) must be <= it.
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
     depth, idf, _, diag = _raster_core4(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
-        chunk_rows, interpret, zeros3, zerosf, max_big=max_big)
+        chunk_rows, interpret, zeros3, zerosf, max_big=max_big,
+        bin_triangles=bin_triangles)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -503,6 +577,7 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
                        entry_capacity=None,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
                        max_big: int = DEFAULT_MAX_BIG,
+                       bin_triangles: bool = False,
                        interpret: bool = False,
                        return_diag: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
@@ -515,18 +590,20 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
     shade_rgb, shade_flag = _preshade(prims, camera, shading)
     depth, idf, table16, diag = _raster_core4(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
-        chunk_rows, interpret, shade_rgb, shade_flag, max_big=max_big)
+        chunk_rows, interpret, shade_rgb, shade_flag, max_big=max_big,
+        bin_triangles=bin_triangles)
 
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
     safe = jnp.where(hit, index, prims.count)  # pad row: zeros
     # Gathers are row-count bound but byte-width still shows at 2M
     # pixels: shade from a compact 8-float table [x0, y0, c0, c1, c2,
-    # flag, 0, 0] (one O(P) repack) instead of the 16-float kernel rows.
-    table8 = jnp.concatenate([
-        table16[:, 0:2], table16[:, 10:14],
-        jnp.zeros((table16.shape[0], 2), jnp.float32),
-    ], axis=1)
+    # flag, 0, 0] (one O(P) repack).  Built from the soup directly —
+    # under bin_triangles the kernel rows repurpose the rgb lanes.
+    table8 = jnp.pad(jnp.concatenate([
+        prims.params[:, 0:2], shade_rgb, shade_flag[:, None],
+        jnp.zeros((prims.count, 2), jnp.float32),
+    ], axis=1), ((0, 1), (0, 0)))
     a = table8[safe]  # (H, W, 8)
 
     if shading.mode == "flat":

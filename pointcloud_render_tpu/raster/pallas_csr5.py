@@ -49,10 +49,11 @@ Row format (8 f32 per prim, 16 prims per 128-lane superrow):
   invalid / non-disc / culled slots: r = 0 (covers no pixel center), and
   z = +inf (keeps the row depth-min equal to the binning's chunk zmin).
 
-Scope: binned prims are DISCS whose CHUNK bbox spans <= 2x2 pixel
-blocks; capsules, triangles, and members of wide chunks ride the
-per-prim big list (exact, O(T x big), capped — bin_diagnostics5).
-Scenes without spatial order degrade to big-list overflow, loudly.
+Scope: binned prims are DISCS whose CHUNK bbox spans <= max_span^2
+pixel blocks (static sentinel-masked slot pattern, default 4x4);
+capsules, triangles, and members of wider chunks ride the per-prim big
+list (exact, O(T x big), capped — bin_diagnostics5).  Scenes without
+spatial order degrade to big-list overflow, loudly.
 
 Contract (unchanged): winner per pixel = lexicographic min of
 (depth, primitive index); division-free per-pixel COVERAGE math
@@ -81,6 +82,7 @@ ZQ_BITS = 10  # chunk-zmin depth buckets in the i32 sort key
 DEFAULT_CHUNK_ROWS = 32  # superrows per DMA (512 prims)
 DEFAULT_CHECK_EVERY = 2  # early-exit check cadence (rows)
 DEFAULT_MAX_BIG = 1024
+DEFAULT_MAX_SPAN = 4  # tiles per axis a binned chunk may cover
 
 
 def _chunk_reduce(x, c, fill, op):
@@ -89,13 +91,21 @@ def _chunk_reduce(x, c, fill, op):
 
 
 def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-                 max_big=DEFAULT_MAX_BIG):
-    """Chunk bbox/zmin reduce + fixed 2x2 expansion + UNSTABLE i32 sort.
+                 max_big=DEFAULT_MAX_BIG, max_span=DEFAULT_MAX_SPAN):
+    """Chunk bbox/zmin reduce + masked max_span^2 expansion + UNSTABLE
+    i32 sort.
+
+    A chunk covering (ntx, nty) tiles emits ntx*nty live slots out of a
+    STATIC max_span^2 pattern (the rest sort as sentinels) — wide-chunk
+    tolerance costs sort slots, not exactness.  max_span=4 admits any
+    chunk bbox up to 3 tile-strides per axis (96 px at 32x32), which
+    covers Morton cells of 1M-point clouds through the whole traj_ball
+    dolly; chunks wider than that (unsorted clouds) ride the big list.
 
     Returns (sorted_keys, sorted_chunks, big_list, big_count, zmeta,
     binnable) — zmeta = [zmin, s, thr_scale] over the binned chunks'
     depth MIN (sound lower bound for every member prim), binnable the
-    per-prim "rides the rows" mask (valid discs in <=2x2-span chunks).
+    per-prim "rides the rows" mask (valid discs in fitting chunks).
     """
     p = prims.count
     c = -(-p // K)
@@ -120,7 +130,7 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     ty1 = jnp.clip(jnp.floor(cymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
     ntx = jnp.where(has, tx1 - tx0 + 1, 0)
     nty = jnp.where(has, ty1 - ty0 + 1, 0)
-    fits = has & (ntx <= 2) & (nty <= 2)
+    fits = has & (ntx <= max_span) & (nty <= max_span)
 
     # Per-prim routing: discs of fitting chunks ride the rows; every
     # other valid prim (capsule/triangle/wide-chunk disc) goes big.
@@ -143,16 +153,15 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     home = ((ty0 * tiles_x + tx0) << ZQ_BITS) | qz
     sent = np.int32(num_tiles << ZQ_BITS)
     keys = []
-    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):  # static pattern
-        ok = fits
-        if dx:
-            ok = ok & (ntx == 2)
-        if dy:
-            ok = ok & (nty == 2)
-        keys.append(jnp.where(ok, home + ((dy * tiles_x + dx) << ZQ_BITS),
-                              sent))
+    for dy in range(max_span):  # static masked pattern
+        for dx in range(max_span):
+            ok = fits & (dx < ntx) & (dy < nty)
+            keys.append(jnp.where(
+                ok, home + ((dy * tiles_x + dx) << ZQ_BITS), sent))
+    n_slots = max_span * max_span
     flat_key = jnp.stack(keys, axis=1).reshape(-1)
-    flat_chunks = jnp.broadcast_to(chunk_id[:, None], (c, 4)).reshape(-1)
+    flat_chunks = jnp.broadcast_to(chunk_id[:, None],
+                                   (c, n_slots)).reshape(-1)
     sorted_keys, sorted_chunks = jax.lax.sort(
         (flat_key, flat_chunks), num_keys=1, is_stable=False)
 
@@ -437,7 +446,7 @@ def _assemble(t, tiles_y, tiles_x, tile_h, tile_w, height, width):
 def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
                   entry_capacity, chunk_rows, check_every, interpret,
                   fused, shade_rgb, big_rgb, big_rflag, meta_tail,
-                  uniform, max_big):
+                  uniform, max_big, max_span=DEFAULT_MAX_SPAN):
     if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
         raise ValueError(
             "pallas_csr5 pixel blocks must hold exactly one (8, 128) "
@@ -451,7 +460,7 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
 
     (sorted_keys, sorted_chunks, big_list, big_count, zmeta,
      binnable) = _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x,
-                              tiles_y, max_big=max_big)
+                              tiles_y, max_big=max_big, max_span=max_span)
 
     starts = jnp.searchsorted(
         sorted_keys,
@@ -533,27 +542,28 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
 
 
 def true_entry_count5(prims, width: int, height: int, tile_h: int = 32,
-                      tile_w: int = 32):
+                      tile_w: int = 32, max_span: int = DEFAULT_MAX_SPAN):
     """() int32 non-sentinel CHUNK entries (superrows) under the chunk
     binning — the exactness precondition for a finite entry_capacity."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     sorted_keys, *_ = _bin_chunks5(prims, tile_h, tile_w, num_tiles,
-                                   tiles_x, tiles_y)
+                                   tiles_x, tiles_y, max_span=max_span)
     return jnp.searchsorted(
         sorted_keys, jnp.int32(num_tiles << ZQ_BITS)).astype(jnp.int32)
 
 
 def bin_diagnostics5(prims, width: int, height: int, tile_h: int = 32,
-                     tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG):
+                     tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG,
+                     max_span: int = DEFAULT_MAX_SPAN):
     """Big-list overflow count under the chunk binning (0 = exact)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     _, _, big_list, big_count, _, _ = _bin_chunks5(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big)
+        max_big=max_big, max_span=max_span)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
@@ -563,6 +573,7 @@ def rasterize_pallas_csr5(prims, width: int, height: int,
                           chunk_rows: int = DEFAULT_CHUNK_ROWS,
                           check_every: int = DEFAULT_CHECK_EVERY,
                           max_big: int = DEFAULT_MAX_BIG,
+                          max_span: int = DEFAULT_MAX_SPAN,
                           interpret: bool = False,
                           return_diag: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
@@ -582,7 +593,7 @@ def rasterize_pallas_csr5(prims, width: int, height: int,
     (depth, idf), diag = _raster_core5(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, check_every, interpret, False, zeros3, zeros3, zerosf,
-        (), False, max_big)
+        (), False, max_big, max_span)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -595,6 +606,7 @@ def render_shaded_csr5(prims, camera, shading, tile_h: int = 32,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
                        check_every: int = DEFAULT_CHECK_EVERY,
                        max_big: int = DEFAULT_MAX_BIG,
+                       max_span: int = DEFAULT_MAX_SPAN,
                        uniform_color=None,
                        interpret: bool = False,
                        return_diag: bool = False):
@@ -625,7 +637,8 @@ def render_shaded_csr5(prims, camera, shading, tile_h: int = 32,
     (depth, idf, r_, g_, b_), diag = _raster_core5(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, check_every, interpret, True, shade_rgb, shade_rgb,
-        big_rflag, meta_tail, uniform_color is not None, max_big)
+        big_rflag, meta_tail, uniform_color is not None, max_big,
+        max_span)
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
     rgb = jnp.stack([r_, g_, b_], axis=-1)

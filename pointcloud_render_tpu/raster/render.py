@@ -45,6 +45,9 @@ class RasterConfig:
     # pallas: 8-float disc rows; capsules AND triangles go to the big
     # list (only for disc-cloud scenes — see pallas_csr2 docstring).
     discs_only: bool = False
+    # pallas4: bin small triangles too (mesh-LOD droplet scenes) via the
+    # branchless dual eval; only the huge ground triangles stay big.
+    bin_triangles: bool = False
     # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
     unroll: int = 4
     # pallas: static cap on the sorted-entry row gather.  None = exact;
@@ -124,6 +127,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             prims, width, height,
             unroll=config.unroll,
             entry_capacity=config.entry_capacity,
+            bin_triangles=config.bin_triangles,
             interpret=jax.default_backend() != "tpu")
     if backend == "pallas5":
         # Chunk-binned path for Morton-ordered clouds (scene/spatial):
@@ -168,6 +172,7 @@ def render(prims: ScreenPrimitives, camera,
         rgb, depth, index, diag = pallas_csr4.render_shaded_csr4(
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
+            bin_triangles=config.bin_triangles,
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb

@@ -164,13 +164,18 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
         # Scene emits only discs/capsules (+ the big-list ground):
         # compile the branch-free kernel path.  On TPU the pipeline
         # knows this statically, so "auto" upgrades to the v4 generic
-        # binned kernel (measured 3x over v2 on trail scenes); mesh-LOD
-        # droplet scenes keep v2, which BINS triangles (v4's big list
-        # caps at 1024).
+        # binned kernel (measured 3x over v2 on trail scenes).
         raster_config = _dc.replace(raster_config, no_triangles=True)
         if (raster_config.backend == "auto"
                 and jax.default_backend() == "tpu"):
             raster_config = _dc.replace(raster_config, backend="pallas4")
+    elif (raster_config.backend == "auto"
+          and jax.default_backend() == "tpu"):
+        # Mesh-LOD droplet scenes: v4 with small-triangle binning (the
+        # branchless dual eval) — only the ground rides the big list
+        # (VERDICT r2 item 5; was a v2 fallback).
+        raster_config = _dc.replace(raster_config, backend="pallas4",
+                                    bin_triangles=True)
     ss = raster_config.supersample
 
     def step(positions, velocities, frame_index, history, rotations):
@@ -191,7 +196,43 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
             rotations if with_rotations else None,
             droplet_lod=droplet_lod,
         )
-        fb = render(prims, camera, raster_config)
+        shading = raster_config.shading
+        if shading.shadows:
+            # Shadow-map look pass (shading/shadow.py): re-build the
+            # soup from the emitter's viewpoint, raster its z-buffer,
+            # and scale the diffuse term where occluded.  Uses the
+            # UNFUSED raster+shade path (the fused kernels shade
+            # in-kernel without the shadow term).
+            from pointcloud_render_tpu.raster.render import (  # noqa: PLC0415
+                rasterize,
+            )
+            from pointcloud_render_tpu.shading.shade import (  # noqa: PLC0415
+                shade_framebuffer,
+            )
+            from pointcloud_render_tpu.shading.shadow import (  # noqa: PLC0415
+                light_camera,
+                render_shadow_depth,
+                shadow_factor,
+            )
+
+            light_cam = light_camera(size=shading.shadow_size)
+            prims_light = build_primitives(
+                preset, light_cam, positions,
+                velocities if with_vel else None, frame_index,
+                history if with_history else None,
+                rotations if with_rotations else None,
+                droplet_lod=droplet_lod)
+            sdepth = render_shadow_depth(prims_light, light_cam)
+            depth, index = rasterize(prims, camera.width, camera.height,
+                                     raster_config)
+            sf = shadow_factor(camera, depth, index, light_cam, sdepth,
+                               bias=shading.shadow_bias,
+                               min_light=shading.shadow_min_light)
+            rgb = shade_framebuffer(prims, camera, depth, index, shading,
+                                    shadow=sf)
+            fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+        else:
+            fb = render(prims, camera, raster_config)
         if ss == 1:
             return fb
         # Filtered RGB at target resolution; depth/index keep the
@@ -309,11 +350,11 @@ class FramePipeline:
         if getattr(self, "_v4_ovf_checked", False):
             return
         if not (self.raster_config.backend == "auto"
-                and jax.default_backend() == "tpu"
-                and (self.preset.splat == "sphere"
-                     or self.droplet_lod != "mesh")):
+                and jax.default_backend() == "tpu"):
             return
         self._v4_ovf_checked = True
+        mesh_lod = (self.preset.splat != "sphere"
+                    and self.droplet_lod == "mesh")
         from pointcloud_render_tpu.raster import pallas_csr4  # noqa: PLC0415
         from pointcloud_render_tpu.scene.camera import (  # noqa: PLC0415
             IMAGE_HEIGHT,
@@ -335,7 +376,8 @@ class FramePipeline:
                 self.preset, camera, p, v, fi,
                 hist if with_history else None, None,
                 droplet_lod=self.droplet_lod)
-            return pallas_csr4.bin_diagnostics4(prims, w * ss, h * ss)
+            return pallas_csr4.bin_diagnostics4(prims, w * ss, h * ss,
+                                                bin_triangles=mesh_lod)
 
         ovf = int(np.asarray(aot.compile_const_free(
             probe, positions, velocities, jnp.int32(frame_index),

@@ -64,13 +64,16 @@ class TrajectoryScanRenderer:
 
         preset = self.preset
         config = self.raster_config
-        if (config.backend == "auto" and jax.default_backend() == "tpu"
-                and (preset.splat == "sphere"
-                     or self.droplet_lod != "mesh")):
-            # Disc/capsule-only soups: the v4 generic binned kernel
-            # (run/pipeline._make_step applies the same upgrade).
-            config = _dc.replace(config, backend="pallas4",
-                                 no_triangles=True)
+        if config.backend == "auto" and jax.default_backend() == "tpu":
+            if (preset.splat == "sphere" or self.droplet_lod != "mesh"):
+                # Disc/capsule-only soups: the v4 generic binned kernel
+                # (run/pipeline._make_step applies the same upgrade).
+                config = _dc.replace(config, backend="pallas4",
+                                     no_triangles=True)
+            else:
+                # Mesh-LOD droplets: v4 with small-triangle binning.
+                config = _dc.replace(config, backend="pallas4",
+                                     bin_triangles=True)
         dt = self.dt
         motion = self.motion_color
         lod = self.droplet_lod
@@ -159,10 +162,14 @@ class TrajectoryScanRenderer:
                 fov_x_degrees=preset.fov_x_degrees)
             prims = build_primitives(preset, camera, p, v, fi,
                                      droplet_lod=self.droplet_lod)
+            mesh_lod = (preset.splat != "sphere"
+                        and self.droplet_lod == "mesh")
             return (pallas_csr4.true_entry_count4(
-                        prims, IMAGE_WIDTH, IMAGE_HEIGHT),
+                        prims, IMAGE_WIDTH, IMAGE_HEIGHT,
+                        bin_triangles=mesh_lod),
                     pallas_csr4.bin_diagnostics4(
-                        prims, IMAGE_WIDTH, IMAGE_HEIGHT))
+                        prims, IMAGE_WIDTH, IMAGE_HEIGHT,
+                        bin_triangles=mesh_lod))
 
         jp = aot.compile_const_free(probe, jnp.int32(0), positions,
                                     velocities)
@@ -193,9 +200,7 @@ class TrajectoryScanRenderer:
         if (self._compiled is None
                 and self.raster_config.entry_capacity is None
                 and self.raster_config.backend == "auto"
-                and jax.default_backend() == "tpu"
-                and (self.preset.splat == "sphere"
-                     or self.droplet_lod != "mesh")):
+                and jax.default_backend() == "tpu"):
             self._probe_entry_capacity(positions, velocities,
                                        list(frame_indices))
         history = jnp.broadcast_to(positions[None],

@@ -42,6 +42,14 @@ class ShadingConfig:
     # clip(trail_boost * color) exactly (the final clip applies it).
     trail_boost: float = 1.5
     background: tuple = (1.0, 1.0, 1.0)
+    # Shadow-map look pass (shading/shadow.py) — OFF by default; the
+    # ss=1 depth/index contract is untouched (shadows only scale the
+    # diffuse term).  Approximates the reference's area-emitter shadows
+    # (traj_ball_renderer.py:67-75).
+    shadows: bool = False
+    shadow_size: int = 1024
+    shadow_bias: float = 0.05
+    shadow_min_light: float = 0.35
 
 
 def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
@@ -78,13 +86,16 @@ def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
     return jnp.clip(jnp.where(hit[..., None], out, bg), 0.0, 1.0)
 
 
-def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
+def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig,
+                      shadow=None):
     """Resolve winning primitives to shaded RGB.
 
     Args:
       prims: the ScreenPrimitives soup that was rasterized.
       camera: the Camera (for the light direction in camera space).
       depth: (H, W) float32; index: (H, W) int32 (-1 = empty).
+      shadow: optional (H, W) diffuse scale in [0, 1]
+        (shading.shadow.shadow_factor) — scales ONLY the diffuse term.
     Returns:
       rgb: (H, W, 3) float32 in [0, 1].
     """
@@ -131,7 +142,10 @@ def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig):
                      + attr[..., 9] * l_cam[2])
 
         ndotl = jnp.where(kind == KIND_DISC, ndotl_disc, ndotl_tri)
-        lit = config.ambient + config.diffuse * jnp.maximum(ndotl, 0.0)
+        diff = config.diffuse * jnp.maximum(ndotl, 0.0)
+        if shadow is not None:
+            diff = diff * shadow
+        lit = config.ambient + diff
         lit = jnp.where(kind == KIND_CAPSULE, config.trail_boost, lit)
         rgb = color * lit[..., None]
 

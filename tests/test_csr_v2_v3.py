@@ -270,6 +270,97 @@ class TestPallasCsr4:
         np.testing.assert_array_equal(np.asarray(d_p)[disc],
                                       np.asarray(d_o)[disc])
 
+    def test_bin_triangles_mesh_lod_winner_exact(self):
+        """bin_triangles=True (the mesh-LOD droplet mode, VERDICT r2
+        item 5): small droplet-instance triangles BIN (branchless dual
+        eval) instead of riding the capped big list, winner-exact vs the
+        oracle on a ground + discs + triangle-mesh soup, including
+        triangle/disc depth ties."""
+        from pointcloud_render_tpu.geometry.droplet import droplet_mesh
+        from pointcloud_render_tpu.raster.pallas_csr4 import (
+            bin_diagnostics4,
+            rasterize_pallas_csr4,
+        )
+        from pointcloud_render_tpu.raster.primitives import (
+            triangles_from_mesh,
+        )
+
+        cam = make_camera()
+        rng = np.random.default_rng(17)
+        verts, faces = droplet_mesh()
+        verts = np.asarray(verts, np.float32) * 4.0  # a few px per tri
+        parts = [ground_plane(cam, 10.0, (0, 0, -0.5))]
+        all_f = []
+        all_v = []
+        for k in range(12):
+            c = rng.uniform(-0.35, 0.35, 3).astype(np.float32)
+            all_f.append(np.asarray(faces) + len(all_v) * 0
+                         + sum(v.shape[0] for v in all_v))
+            all_v.append(verts + c)
+        mesh_v = np.concatenate(all_v)
+        mesh_f = np.concatenate(all_f)
+        parts.append(triangles_from_mesh(
+            jnp.asarray(mesh_v), jnp.asarray(mesh_f), cam,
+            np.array([0.3, 0.3, 0.8], np.float32)))
+        parts.append(discs_from_points(
+            jnp.asarray(rng.uniform(-0.4, 0.4, (200, 3)).astype(np.float32)),
+            cam, jnp.full((200,), 0.02, jnp.float32),
+            np.array([0.3, 0.3, 0.3], np.float32)))
+        soup = ScreenPrimitives.concatenate(parts)
+
+        # Without triangle binning the mesh overflows a small big list;
+        # with it, only the ground rides big.
+        assert int(np.asarray(bin_diagnostics4(
+            soup, W, H, max_big=64))) > 0
+        assert int(np.asarray(bin_diagnostics4(
+            soup, W, H, max_big=64, bin_triangles=True))) == 0
+
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        d_p, i_p = rasterize_pallas_csr4(soup, W, H, interpret=True,
+                                         bin_triangles=True)
+        # Triangle-dense soup: edge-function cancellation near edges
+        # reaches ~2.4e-5 relative (winners above are exact).
+        assert_buffers_match(d_o, i_o, d_p, i_p, "csr4 bin_triangles",
+                             exact_depth=False, depth_rtol=5e-5)
+        kinds = np.asarray(soup.kind)[np.asarray(i_o)[np.asarray(i_o) >= 0]]
+        assert (kinds == 2).any(), "no triangle winners"
+        assert (kinds == 0).any(), "no disc winners"
+
+    def test_bin_triangles_fused_shading(self):
+        """Fused shading under bin_triangles: the shade table is built
+        from the soup (not the kernel rows, whose rgb lanes now hold
+        edge coefficients) — rgb must match shade_framebuffer."""
+        from pointcloud_render_tpu.raster.pallas_csr4 import (
+            render_shaded_csr4,
+        )
+        from pointcloud_render_tpu.raster.primitives import (
+            triangles_from_mesh,
+        )
+        from pointcloud_render_tpu.shading.shade import (
+            ShadingConfig,
+            shade_framebuffer,
+        )
+
+        cam = make_camera()
+        rng = np.random.default_rng(18)
+        pts = np.array([[-0.2, 0, 0.1], [0.2, 0, 0.1], [0, 0.25, 0.1],
+                        [0.05, -0.3, 0.0], [0.3, -0.1, 0.0],
+                        [0.15, 0.1, 0.0]], np.float32)
+        tris = triangles_from_mesh(
+            jnp.asarray(pts), np.array([[0, 1, 2], [3, 4, 5]], np.int32),
+            cam, np.array([0.8, 0.2, 0.2], np.float32))
+        discs = discs_from_points(
+            jnp.asarray(rng.uniform(-0.4, 0.4, (100, 3)).astype(np.float32)),
+            cam, jnp.full((100,), 0.03, jnp.float32),
+            np.array([0.3, 0.3, 0.3], np.float32))
+        soup = ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), tris, discs])
+        cfg = ShadingConfig()
+        rgb, d, i = render_shaded_csr4(soup, cam, cfg, interpret=True,
+                                       bin_triangles=True)
+        ref = np.asarray(shade_framebuffer(soup, cam, d, i, cfg))
+        np.testing.assert_allclose(np.asarray(rgb), ref, atol=2e-6)
+
     def test_capacity_prefix_and_blocks(self):
         from pointcloud_render_tpu.raster.pallas_csr4 import (
             rasterize_pallas_csr4,

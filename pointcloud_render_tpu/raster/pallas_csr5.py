@@ -83,6 +83,7 @@ DEFAULT_CHUNK_ROWS = 32  # superrows per DMA (512 prims)
 DEFAULT_CHECK_EVERY = 2  # early-exit check cadence (rows)
 DEFAULT_MAX_BIG = 1024
 DEFAULT_MAX_SPAN = 4  # tiles per axis a binned chunk may cover
+DEFAULT_MAX_SPILL = 32768  # singleton rows for discs of wider chunks
 
 
 def _chunk_reduce(x, c, fill, op):
@@ -91,21 +92,29 @@ def _chunk_reduce(x, c, fill, op):
 
 
 def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-                 max_big=DEFAULT_MAX_BIG, max_span=DEFAULT_MAX_SPAN):
+                 max_big=DEFAULT_MAX_BIG, max_span=DEFAULT_MAX_SPAN,
+                 max_spill=DEFAULT_MAX_SPILL):
     """Chunk bbox/zmin reduce + masked max_span^2 expansion + UNSTABLE
-    i32 sort.
+    i32 sort, with a SINGLETON SPILL for discs of wider chunks.
 
     A chunk covering (ntx, nty) tiles emits ntx*nty live slots out of a
     STATIC max_span^2 pattern (the rest sort as sentinels) — wide-chunk
     tolerance costs sort slots, not exactness.  max_span=4 admits any
     chunk bbox up to 3 tile-strides per axis (96 px at 32x32), which
-    covers Morton cells of 1M-point clouds through the whole traj_ball
-    dolly; chunks wider than that (unsorted clouds) ride the big list.
+    covers Morton cells of 1M-point clouds through most of the
+    traj_ball dolly.  Discs of WIDER chunks (close-camera frames,
+    partially ordered clouds) spill into per-prim SINGLETON rows: each
+    gets a virtual chunk id >= C whose table row holds just that prim
+    (slot 0) and pads, binned 2x2 on its OWN bbox — the same sort, the
+    same row stream, the same kernel; a singleton row simply wastes 15
+    inert slot evaluations.  Only discs beyond ``max_spill`` (or
+    spanning > 2 tiles themselves) ride the big list, loudly.
 
     Returns (sorted_keys, sorted_chunks, big_list, big_count, zmeta,
-    binnable) — zmeta = [zmin, s, thr_scale] over the binned chunks'
-    depth MIN (sound lower bound for every member prim), binnable the
-    per-prim "rides the rows" mask (valid discs in fitting chunks).
+    binnable, spill) — zmeta = [zmin, s, thr_scale] over the binned
+    chunks' depth MIN (sound lower bound for every member prim),
+    binnable the per-prim "rides the chunk rows" mask, and spill =
+    (sok, srank) the per-prim singleton mask/slot assignment.
     """
     p = prims.count
     c = -(-p // K)
@@ -132,11 +141,26 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     nty = jnp.where(has, ty1 - ty0 + 1, 0)
     fits = has & (ntx <= max_span) & (nty <= max_span)
 
-    # Per-prim routing: discs of fitting chunks ride the rows; every
-    # other valid prim (capsule/triangle/wide-chunk disc) goes big.
+    # Per-prim routing: discs of fitting chunks ride the chunk rows;
+    # discs of wider chunks spill to singleton rows (their own 2x2
+    # span); everything else valid (capsule/triangle/over-spill) big.
     fit_per_prim = jnp.repeat(fits, K)[:p]
     binnable = is_disc & fit_per_prim
-    is_big = prims.valid & ~binnable
+    wide_per_prim = jnp.repeat(has & ~fits, K)[:p]
+    spill = is_disc & wide_per_prim
+    ptx0 = jnp.clip(jnp.floor(prims.bbox[:, 0] / tile_w).astype(jnp.int32),
+                    0, tiles_x - 1)
+    ptx1 = jnp.clip(jnp.floor(prims.bbox[:, 1] / tile_w).astype(jnp.int32),
+                    0, tiles_x - 1)
+    pty0 = jnp.clip(jnp.floor(prims.bbox[:, 2] / tile_h).astype(jnp.int32),
+                    0, tiles_y - 1)
+    pty1 = jnp.clip(jnp.floor(prims.bbox[:, 3] / tile_h).astype(jnp.int32),
+                    0, tiles_y - 1)
+    pntx = ptx1 - ptx0 + 1
+    pnty = pty1 - pty0 + 1
+    srank = jnp.cumsum(spill.astype(jnp.int32)) - 1
+    sok = (spill & (pntx <= 2) & (pnty <= 2) & (srank < max_spill))
+    is_big = prims.valid & ~(binnable | sok)
 
     nb = np.float32(1 << ZQ_BITS)
     zmin = jnp.min(jnp.where(fits, czmin, INF))
@@ -162,6 +186,27 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     flat_key = jnp.stack(keys, axis=1).reshape(-1)
     flat_chunks = jnp.broadcast_to(chunk_id[:, None],
                                    (c, n_slots)).reshape(-1)
+
+    # Singleton spill keys: 2x2 of the PRIM's own bbox, z-bucketed on
+    # the same chunk scale (clipped — monotone in z, so the early-exit
+    # sort invariant holds), scattered compactly by spill rank.
+    zq_p = jnp.clip(jnp.floor((z - zmin) * s), 0.0, nb - 1).astype(jnp.int32)
+    phome = ((pty0 * tiles_x + ptx0) << ZQ_BITS) | zq_p
+    skeys = jnp.full((max_spill * 4 + 1,), sent, jnp.int32)
+    spayload = jnp.full((max_spill * 4 + 1,), c + max_spill, jnp.int32)
+    for j, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        okp = sok
+        if dx:
+            okp = okp & (pntx == 2)
+        if dy:
+            okp = okp & (pnty == 2)
+        sidx = jnp.where(sok, srank * 4 + j, max_spill * 4)
+        val = jnp.where(okp, phome + ((dy * tiles_x + dx) << ZQ_BITS),
+                        sent)
+        skeys = skeys.at[sidx].set(val, mode="drop")
+        spayload = spayload.at[sidx].set(c + srank, mode="drop")
+    flat_key = jnp.concatenate([flat_key, skeys[:-1]])
+    flat_chunks = jnp.concatenate([flat_chunks, spayload[:-1]])
     sorted_keys, sorted_chunks = jax.lax.sort(
         (flat_key, flat_chunks), num_keys=1, is_stable=False)
 
@@ -173,7 +218,11 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     big_list = big_list[:-1]
     big_count = jnp.sum(is_big.astype(jnp.int32))
     return (sorted_keys, sorted_chunks, big_list, big_count, zmeta,
-            binnable)
+            binnable, (sok, srank))
+
+
+PAD8 = np.array([0.0, 0.0, np.inf, 0.0, float(F_EMPTY), 0.0, 0.0, 0.0],
+                np.float32)
 
 
 def _build_table5(prims, binnable, shade_rgb):
@@ -189,10 +238,30 @@ def _build_table5(prims, binnable, shade_rgb):
         idf[:, None],
         shade_rgb,
     ], axis=1)
-    pad_row = jnp.array([0.0, 0.0, INF, 0.0, float(F_EMPTY), 0.0, 0.0, 0.0],
-                        jnp.float32)
+    pad_row = jnp.asarray(PAD8)
     return jnp.concatenate(
         [table, jnp.broadcast_to(pad_row, (c * K - p, ROW_F))], axis=0)
+
+
+def _build_singletons5(prims, sok, srank, max_spill, shade_rgb):
+    """(max_spill, 128) singleton superrows: the spilled prim in slot 0,
+    15 inert pad slots (z = +inf keeps the row depth-min == the prim z,
+    matching its sort bucket — the early-exit bound stays sound)."""
+    p = prims.count
+    idf = jnp.arange(p, dtype=jnp.float32)
+    row8 = jnp.concatenate([
+        prims.params[:, 0:2],
+        jnp.where(sok, prims.params[:, 2], INF)[:, None],
+        jnp.where(sok, prims.params[:, 3], 0.0)[:, None],
+        idf[:, None],
+        shade_rgb,
+    ], axis=1)
+    sidx = jnp.where(sok, srank, max_spill)
+    s8 = jnp.broadcast_to(jnp.asarray(PAD8), (max_spill + 1, ROW_F))
+    s8 = s8.at[sidx].set(row8, mode="drop")[:max_spill]
+    tail = jnp.broadcast_to(jnp.asarray(np.tile(PAD8, K - 1)),
+                            (max_spill, (K - 1) * ROW_F))
+    return jnp.concatenate([s8, tail], axis=1)
 
 
 def _make_kernel5(tiles_x, tile_h, tile_w, unroll, chunk_rows, check_every,
@@ -446,7 +515,8 @@ def _assemble(t, tiles_y, tiles_x, tile_h, tile_w, height, width):
 def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
                   entry_capacity, chunk_rows, check_every, interpret,
                   fused, shade_rgb, big_rgb, big_rflag, meta_tail,
-                  uniform, max_big, max_span=DEFAULT_MAX_SPAN):
+                  uniform, max_big, max_span=DEFAULT_MAX_SPAN,
+                  max_spill=DEFAULT_MAX_SPILL):
     if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
         raise ValueError(
             "pallas_csr5 pixel blocks must hold exactly one (8, 128) "
@@ -458,9 +528,10 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
 
-    (sorted_keys, sorted_chunks, big_list, big_count, zmeta,
-     binnable) = _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x,
-                              tiles_y, max_big=max_big, max_span=max_span)
+    (sorted_keys, sorted_chunks, big_list, big_count, zmeta, binnable,
+     (sok, srank)) = _bin_chunks5(prims, tile_h, tile_w, num_tiles,
+                                  tiles_x, tiles_y, max_big=max_big,
+                                  max_span=max_span, max_spill=max_spill)
 
     starts = jnp.searchsorted(
         sorted_keys,
@@ -477,12 +548,13 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
 
     table = _build_table5(prims, binnable, shade_rgb)
     c = table.shape[0] // K
-    pad_row = jnp.tile(jnp.array(
-        [0.0, 0.0, INF, 0.0, float(F_EMPTY), 0.0, 0.0, 0.0], jnp.float32),
-        K)[None, :]
-    chunk_tab = jnp.concatenate([table.reshape(c, K * ROW_F), pad_row],
-                                axis=0)
-    chunks_p = jnp.pad(sorted_chunks, (0, e_pad - e), constant_values=c)
+    sing = _build_singletons5(prims, sok, srank, max_spill, shade_rgb)
+    pad_row = jnp.asarray(np.tile(PAD8, K))[None, :]
+    chunk_tab = jnp.concatenate([table.reshape(c, K * ROW_F), sing,
+                                 pad_row], axis=0)
+    pad_id = c + max_spill
+    chunks_p = jnp.pad(sorted_chunks, (0, e_pad - e),
+                       constant_values=pad_id)
     rows = chunk_tab[chunks_p]  # (e_pad, 128) — THE superrow gather
 
     big_safe = jnp.maximum(big_list, 0)
@@ -542,28 +614,31 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
 
 
 def true_entry_count5(prims, width: int, height: int, tile_h: int = 32,
-                      tile_w: int = 32, max_span: int = DEFAULT_MAX_SPAN):
+                      tile_w: int = 32, max_span: int = DEFAULT_MAX_SPAN,
+                      max_spill: int = DEFAULT_MAX_SPILL):
     """() int32 non-sentinel CHUNK entries (superrows) under the chunk
     binning — the exactness precondition for a finite entry_capacity."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     sorted_keys, *_ = _bin_chunks5(prims, tile_h, tile_w, num_tiles,
-                                   tiles_x, tiles_y, max_span=max_span)
+                                   tiles_x, tiles_y, max_span=max_span,
+                                   max_spill=max_spill)
     return jnp.searchsorted(
         sorted_keys, jnp.int32(num_tiles << ZQ_BITS)).astype(jnp.int32)
 
 
 def bin_diagnostics5(prims, width: int, height: int, tile_h: int = 32,
                      tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG,
-                     max_span: int = DEFAULT_MAX_SPAN):
+                     max_span: int = DEFAULT_MAX_SPAN,
+                     max_spill: int = DEFAULT_MAX_SPILL):
     """Big-list overflow count under the chunk binning (0 = exact)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
-    _, _, big_list, big_count, _, _ = _bin_chunks5(
+    _, _, big_list, big_count, _, _, _ = _bin_chunks5(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big, max_span=max_span)
+        max_big=max_big, max_span=max_span, max_spill=max_spill)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
@@ -574,6 +649,7 @@ def rasterize_pallas_csr5(prims, width: int, height: int,
                           check_every: int = DEFAULT_CHECK_EVERY,
                           max_big: int = DEFAULT_MAX_BIG,
                           max_span: int = DEFAULT_MAX_SPAN,
+                          max_spill: int = DEFAULT_MAX_SPILL,
                           interpret: bool = False,
                           return_diag: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
@@ -593,7 +669,7 @@ def rasterize_pallas_csr5(prims, width: int, height: int,
     (depth, idf), diag = _raster_core5(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, check_every, interpret, False, zeros3, zeros3, zerosf,
-        (), False, max_big, max_span)
+        (), False, max_big, max_span, max_spill)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -607,6 +683,7 @@ def render_shaded_csr5(prims, camera, shading, tile_h: int = 32,
                        check_every: int = DEFAULT_CHECK_EVERY,
                        max_big: int = DEFAULT_MAX_BIG,
                        max_span: int = DEFAULT_MAX_SPAN,
+                       max_spill: int = DEFAULT_MAX_SPILL,
                        uniform_color=None,
                        interpret: bool = False,
                        return_diag: bool = False):
@@ -638,7 +715,7 @@ def render_shaded_csr5(prims, camera, shading, tile_h: int = 32,
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, check_every, interpret, True, shade_rgb, shade_rgb,
         big_rflag, meta_tail, uniform_color is not None, max_big,
-        max_span)
+        max_span, max_spill)
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
     rgb = jnp.stack([r_, g_, b_], axis=-1)

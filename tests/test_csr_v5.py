@@ -99,19 +99,38 @@ class TestRasterV5:
         assert_buffers_match(d_o, i_o, d_p, i_p, "csr5 reversed",
                              exact_depth=False, depth_rtol=2e-5)
 
-    def test_unsorted_cloud_routes_big(self):
-        # A shuffled cloud has huge chunk bboxes -> everything rides the
-        # big list; small scenes stay EXACT (and the overflow diagnostic
-        # reports zero only while the cap holds).
+    def test_unsorted_cloud_rides_singleton_spill(self):
+        # A shuffled cloud has huge chunk bboxes -> every disc SPILLS to
+        # a per-prim singleton row (own 2x2 span) and stays EXACT with a
+        # tiny big list (only the ground triangles ride big).
         cam = make_camera()
         rng = np.random.default_rng(11)
         pos = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)
         soup = _soup(cam, pos)
-        assert int(np.asarray(bin_diagnostics5(soup, W, H))) == 0
+        assert int(np.asarray(bin_diagnostics5(soup, W, H,
+                                               max_big=8))) == 0
         d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
-        d_p, i_p = rasterize_pallas_csr5(soup, W, H, interpret=True)
-        assert_buffers_match(d_o, i_o, d_p, i_p, "csr5 unsorted big",
+        d_p, i_p = rasterize_pallas_csr5(soup, W, H, interpret=True,
+                                         max_big=8)
+        assert_buffers_match(d_o, i_o, d_p, i_p, "csr5 unsorted spill",
                              exact_depth=False, depth_rtol=2e-5)
+
+    def test_spill_cap_overflow_goes_big(self):
+        # Beyond max_spill, discs fall through to the big list — and
+        # past max_big the overflow diagnostic counts them loudly.
+        cam = make_camera()
+        rng = np.random.default_rng(12)
+        pos = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)
+        soup = _soup(cam, pos)
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        # Tiny spill, big list takes the rest: still exact.
+        d_p, i_p = rasterize_pallas_csr5(soup, W, H, interpret=True,
+                                         max_spill=16)
+        assert_buffers_match(d_o, i_o, d_p, i_p, "csr5 spill cap",
+                             exact_depth=False, depth_rtol=2e-5)
+        # Tiny spill AND tiny big list: overflow counted, not silent.
+        assert int(np.asarray(bin_diagnostics5(
+            soup, W, H, max_spill=16, max_big=8))) > 0
 
     def test_entry_capacity_prefix(self):
         cam = make_camera()

@@ -393,7 +393,10 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                                    (PACK - 1) * ROW_F + 14]
                 qz = jnp.maximum(
                     jnp.floor((last_zlb - zmin) * zs) - 1.0, 0.0)
-                done = zmin + qz * thr_scale >= dmax
+                # STRICT >: at equality a remaining equal-depth entry
+                # with a LOWER id must still win the per-pair tie-break
+                # (the unstable sort does not order ids) — ADVICE r2.
+                done = zmin + qz * thr_scale > dmax
                 return (ci + 1, done) + accs_out
 
             final = jax.lax.while_loop(

@@ -441,7 +441,10 @@ def _make_kernel5(tiles_x, tile_h, tile_w, unroll, chunk_rows, check_every,
                     qz = jnp.maximum(jnp.floor((zrow - zmin_s) * zs) - 1.0,
                                      0.0)
                     dmax = jnp.max(g[0])
-                    done2 = zmin_s + qz * thr >= dmax
+                    # STRICT >: ties must stay reachable — a remaining
+                    # equal-depth chunk can carry a LOWER id and the
+                    # cross-row merge is fully lexicographic (ADVICE r2).
+                    done2 = zmin_s + qz * thr > dmax
                 return (bk + 1, done2) + g
 
             out = jax.lax.while_loop(

@@ -110,13 +110,16 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
         pts, valid = trails_mod.velocity_trails(
             positions, velocities, frame_index, preset.trail_schedule)
         # A velocity trail is a STRAIGHT constant-radius polyline
-        # (trails.py: p + dir * L * ts), so its 20-segment capsule
-        # union has EXACTLY the same screen coverage as any coarser
-        # subsample of the same endpoints: projective maps keep the
-        # line straight on screen, and the union of collinear
-        # equal-radius capsules depends only on the extreme endpoints.
-        # Rendering uses VEL_TRAIL_RENDER_SEGMENTS segments — 2.5x
-        # fewer primitives — kept short enough (<= ~1/8 of the trail)
+        # (trails.py: p + dir * L * ts); its projection stays a straight
+        # line, so a coarser subsample of the same endpoints is a CLOSE
+        # APPROXIMATION of the 20-segment union — but not exact: the
+        # projected capsule radius r_px tapers with true 1/z while each
+        # screen capsule interpolates z and r linearly in its screen
+        # parameter, so coarser segments shift sub-pixel coverage and
+        # depth slightly (the roundtrip test bounds winner flips at
+        # ~0.1% of pixels; see ADVICE r2).  Rendering uses
+        # VEL_TRAIL_RENDER_SEGMENTS segments — 2.5x fewer primitives —
+        # kept short enough (<= ~1/8 of the trail)
         # that each segment still fits the fast 2x2-block binning of
         # the Pallas paths instead of falling to the O(T x big) list.
         # The state-layer 21-point trail (golden vs the reference's
@@ -231,16 +234,23 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
             rgb = shade_framebuffer(prims, camera, depth, index, shading,
                                     shadow=sf)
             fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+            diag = dict(true_entries=jnp.int32(0),
+                        big_overflow=jnp.int32(0))
         else:
-            fb = render(prims, camera, raster_config)
-        if ss == 1:
-            return fb
-        # Filtered RGB at target resolution; depth/index keep the
-        # nearest supersample's winners (AA is a look feature — the
-        # bit-exact contract is ss=1, shading/aa.py docstring).
-        return FrameBuffers(rgb=aa.downsample(fb.rgb, ss),
-                            depth=fb.depth[::ss, ::ss],
-                            index=fb.index[::ss, ::ss])
+            # Per-frame device-side exactness certificate (ADVICE r2):
+            # the caller checks it on EVERY rendered frame — a later
+            # frame's closer camera can overflow what a first-frame
+            # probe certified.
+            fb, diag = render(prims, camera, raster_config,
+                              return_diag=True)
+        if ss != 1:
+            # Filtered RGB at target resolution; depth/index keep the
+            # nearest supersample's winners (AA is a look feature — the
+            # bit-exact contract is ss=1, shading/aa.py docstring).
+            fb = FrameBuffers(rgb=aa.downsample(fb.rgb, ss),
+                              depth=fb.depth[::ss, ::ss],
+                              index=fb.index[::ss, ::ss])
+        return fb, diag["true_entries"], diag["big_overflow"]
 
     return step
 
@@ -334,60 +344,27 @@ class FramePipeline:
         else:
             history = jnp.zeros((0, positions.shape[0], 3), jnp.float32)
 
-        self._check_v4_overflow(positions, velocities, frame_index,
-                                history, with_history)
-        return _render_step(
+        fb, tc, ovf = _render_step(
             self.preset, self.raster_config, self.droplet_lod,
             has_vel, with_history, with_rotations, self.film,
             positions, velocities, jnp.int32(frame_index), history, rotations)
-
-    def _check_v4_overflow(self, positions, velocities, frame_index,
-                           history, with_history):
-        """One-time loud check of the v4 big-list capacity on the scene
-        shape (the TPU auto path bins discs/capsules; prims spanning
-        more than 2x2 pixel blocks ride a capped big list — overflow
-        would drop them silently)."""
-        if getattr(self, "_v4_ovf_checked", False):
-            return
-        if not (self.raster_config.backend == "auto"
-                and jax.default_backend() == "tpu"):
-            return
-        self._v4_ovf_checked = True
-        mesh_lod = (self.preset.splat != "sphere"
-                    and self.droplet_lod == "mesh")
-        from pointcloud_render_tpu.raster import pallas_csr4  # noqa: PLC0415
-        from pointcloud_render_tpu.scene.camera import (  # noqa: PLC0415
-            IMAGE_HEIGHT,
-            IMAGE_WIDTH,
-        )
-
-        w, h = self.film if self.film else (IMAGE_WIDTH, IMAGE_HEIGHT)
-        ss = self.raster_config.supersample
-
-        def probe(p, v, fi, hist):
-            camera = Camera(
-                origin=camera_origin_jax(self.preset.camera_preset, fi,
-                                         self.preset.total_frames),
-                target=np.asarray(TARGETS[self.preset.camera_preset],
-                                  np.float32),
-                fov_x_degrees=self.preset.fov_x_degrees,
-                width=w * ss, height=h * ss)
-            prims = build_primitives(
-                self.preset, camera, p, v, fi,
-                hist if with_history else None, None,
-                droplet_lod=self.droplet_lod)
-            return pallas_csr4.bin_diagnostics4(prims, w * ss, h * ss,
-                                                bin_triangles=mesh_lod)
-
-        ovf = int(np.asarray(aot.compile_const_free(
-            probe, positions, velocities, jnp.int32(frame_index),
-            history)(positions, velocities, jnp.int32(frame_index),
-                     history)))
+        # Per-frame certificate (ADVICE r2): the device-side diag rides
+        # the frame fetch — overflow/capacity violations fail LOUDLY on
+        # the exact frame instead of a first-frame probe's guess.
+        ovf = int(np.asarray(ovf))
         if ovf > 0:
             raise RuntimeError(
-                f"pallas_csr4 big-list overflow ({ovf} primitives) — the "
-                f"render would silently drop them. Use "
-                f"RasterConfig(backend='pallas') (v2 bins wide prims).")
+                f"big-list overflow ({ovf} primitives) at frame "
+                f"{frame_index} — the render dropped them. Raise "
+                f"max_big / use a binning backend for this scene.")
+        cap = self.raster_config.entry_capacity
+        if cap is not None:
+            tc = int(np.asarray(tc))
+            if tc > cap:
+                raise RuntimeError(
+                    f"entry capacity violated at frame {frame_index}: "
+                    f"true_entry_count {tc} > capacity {cap}.")
+        return fb
 
     # -- full frame ----------------------------------------------------------
     def process(self, file_path: str, frame_index: int = 0,

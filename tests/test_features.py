@@ -361,7 +361,7 @@ class TestAA:
             step = _make_step(preset, RasterConfig(backend="tiled",
                                                    supersample=ss),
                               "capsule", True, False, False, film=(128, 64))
-            return step(pos, vel, fi, hist, rot)
+            return step(pos, vel, fi, hist, rot)[0]
 
         fb1, fb2 = run(1), run(2)
         assert fb1.rgb.shape == fb2.rgb.shape == (64, 128, 3)

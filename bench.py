@@ -311,7 +311,105 @@ def run_bench(args):
               f"frames={args.frames} median={dt * 1e3:.2f}ms/frame "
               f"splats/s={n * fps:.3e}", file=sys.stderr)
 
-    _emit(f"1080p_fps_{n // 1000}k_points", fps)
+    extra = {}
+    if args.trail_frames > 0:
+        try:
+            extra["trail_fps_1m"] = round(
+                _bench_trail_scene(args, make_camera, positions), 3)
+        except Exception as e:  # noqa: BLE001 — secondary metric
+            traceback.print_exc()
+            extra["trail_fps_1m"] = 0.0
+            extra["trail_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    _emit(f"1080p_fps_{n // 1000}k_points", fps, **extra)
+
+
+def _bench_trail_scene(args, make_camera, positions):
+    """The flagship traj_ball TRAIL scene (ground + spheres + velocity
+    trails, /root/reference/traj_ball_renderer.py:309-333) at the same
+    point count / 1080p, rendered by the v4 generic kernel through the
+    production pipeline soup builder — one lax.scan over a spread of
+    trajectory frames (VERDICT r2 item 2: a driver-visible number for
+    the reference's primary workload)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.raster import pallas_csr4
+    from pointcloud_render_tpu.raster.render import RasterConfig, render
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.scene.camera import TARGETS, Camera
+    from pointcloud_render_tpu.utils import aot
+
+    preset = PRESETS["traj_ball"]
+    n = positions.shape[0]
+    rng = np.random.default_rng(1)
+    velocities = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
+    # Trail length peaks at frame 19 and holds (trail_length_scale);
+    # sample the steady-state portion of the dolly.
+    frames = np.linspace(20, 219, args.trail_frames).astype(np.int32)
+
+    def soup(fi):
+        camera = make_camera(fi)
+        return build_primitives(preset, camera, positions, velocities,
+                                fi), camera
+
+    cam0 = make_camera(jnp.int32(0))
+    w, h = cam0.width, cam0.height
+
+    def probe(fi):
+        s, _ = soup(fi)
+        return (pallas_csr4.true_entry_count4(s, w, h),
+                pallas_csr4.bin_diagnostics4(s, w, h))
+
+    pc = aot.compile_const_free(probe, jnp.int32(0))
+    ecs, ovfs = zip(*[
+        tuple(int(np.asarray(x)) for x in pc(jnp.int32(int(f))))
+        for f in (frames[0], frames[len(frames) // 2], frames[-1])])
+    if max(ovfs) > 0:
+        raise RuntimeError(f"v4 big-list overflow on trail scene: {ovfs}")
+    cap = ((int(max(ecs) * 1.2) + 127) // 128) * 128
+    if args.verbose:
+        print(f"# trail entries {ecs} capacity {cap}", file=sys.stderr)
+    config = RasterConfig(backend="pallas4", no_triangles=True,
+                          entry_capacity=cap)
+
+    def episode(positions, velocities):
+        def body(acc, fi):
+            s, camera = soup(fi)
+            fb, diag = render(s, camera, config, return_diag=True)
+            c = (jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
+                 + jnp.sum(fb.rgb[::8, ::8]))
+            return (acc[0] + c,
+                    jnp.maximum(acc[1], diag["true_entries"]),
+                    jnp.maximum(acc[2], diag["big_overflow"])), None
+
+        acc, _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.int32(0), jnp.int32(0)),
+            jnp.asarray(frames))
+        return acc
+
+    compiled = _retry("trail compile", lambda: aot.compile_const_free(
+        episode, positions, velocities))
+    out = compiled(positions, velocities)
+    _, tc, ovf = (np.asarray(v) for v in out)
+    if int(ovf) > 0 or int(tc) > cap:
+        raise RuntimeError(
+            f"trail-scene certificate failed: max entries {int(tc)} "
+            f"(cap {cap}), overflow {int(ovf)}")
+    times = []
+    for _ in range(max(1, args.rounds - 1)):
+        t0 = time.perf_counter()
+        out = compiled(positions, velocities)
+        float(np.asarray(out[0]))
+        times.append((time.perf_counter() - t0) / len(frames))
+    dt = float(np.median(times))
+    if args.verbose:
+        print(f"# trail scene: {dt * 1e3:.2f} ms/frame over "
+              f"{len(frames)} frames", file=sys.stderr)
+    return 1.0 / dt
 
 
 def main():
@@ -334,6 +432,9 @@ def main():
                     help="timing rounds (median taken)")
     ap.add_argument("--max-per-tile", type=int, default=4096)
     ap.add_argument("--max-tiles-per-prim", type=int, default=4)
+    ap.add_argument("--trail-frames", type=int, default=24,
+                    help="frames for the secondary trail-scene metric "
+                         "(0 disables)")
     ap.add_argument("--skip-validate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

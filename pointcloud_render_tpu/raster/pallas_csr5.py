@@ -76,7 +76,7 @@ from pointcloud_render_tpu.raster.primitives import KIND_DISC
 
 INF = np.float32(np.inf)
 F_EMPTY = np.float32(1 << 24)  # > every representable prim id
-K = 16  # prims per chunk == per 128-lane superrow
+DEFAULT_K = 16  # prims per chunk (superrow = k * 8 lanes)
 ROW_F = 8  # px, py, z, r, idf, c0, c1, c2
 ZQ_BITS = 10  # chunk-zmin depth buckets in the i32 sort key
 DEFAULT_CHUNK_ROWS = 32  # superrows per DMA (512 prims)
@@ -86,14 +86,14 @@ DEFAULT_MAX_SPAN = 4  # tiles per axis a binned chunk may cover
 DEFAULT_MAX_SPILL = 32768  # singleton rows for discs of wider chunks
 
 
-def _chunk_reduce(x, c, fill, op):
-    return op(jnp.pad(x, (0, c * K - x.shape[0]), constant_values=fill)
-              .reshape(c, K), axis=1)
+def _chunk_reduce(x, c, k, fill, op):
+    return op(jnp.pad(x, (0, c * k - x.shape[0]), constant_values=fill)
+              .reshape(c, k), axis=1)
 
 
 def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
                  max_big=DEFAULT_MAX_BIG, max_span=DEFAULT_MAX_SPAN,
-                 max_spill=DEFAULT_MAX_SPILL):
+                 max_spill=DEFAULT_MAX_SPILL, k=DEFAULT_K):
     """Chunk bbox/zmin reduce + masked max_span^2 expansion + UNSTABLE
     i32 sort, with a SINGLETON SPILL for discs of wider chunks.
 
@@ -117,7 +117,7 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     (sok, srank) the per-prim singleton mask/slot assignment.
     """
     p = prims.count
-    c = -(-p // K)
+    c = -(-p // k)
     is_disc = prims.valid & (prims.kind == KIND_DISC)
 
     xmin = jnp.where(is_disc, prims.bbox[:, 0], INF)
@@ -126,11 +126,11 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     ymax = jnp.where(is_disc, prims.bbox[:, 3], -INF)
     z = jnp.where(is_disc, prims.params[:, 2], INF)
 
-    cxmin = _chunk_reduce(xmin, c, INF, jnp.min)
-    cxmax = _chunk_reduce(xmax, c, -INF, jnp.max)
-    cymin = _chunk_reduce(ymin, c, INF, jnp.min)
-    cymax = _chunk_reduce(ymax, c, -INF, jnp.max)
-    czmin = _chunk_reduce(z, c, INF, jnp.min)
+    cxmin = _chunk_reduce(xmin, c, k, INF, jnp.min)
+    cxmax = _chunk_reduce(xmax, c, k, -INF, jnp.max)
+    cymin = _chunk_reduce(ymin, c, k, INF, jnp.min)
+    cymax = _chunk_reduce(ymax, c, k, -INF, jnp.max)
+    czmin = _chunk_reduce(z, c, k, INF, jnp.min)
     has = jnp.isfinite(cxmin)
 
     tx0 = jnp.clip(jnp.floor(cxmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
@@ -144,9 +144,9 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     # Per-prim routing: discs of fitting chunks ride the chunk rows;
     # discs of wider chunks spill to singleton rows (their own 2x2
     # span); everything else valid (capsule/triangle/over-spill) big.
-    fit_per_prim = jnp.repeat(fits, K)[:p]
+    fit_per_prim = jnp.repeat(fits, k)[:p]
     binnable = is_disc & fit_per_prim
-    wide_per_prim = jnp.repeat(has & ~fits, K)[:p]
+    wide_per_prim = jnp.repeat(has & ~fits, k)[:p]
     spill = is_disc & wide_per_prim
     ptx0 = jnp.clip(jnp.floor(prims.bbox[:, 0] / tile_w).astype(jnp.int32),
                     0, tiles_x - 1)
@@ -162,9 +162,16 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     sok = (spill & (pntx <= 2) & (pnty <= 2) & (srank < max_spill))
     is_big = prims.valid & ~(binnable | sok)
 
+    # Bucket range spans fit-chunk zmins AND spilled-prim depths: a
+    # spill entry with z below the fit range would otherwise clip to a
+    # bucket whose floor EXCEEDS its true depth, letting the in-kernel
+    # early exit fire before it streams (an order-dependent drop — the
+    # unstable sort decides whether the exit sees it first).
     nb = np.float32(1 << ZQ_BITS)
-    zmin = jnp.min(jnp.where(fits, czmin, INF))
-    zmax = jnp.max(jnp.where(fits, czmin, -INF))
+    zmin = jnp.minimum(jnp.min(jnp.where(fits, czmin, INF)),
+                       jnp.min(jnp.where(spill, z, INF)))
+    zmax = jnp.maximum(jnp.max(jnp.where(fits, czmin, -INF)),
+                       jnp.max(jnp.where(spill, z, -INF)))
     rngz = zmax - zmin
     s = jnp.where(rngz > 0, nb / rngz, 0.0)
     qz = jnp.clip(jnp.floor((czmin - zmin) * s), 0.0, nb - 1).astype(jnp.int32)
@@ -189,24 +196,30 @@ def _bin_chunks5(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
 
     # Singleton spill keys: 2x2 of the PRIM's own bbox, z-bucketed on
     # the same chunk scale (clipped — monotone in z, so the early-exit
-    # sort invariant holds), scattered compactly by spill rank.
+    # sort invariant holds).  ONE row-scatter builds all 4 slot keys
+    # (TPU scatters lower to sort-like programs — each extra scatter
+    # costs real milliseconds at 1M indices), and the payload needs no
+    # scatter at all: slot i of the spill array ALWAYS belongs to
+    # virtual chunk c + i//4, occupied or not (unoccupied slots carry
+    # sentinel keys and sort to the truncated tail).
     zq_p = jnp.clip(jnp.floor((z - zmin) * s), 0.0, nb - 1).astype(jnp.int32)
     phome = ((pty0 * tiles_x + ptx0) << ZQ_BITS) | zq_p
-    skeys = jnp.full((max_spill * 4 + 1,), sent, jnp.int32)
-    spayload = jnp.full((max_spill * 4 + 1,), c + max_spill, jnp.int32)
-    for j, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+    key4 = []
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
         okp = sok
         if dx:
             okp = okp & (pntx == 2)
         if dy:
             okp = okp & (pnty == 2)
-        sidx = jnp.where(sok, srank * 4 + j, max_spill * 4)
-        val = jnp.where(okp, phome + ((dy * tiles_x + dx) << ZQ_BITS),
-                        sent)
-        skeys = skeys.at[sidx].set(val, mode="drop")
-        spayload = spayload.at[sidx].set(c + srank, mode="drop")
-    flat_key = jnp.concatenate([flat_key, skeys[:-1]])
-    flat_chunks = jnp.concatenate([flat_chunks, spayload[:-1]])
+        key4.append(jnp.where(okp, phome + ((dy * tiles_x + dx) << ZQ_BITS),
+                              sent))
+    key4 = jnp.stack(key4, axis=1)  # (P, 4)
+    skeys = jnp.full((max_spill + 1, 4), sent, jnp.int32)
+    sidx = jnp.where(sok, srank, max_spill)
+    skeys = skeys.at[sidx].set(key4, mode="drop")
+    spayload = np.int32(c) + (np.arange(max_spill * 4, dtype=np.int32) // 4)
+    flat_key = jnp.concatenate([flat_key, skeys[:-1].reshape(-1)])
+    flat_chunks = jnp.concatenate([flat_chunks, jnp.asarray(spayload)])
     sorted_keys, sorted_chunks = jax.lax.sort(
         (flat_key, flat_chunks), num_keys=1, is_stable=False)
 
@@ -225,11 +238,11 @@ PAD8 = np.array([0.0, 0.0, np.inf, 0.0, float(F_EMPTY), 0.0, 0.0, 0.0],
                 np.float32)
 
 
-def _build_table5(prims, binnable, shade_rgb):
-    """(C*K, 8) f32 rows [px, py, z, r, idf, c0, c1, c2]; non-binnable
+def _build_table5(prims, binnable, shade_rgb, k=DEFAULT_K):
+    """(C*k, 8) f32 rows [px, py, z, r, idf, c0, c1, c2]; non-binnable
     slots are inert (r = 0) with z = +inf (row depth-min == chunk zmin)."""
     p = prims.count
-    c = -(-p // K)
+    c = -(-p // k)
     idf = jnp.arange(p, dtype=jnp.float32)
     table = jnp.concatenate([
         prims.params[:, 0:2],
@@ -240,10 +253,11 @@ def _build_table5(prims, binnable, shade_rgb):
     ], axis=1)
     pad_row = jnp.asarray(PAD8)
     return jnp.concatenate(
-        [table, jnp.broadcast_to(pad_row, (c * K - p, ROW_F))], axis=0)
+        [table, jnp.broadcast_to(pad_row, (c * k - p, ROW_F))], axis=0)
 
 
-def _build_singletons5(prims, sok, srank, max_spill, shade_rgb):
+def _build_singletons5(prims, sok, srank, max_spill, shade_rgb,
+                       k=DEFAULT_K):
     """(max_spill, 128) singleton superrows: the spilled prim in slot 0,
     15 inert pad slots (z = +inf keeps the row depth-min == the prim z,
     matching its sort bucket — the early-exit bound stays sound)."""
@@ -259,13 +273,13 @@ def _build_singletons5(prims, sok, srank, max_spill, shade_rgb):
     sidx = jnp.where(sok, srank, max_spill)
     s8 = jnp.broadcast_to(jnp.asarray(PAD8), (max_spill + 1, ROW_F))
     s8 = s8.at[sidx].set(row8, mode="drop")[:max_spill]
-    tail = jnp.broadcast_to(jnp.asarray(np.tile(PAD8, K - 1)),
-                            (max_spill, (K - 1) * ROW_F))
+    tail = jnp.broadcast_to(jnp.asarray(np.tile(PAD8, k - 1)),
+                            (max_spill, (k - 1) * ROW_F))
     return jnp.concatenate([s8, tail], axis=1)
 
 
 def _make_kernel5(tiles_x, tile_h, tile_w, unroll, chunk_rows, check_every,
-                  allow_exit, fused, uniform):
+                  allow_exit, fused, uniform, k=DEFAULT_K):
     assert chunk_rows % check_every == 0
 
     def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
@@ -352,13 +366,13 @@ def _make_kernel5(tiles_x, tile_h, tile_w, unroll, chunk_rows, check_every,
             chains = []
             for _ in range(unroll):
                 ch = [jnp.full((8, 128), INF, jnp.float32),  # z
-                      jnp.full((8, 128), np.float32(K), jnp.float32)]  # slot
+                      jnp.full((8, 128), np.float32(k), jnp.float32)]  # slot
                 if fused:
                     ch += [zero, zero, zero]  # px, py, r
                     if not uniform:
                         ch += [zero, zero, zero]  # rgb
                 chains.append(ch)
-            for u in range(K):
+            for u in range(k):
                 lane = u * ROW_F
                 px = scratch[slot, br, lane]
                 py = scratch[slot, br, lane + 1]
@@ -423,8 +437,8 @@ def _make_kernel5(tiles_x, tile_h, tile_w, unroll, chunk_rows, check_every,
                 bk = c[0]
                 g = c[2:]
                 br0 = bk * check_every
-                for k in range(check_every):
-                    g = do_row(slot, br0 + k, g)
+                for step in range(check_every):  # NOT `k` — the chunk
+                    g = do_row(slot, br0 + step, g)  # size is in scope
                 done2 = jnp.bool_(False)
                 if allow_exit:
                     # Lower bound for every unstreamed prim: the last
@@ -435,7 +449,7 @@ def _make_kernel5(tiles_x, tile_h, tile_w, unroll, chunk_rows, check_every,
                     # only LOWER the bound (delays exit, never wrong).
                     lr = br0 + (check_every - 1)
                     zrow = scratch[slot, lr, 2]
-                    for u in range(1, K):
+                    for u in range(1, k):
                         zrow = jnp.minimum(zrow,
                                            scratch[slot, lr, u * ROW_F + 2])
                     qz = jnp.maximum(jnp.floor((zrow - zmin_s) * zs) - 1.0,
@@ -519,7 +533,7 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
                   entry_capacity, chunk_rows, check_every, interpret,
                   fused, shade_rgb, big_rgb, big_rflag, meta_tail,
                   uniform, max_big, max_span=DEFAULT_MAX_SPAN,
-                  max_spill=DEFAULT_MAX_SPILL):
+                  max_spill=DEFAULT_MAX_SPILL, k=DEFAULT_K):
     if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
         raise ValueError(
             "pallas_csr5 pixel blocks must hold exactly one (8, 128) "
@@ -534,7 +548,8 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
     (sorted_keys, sorted_chunks, big_list, big_count, zmeta, binnable,
      (sok, srank)) = _bin_chunks5(prims, tile_h, tile_w, num_tiles,
                                   tiles_x, tiles_y, max_big=max_big,
-                                  max_span=max_span, max_spill=max_spill)
+                                  max_span=max_span, max_spill=max_spill,
+                                  k=k)
 
     starts = jnp.searchsorted(
         sorted_keys,
@@ -549,16 +564,17 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
         starts = jnp.minimum(starts, e)
     e_pad = -(-(e + chunk_rows) // chunk_rows) * chunk_rows
 
-    table = _build_table5(prims, binnable, shade_rgb)
-    c = table.shape[0] // K
-    sing = _build_singletons5(prims, sok, srank, max_spill, shade_rgb)
-    pad_row = jnp.asarray(np.tile(PAD8, K))[None, :]
-    chunk_tab = jnp.concatenate([table.reshape(c, K * ROW_F), sing,
+    table = _build_table5(prims, binnable, shade_rgb, k=k)
+    c = table.shape[0] // k
+    sing = _build_singletons5(prims, sok, srank, max_spill, shade_rgb,
+                              k=k)
+    pad_row = jnp.asarray(np.tile(PAD8, k))[None, :]
+    chunk_tab = jnp.concatenate([table.reshape(c, k * ROW_F), sing,
                                  pad_row], axis=0)
     pad_id = c + max_spill
     chunks_p = jnp.pad(sorted_chunks, (0, e_pad - e),
                        constant_values=pad_id)
-    rows = chunk_tab[chunks_p]  # (e_pad, 128) — THE superrow gather
+    rows = chunk_tab[chunks_p]  # (e_pad, k*8) — THE superrow gather
 
     big_safe = jnp.maximum(big_list, 0)
     big_kinds = jnp.where(big_list >= 0, prims.kind[big_safe], -1)[None, :]
@@ -592,14 +608,14 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
         out_specs=[pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
                                 memory_space=pltpu.VMEM)] * n_out,
         scratch_shapes=[
-            pltpu.SMEM((2, chunk_rows, 128), jnp.float32),
+            pltpu.SMEM((2, chunk_rows, k * ROW_F), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     kernel = _make_kernel5(tiles_x, tile_h, tile_w, unroll, chunk_rows,
                            check_every, allow_exit=True, fused=fused,
-                           uniform=uniform)
+                           uniform=uniform, k=k)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -618,7 +634,8 @@ def _raster_core5(prims, width, height, tile_h, tile_w, unroll,
 
 def true_entry_count5(prims, width: int, height: int, tile_h: int = 32,
                       tile_w: int = 32, max_span: int = DEFAULT_MAX_SPAN,
-                      max_spill: int = DEFAULT_MAX_SPILL):
+                      max_spill: int = DEFAULT_MAX_SPILL,
+                      k: int = DEFAULT_K):
     """() int32 non-sentinel CHUNK entries (superrows) under the chunk
     binning — the exactness precondition for a finite entry_capacity."""
     tiles_y = -(-height // tile_h)
@@ -626,7 +643,7 @@ def true_entry_count5(prims, width: int, height: int, tile_h: int = 32,
     num_tiles = tiles_y * tiles_x
     sorted_keys, *_ = _bin_chunks5(prims, tile_h, tile_w, num_tiles,
                                    tiles_x, tiles_y, max_span=max_span,
-                                   max_spill=max_spill)
+                                   max_spill=max_spill, k=k)
     return jnp.searchsorted(
         sorted_keys, jnp.int32(num_tiles << ZQ_BITS)).astype(jnp.int32)
 
@@ -634,14 +651,15 @@ def true_entry_count5(prims, width: int, height: int, tile_h: int = 32,
 def bin_diagnostics5(prims, width: int, height: int, tile_h: int = 32,
                      tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG,
                      max_span: int = DEFAULT_MAX_SPAN,
-                     max_spill: int = DEFAULT_MAX_SPILL):
+                     max_spill: int = DEFAULT_MAX_SPILL,
+                     k: int = DEFAULT_K):
     """Big-list overflow count under the chunk binning (0 = exact)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     _, _, big_list, big_count, _, _, _ = _bin_chunks5(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big, max_span=max_span, max_spill=max_spill)
+        max_big=max_big, max_span=max_span, max_spill=max_spill, k=k)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
@@ -653,6 +671,7 @@ def rasterize_pallas_csr5(prims, width: int, height: int,
                           max_big: int = DEFAULT_MAX_BIG,
                           max_span: int = DEFAULT_MAX_SPAN,
                           max_spill: int = DEFAULT_MAX_SPILL,
+                          k: int = DEFAULT_K,
                           interpret: bool = False,
                           return_diag: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
@@ -672,7 +691,7 @@ def rasterize_pallas_csr5(prims, width: int, height: int,
     (depth, idf), diag = _raster_core5(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, check_every, interpret, False, zeros3, zeros3, zerosf,
-        (), False, max_big, max_span, max_spill)
+        (), False, max_big, max_span, max_spill, k)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -687,6 +706,7 @@ def render_shaded_csr5(prims, camera, shading, tile_h: int = 32,
                        max_big: int = DEFAULT_MAX_BIG,
                        max_span: int = DEFAULT_MAX_SPAN,
                        max_spill: int = DEFAULT_MAX_SPILL,
+                       k: int = DEFAULT_K,
                        uniform_color=None,
                        interpret: bool = False,
                        return_diag: bool = False):
@@ -718,7 +738,7 @@ def render_shaded_csr5(prims, camera, shading, tile_h: int = 32,
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, check_every, interpret, True, shade_rgb, shade_rgb,
         big_rflag, meta_tail, uniform_color is not None, max_big,
-        max_span, max_spill)
+        max_span, max_spill, k)
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
     rgb = jnp.stack([r_, g_, b_], axis=-1)

@@ -161,16 +161,18 @@ class TestRasterV5:
         assert_buffers_match(d_o, i_o, d_p, i_p, "csr5 mixed",
                              exact_depth=False, depth_rtol=2e-5)
 
-    @pytest.mark.parametrize("chunk_rows,check_every,unroll,max_span",
-                             [(8, 1, 1, 2), (16, 4, 4, 4)])
+    @pytest.mark.parametrize("chunk_rows,check_every,unroll,max_span,k",
+                             [(8, 1, 1, 2, 16), (16, 4, 4, 4, 16),
+                              (16, 2, 2, 4, 8), (8, 2, 1, 2, 4)])
     def test_knob_sweep_exact(self, chunk_rows, check_every, unroll,
-                              max_span):
+                              max_span, k):
         cam = make_camera()
         soup = _soup(cam, _sorted_cloud(n=400))
         d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
         d_p, i_p = rasterize_pallas_csr5(
             soup, W, H, interpret=True, chunk_rows=chunk_rows,
-            check_every=check_every, unroll=unroll, max_span=max_span)
+            check_every=check_every, unroll=unroll, max_span=max_span,
+            k=k)
         assert_buffers_match(d_o, i_o, d_p, i_p,
                              f"csr5 knobs {chunk_rows}/{check_every}/{unroll}",
                              exact_depth=False, depth_rtol=2e-5)

@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--unroll", type=int, default=2)
     ap.add_argument("--chunk-rows", type=int, default=32)
     ap.add_argument("--check-every", type=int, default=2)
+    ap.add_argument("--k", type=int, default=16)
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -81,11 +82,12 @@ def main():
     th = tw = 32
     tiles_y, tiles_x = -(-H // th), -(-W // tw)
     num_tiles = tiles_y * tiles_x
-    ec = int(pallas_csr5.true_entry_count5(soup0, W, H))
+    ec = int(pallas_csr5.true_entry_count5(soup0, W, H, k=args.k))
     cap = ((int(ec * 1.15) + args.chunk_rows - 1)
            // args.chunk_rows) * args.chunk_rows
     print(f"prims {soup0.count} superrow entries {ec} cap {cap} "
-          f"({cap * 512 / 1e6:.0f} MB gather)", flush=True)
+          f"({cap * args.k * 32 / 1e6:.0f} MB gather, k={args.k})",
+          flush=True)
 
     def stage_build(p):
         soup, _ = make(p)
@@ -94,14 +96,14 @@ def main():
     def stage_bin(p):
         soup, _ = make(p)
         sk, sc, bl, bc, _zm, _bn, _sp = pallas_csr5._bin_chunks5(
-            soup, th, tw, num_tiles, tiles_x, tiles_y)
+            soup, th, tw, num_tiles, tiles_x, tiles_y, k=args.k)
         return sk[0] + sc[0] + bc
 
     def stage_rows(p):
         soup, _ = make(p)
         (sk, sc, bl, bc, zm, binnable, (sok, srank)) = \
             pallas_csr5._bin_chunks5(soup, th, tw, num_tiles, tiles_x,
-                                     tiles_y)
+                                     tiles_y, k=args.k)
         starts = jnp.searchsorted(
             sk, np.arange(num_tiles + 1, dtype=np.int32)
             << pallas_csr5.ZQ_BITS).astype(jnp.int32)
@@ -109,12 +111,13 @@ def main():
         sc = sc[:e]
         e_pad = -(-(e + args.chunk_rows) // args.chunk_rows) * args.chunk_rows
         z3 = jnp.zeros((soup.count, 3), jnp.float32)
-        table = pallas_csr5._build_table5(soup, binnable, z3)
-        c = table.shape[0] // pallas_csr5.K
+        table = pallas_csr5._build_table5(soup, binnable, z3, k=args.k)
+        c = table.shape[0] // args.k
         sing = pallas_csr5._build_singletons5(
-            soup, sok, srank, pallas_csr5.DEFAULT_MAX_SPILL, z3)
-        pad_row = jnp.asarray(np.tile(pallas_csr5.PAD8, pallas_csr5.K))[None]
-        tab = jnp.concatenate([table.reshape(c, 128), sing, pad_row])
+            soup, sok, srank, pallas_csr5.DEFAULT_MAX_SPILL, z3, k=args.k)
+        pad_row = jnp.asarray(np.tile(pallas_csr5.PAD8, args.k))[None]
+        tab = jnp.concatenate([table.reshape(c, args.k * 8), sing,
+                               pad_row])
         chunks_p = jnp.pad(sc, (0, e_pad - e),
                            constant_values=c + pallas_csr5.DEFAULT_MAX_SPILL)
         rows = tab[chunks_p]
@@ -124,7 +127,8 @@ def main():
         soup, _ = make(p)
         d, i = pallas_csr5.rasterize_pallas_csr5(
             soup, W, H, unroll=args.unroll, entry_capacity=cap,
-            chunk_rows=args.chunk_rows, check_every=args.check_every)
+            chunk_rows=args.chunk_rows, check_every=args.check_every,
+            k=args.k)
         return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
     def stage_shade(p):
@@ -132,7 +136,8 @@ def main():
         rgb, d, i = pallas_csr5.render_shaded_csr5(
             soup, cam, ShadingConfig(), unroll=args.unroll,
             entry_capacity=cap, chunk_rows=args.chunk_rows,
-            check_every=args.check_every, uniform_color=tuple(gray))
+            check_every=args.check_every, k=args.k,
+            uniform_color=tuple(gray))
         return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
                 + jnp.sum(rgb[::8, ::8]))
 

@@ -613,6 +613,7 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
                        tile_w: int = 32, unroll: int = 4,
                        entry_capacity=None,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                       uniform_look=None,
                        interpret: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
@@ -621,6 +622,15 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
     id-resolve + 10-float attribute gathers (~2.6x cheaper shade+resolve
     at 1080p — docs/KERNEL_NOTES.md).  Same exactness preconditions as
     rasterize_pallas_csr3.
+
+    ``uniform_look``: optional ((r, g, b), (br, bg, bb)) for TWO-TONE
+    scenes (the bench's gray cloud over the white ground): the per-pixel
+    winner gather narrows to 4 floats [px, py, flag, 0] — the colors are
+    injected as constants (first tuple: every binned disc's RAW color;
+    second: every big prim's PRESHADED rgb).  Bit-identical to the
+    generic path exactly when the scene satisfies that; lambert only.
+    XLA row gathers are ~byte-bound (docs/KERNEL_NOTES.md round 3), so
+    halving the row width saves ~3 ms of the 1080p shade stage.
     """
     width, height = camera.width, camera.height
     shade_rgb, shade_flag = _preshade(prims, camera, shading)
@@ -634,25 +644,40 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
     n_rows = rows_flat.shape[0]
     shade_idx = jnp.where(ent == IMAX, n_rows - 1,
                           jnp.where(ent < 0, e_pad + (-ent - 2), ent))
-    a = rows_flat[jnp.clip(shade_idx, 0, n_rows - 1)]  # (H, W, 8)
+    shade_idx = jnp.clip(shade_idx, 0, n_rows - 1)
 
-    if shading.mode == "flat":
-        rgb = a[..., 4:7]
-    else:
+    def lambert(px, py, inv_r):
         qx = (np.arange(width, dtype=np.float32) + 0.5)[None, :]
         qy = (np.arange(height, dtype=np.float32) + 0.5)[:, None]
         m = camera.world_to_camera_matrix()
         l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
-        inv_r = a[..., 7]
-        u = (qx - a[..., 0]) * inv_r
-        v = -(qy - a[..., 1]) * inv_r
+        u = (qx - px) * inv_r
+        v = -(qy - py) * inv_r
         w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
         nz = -jnp.sqrt(w2)
         ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
-        lit = shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
-        is_disc = inv_r > 0
-        rgb = jnp.where(is_disc[..., None], a[..., 4:7] * lit[..., None],
-                        a[..., 4:7])
+        return shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
+
+    if uniform_look is not None and shading.mode != "flat":
+        attr4 = jnp.concatenate(
+            [rows_flat[:, 0:2], rows_flat[:, 7:8],
+             jnp.zeros((n_rows, 1), jnp.float32)], axis=1)
+        a = attr4[shade_idx]  # (H, W, 4)
+        inv_r = a[..., 2]
+        lit = lambert(a[..., 0], a[..., 1], inv_r)
+        uc = np.asarray(uniform_look[0], np.float32)
+        ub = np.asarray(uniform_look[1], np.float32)
+        rgb = jnp.where((inv_r > 0)[..., None], uc * lit[..., None], ub)
+    else:
+        a = rows_flat[shade_idx]  # (H, W, 8)
+        if shading.mode == "flat":
+            rgb = a[..., 4:7]
+        else:
+            inv_r = a[..., 7]
+            lit = lambert(a[..., 0], a[..., 1], inv_r)
+            is_disc = inv_r > 0
+            rgb = jnp.where(is_disc[..., None], a[..., 4:7] * lit[..., None],
+                            a[..., 4:7])
 
     bg = np.asarray(shading.background, np.float32)
     hit = jnp.isfinite(depth)

@@ -48,6 +48,11 @@ class RasterConfig:
     # pallas4: bin small triangles too (mesh-LOD droplet scenes) via the
     # branchless dual eval; only the huge ground triangles stay big.
     bin_triangles: bool = False
+    # pallas4/5: big-list capacity (prims too wide to bin).  Probe with
+    # bin_diagnostics4/5 and size it so overflow is 0; the kernel cost
+    # is O(tiles x actual big count), so keep it as small as the scene
+    # allows.
+    max_big: int = 1024
     # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
     unroll: int = 4
     # pallas: static cap on the sorted-entry row gather.  None = exact;
@@ -58,6 +63,11 @@ class RasterConfig:
     # collapse with the reference-matched gaussian rfilter (shading/aa.py).
     # 1 = bit-exact single-sample contract (default).
     supersample: int = 1
+    # pallas3 fused shading: optional ((disc rgb), (preshaded big rgb))
+    # for TWO-TONE scenes — narrows the per-pixel winner gather to 4
+    # floats (see pallas_csr3.render_shaded_csr3; bit-identical only
+    # when the scene's colors really are these two constants).
+    uniform_look: Optional[tuple] = None
 
 
 @jax.tree_util.register_dataclass
@@ -128,6 +138,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             unroll=config.unroll,
             entry_capacity=config.entry_capacity,
             bin_triangles=config.bin_triangles,
+            max_big=config.max_big,
             interpret=jax.default_backend() != "tpu")
     if backend == "pallas5":
         # Chunk-binned path for Morton-ordered clouds (scene/spatial):
@@ -139,6 +150,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             prims, width, height,
             unroll=config.unroll,
             entry_capacity=config.entry_capacity,
+            max_big=config.max_big,
             interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
@@ -172,7 +184,7 @@ def render(prims: ScreenPrimitives, camera,
         rgb, depth, index, diag = pallas_csr4.render_shaded_csr4(
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
-            bin_triangles=config.bin_triangles,
+            bin_triangles=config.bin_triangles, max_big=config.max_big,
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb
@@ -182,6 +194,7 @@ def render(prims: ScreenPrimitives, camera,
         rgb, depth, index, diag = pallas_csr5.render_shaded_csr5(
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
+            max_big=config.max_big,
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb
@@ -194,6 +207,7 @@ def render(prims: ScreenPrimitives, camera,
         rgb, depth, index = pallas_csr3.render_shaded_csr3(
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
+            uniform_look=config.uniform_look,
             interpret=jax.default_backend() != "tpu")
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         if return_diag:

@@ -90,6 +90,27 @@ class TestPallasCsr3:
         assert_buffers_match(d_o, i_o, d_p, i_p, "csr3 discs",
                              exact_depth=False, depth_rtol=2e-5)
 
+    def test_uniform_look_matches_generic_shading(self):
+        """The 4-float uniform_look shade path == the generic 8-float
+        path on a two-tone scene (gray discs over the white ground),
+        winner-exact and rgb-equal to FMA noise."""
+        from pointcloud_render_tpu.raster.pallas_csr3 import (
+            render_shaded_csr3,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        soup = _disc_soup(cam)
+        cfg = ShadingConfig()
+        rgb_g, d_g, i_g = render_shaded_csr3(soup, cam, cfg, interpret=True)
+        rgb_u, d_u, i_u = render_shaded_csr3(
+            soup, cam, cfg, interpret=True,
+            uniform_look=((0.3, 0.3, 0.3), (1.0, 1.0, 1.0)))
+        np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_u))
+        np.testing.assert_array_equal(np.asarray(d_g), np.asarray(d_u))
+        np.testing.assert_allclose(np.asarray(rgb_u), np.asarray(rgb_g),
+                                   atol=2e-6)
+
     def test_exact_depth_ties_keep_lowest_id(self):
         """Duplicated discs (identical z) must resolve to the LOWER id —
         the strict-< merge's stable-sort argument (pallas_csr3 docstring)."""

@@ -248,15 +248,15 @@ def run_bench(args):
         if args.verbose:
             print(f"# true entries over trajectory {ecs}, "
                   f"capacity {entry_capacity}", file=sys.stderr)
-    # Two-tone scene (gray cloud, white ground): the fused shade pass
-    # can gather 4-float winner attrs and inject the colors as
-    # constants (pallas_csr3 uniform_look; ~3 ms/frame of shade gather).
-    # The ground's preshaded rgb: its world normal and the key light are
-    # both +z, so lit = ambient + diffuse = 1.0 -> preshaded white
-    # (equal to the per-frame _preshade value up to <1e-6 FMA noise in
-    # the rotated dot product; the exactness gate checks winners).
+    # Measured A/B at 1M (r3): the pallas3 uniform_look 4-float shade
+    # gather LOSES 1.8 ms/frame — the (E, 4) attr repack costs more
+    # than the narrower per-pixel gather saves (42.70 vs 40.87 ms).
+    # The option stays available (--uniform-look) for scenes where the
+    # row table is reused across frames; the bench keeps the generic
+    # gather.
     uniform_look = (((0.3, 0.3, 0.3), (1.0, 1.0, 1.0))
-                    if args.backend == "pallas3" else None)
+                    if args.backend == "pallas3"
+                    and args.uniform_look else None)
     config = RasterConfig(backend=args.backend,
                           max_per_tile=args.max_per_tile,
                           max_tiles_per_prim=args.max_tiles_per_prim,
@@ -359,8 +359,12 @@ def _bench_trail_scene(args, make_camera, positions):
     rng = np.random.default_rng(1)
     velocities = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
     # Trail length peaks at frame 19 and holds (trail_length_scale);
-    # sample the steady-state portion of the dolly.
-    frames = np.linspace(20, 219, args.trail_frames).astype(np.int32)
+    # sample the full-trail steady phase 20..199.  The 200-219 fade
+    # frames (closest camera) push ~13k trail segments past the 2x2
+    # span at 1M points — a big list that size exceeds the 1 MB SMEM
+    # budget (16 x 20480 x 4 B), so the metric scopes to the phase the
+    # kernel serves exactly; docs/KERNEL_NOTES.md discusses the tail.
+    frames = np.linspace(20, 199, args.trail_frames).astype(np.int32)
 
     def soup(fi):
         camera = make_camera(fi)
@@ -386,6 +390,9 @@ def _bench_trail_scene(args, make_camera, positions):
     # kernel big loop is O(tiles x actual count) so only those frames
     # pay; the scan's diag certificate still re-checks every frame.
     max_big = ((1024 + int(max(ovfs) * 1.5) + 511) // 512) * 512
+    # SMEM ceiling: big_params (16, BIG) f32 must stay well under the
+    # 1 MB scalar memory (compile fails at BIG ~20k).
+    max_big = min(max_big, 8192)
     if args.verbose:
         print(f"# trail entries {ecs} ovf {ovfs} capacity {cap} "
               f"max_big {max_big}", file=sys.stderr)
@@ -451,6 +458,10 @@ def main():
     ap.add_argument("--trail-frames", type=int, default=24,
                     help="frames for the secondary trail-scene metric "
                          "(0 disables)")
+    ap.add_argument("--uniform-look", action="store_true",
+                    help="pallas3 two-tone 4-float shade gather "
+                         "(measured 1.8 ms SLOWER at 1M — see bench "
+                         "source comment)")
     ap.add_argument("--skip-validate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

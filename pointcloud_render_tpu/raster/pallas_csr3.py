@@ -629,8 +629,10 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
     injected as constants (first tuple: every binned disc's RAW color;
     second: every big prim's PRESHADED rgb).  Bit-identical to the
     generic path exactly when the scene satisfies that; lambert only.
-    XLA row gathers are ~byte-bound (docs/KERNEL_NOTES.md round 3), so
-    halving the row width saves ~3 ms of the 1080p shade stage.
+    MEASURED NOTE (r3 A/B at 1M/1080p): the (E, 4) attr repack costs
+    more than the narrower per-pixel gather saves when the row table is
+    rebuilt every frame (42.70 vs 40.87 ms/frame) — use only where the
+    table persists across many shade passes.
     """
     width, height = camera.width, camera.height
     shade_rgb, shade_flag = _preshade(prims, camera, shading)

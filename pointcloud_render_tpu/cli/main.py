@@ -39,7 +39,7 @@ def build_parser(preset_name=None):
     p.add_argument("--frames", default="")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "bruteforce", "tiled", "pallas",
-                            "pallas3", "pallas4", "cpu"])
+                            "pallas3", "pallas4", "pallas5", "cpu"])
     p.add_argument("--droplet-lod", default="capsule",
                    choices=["capsule", "mesh"])
     p.add_argument("--no-resume", action="store_true")
@@ -50,15 +50,23 @@ def build_parser(preset_name=None):
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--supersample", type=int, default=1,
                    help="rfilter AA factor (1 = bit-exact single sample)")
+    p.add_argument("--shadows", action="store_true",
+                   help="shadow-map look pass (shading/shadow.py): "
+                        "approximate the reference area emitter's cast "
+                        "shadows")
     return p
 
 
 def run(args, preset_name=None):
+    from pointcloud_render_tpu.shading.shade import ShadingConfig
+
     preset = PRESETS[preset_name or args.preset]
     pipeline = FramePipeline(
         preset,
-        raster_config=RasterConfig(backend=args.backend,
-                                   supersample=args.supersample),
+        raster_config=RasterConfig(
+            backend=args.backend,
+            supersample=args.supersample,
+            shading=ShadingConfig(shadows=bool(args.shadows))),
         droplet_lod=args.droplet_lod,
         width=args.width, height=args.height,
     )

@@ -191,6 +191,43 @@ def test_state_layer_matches_oracle(tmp_path):
     np.testing.assert_array_equal(got0, expect0)
 
 
+def test_pipeline_shadows_branch(small_camera):
+    """The FramePipeline shadow path (ShadingConfig.shadows): same
+    winner buffers as the unshadowed frame, darker ground somewhere,
+    and a second run is bit-identical (determinism)."""
+    import dataclasses
+
+    from pointcloud_render_tpu.run import pipeline as pl
+    from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+    preset = PRESETS["traj_ball"]
+    rng = np.random.default_rng(21)
+    n = 96
+    pcl = np.concatenate([
+        rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32),
+        (rng.normal(size=(n, 3)) * 2).astype(np.float32)], axis=1)
+    pcl[:, 2] = np.abs(pcl[:, 2]) * 0.5  # keep splats above the ground
+
+    def make(shadows):
+        return pl.FramePipeline(
+            preset, RasterConfig(
+                backend="tiled", max_per_tile=256,
+                shading=ShadingConfig(shadows=shadows, shadow_size=256)))
+
+    fb0 = make(False).render_array(pcl, 120)
+    fb1 = make(True).render_array(pcl, 120)
+    fb2 = make(True).render_array(pcl, 120)
+    np.testing.assert_array_equal(np.asarray(fb1.index),
+                                  np.asarray(fb0.index))
+    np.testing.assert_array_equal(np.asarray(fb1.depth),
+                                  np.asarray(fb0.depth))
+    np.testing.assert_array_equal(np.asarray(fb1.rgb), np.asarray(fb2.rgb))
+    rgb0, rgb1 = np.asarray(fb0.rgb), np.asarray(fb1.rgb)
+    darker = (rgb1 < rgb0 - 1e-3).any(axis=2)
+    assert darker.sum() > 20, "no shadowed pixels in the pipeline frame"
+    assert (rgb1 <= rgb0 + 1e-6).all(), "shadows may only darken"
+
+
 def test_preset_constants_match_reference():
     """Pin every preset constant to the reference values (SURVEY.md §2
     exact-constant registry)."""

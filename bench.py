@@ -359,12 +359,11 @@ def _bench_trail_scene(args, make_camera, positions):
     rng = np.random.default_rng(1)
     velocities = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
     # Trail length peaks at frame 19 and holds (trail_length_scale);
-    # sample the full-trail steady phase 20..199.  The 200-219 fade
-    # frames (closest camera) push ~13k trail segments past the 2x2
-    # span at 1M points — a big list that size exceeds the 1 MB SMEM
-    # budget (16 x 20480 x 4 B), so the metric scopes to the phase the
-    # kernel serves exactly; docs/KERNEL_NOTES.md discusses the tail.
-    frames = np.linspace(20, 199, args.trail_frames).astype(np.int32)
+    # sample the whole full-trail phase 20..219 INCLUDING the 200-219
+    # fade tail (closest camera), whose ~13k past-2x2-span segments ride
+    # the v4 big list — streamed from HBM in DMA chunks since r3, so
+    # there is no SMEM-resident size ceiling on max_big anymore.
+    frames = np.linspace(20, 219, args.trail_frames).astype(np.int32)
 
     def soup(fi):
         camera = make_camera(fi)
@@ -390,9 +389,6 @@ def _bench_trail_scene(args, make_camera, positions):
     # kernel big loop is O(tiles x actual count) so only those frames
     # pay; the scan's diag certificate still re-checks every frame.
     max_big = ((1024 + int(max(ovfs) * 1.5) + 511) // 512) * 512
-    # SMEM ceiling: big_params (16, BIG) f32 must stay well under the
-    # 1 MB scalar memory (compile fails at BIG ~20k).
-    max_big = min(max_big, 8192)
     if args.verbose:
         print(f"# trail entries {ecs} ovf {ovfs} capacity {cap} "
               f"max_big {max_big}", file=sys.stderr)

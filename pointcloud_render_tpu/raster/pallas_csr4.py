@@ -47,7 +47,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pointcloud_render_tpu.raster.pallas_csr import _eval_scalar
 from pointcloud_render_tpu.raster.pallas_csr3 import _preshade, _zq_bits
 from pointcloud_render_tpu.raster.primitives import (
     KIND_CAPSULE,
@@ -62,6 +61,7 @@ ROW_F = 16
 PACK = 128 // ROW_F  # 8 entries per 128-lane row
 DEFAULT_CHUNK_ROWS = 256  # sweep optimum (benchmarks/kernel4_sweep.py)
 DEFAULT_MAX_BIG = 1024
+DEFAULT_BIG_CHUNK = 512  # big-list prims per HBM->SMEM DMA chunk
 
 
 def _z_lower_bound(prims, with_triangles: bool = False):
@@ -200,30 +200,27 @@ def bin_diagnostics4(prims, width: int, height: int, tile_h: int = 32,
 def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
     """(P+1, 16) f32 prim table; row P is the all-zero pad/sentinel.
 
-    Serves BOTH the sorted-entry row gather (kernel streaming) and the
-    per-pixel winner gather (fused shading, indexed by prim id).
-
-    Under ``bin_triangles`` the layout is KERNEL-ONLY (the shade pass
-    builds its own compact table): triangle rows repurpose the
-    kernel-unused rgb/flag lanes for the inverse-z plane coefficients —
-    lanes [10:13] = params[9:12], lane 15 = 1.0 kind flag (0 for
-    capsule/disc rows, whose tri coefficients are 0).
+    KERNEL-ONLY layout (the shade pass builds its own compact table):
+    triangle rows repurpose the kernel-unused rgb/flag lanes for the
+    inverse-z plane coefficients — lanes [10:13] = params[9:12],
+    lane 15 = 1.0 kind flag (0 for capsule/disc rows, whose tri
+    coefficients are 0).  The tri-aware layout is emitted ALWAYS: the
+    big list streams through the same rows with the dual eval, and
+    triangles ride the big list even when ``bin_triangles`` is off.
+    ``bin_triangles`` only controls the zlb lane (the binned stream's
+    early-exit bound; the big stream never reads it).
     """
     p = prims.count
     idf = jnp.arange(p, dtype=jnp.float32)
     zlb = _z_lower_bound(prims, with_triangles=bin_triangles)
-    if bin_triangles:
-        is_tri = (prims.kind == KIND_TRIANGLE)[:, None]
-        mid = jnp.where(is_tri,
-                        jnp.concatenate([prims.params[:, 9:12],
-                                         jnp.zeros((p, 1), jnp.float32)],
-                                        axis=1),
-                        jnp.concatenate([shade_rgb, shade_flag[:, None]],
-                                        axis=1))
-        tail = is_tri.astype(jnp.float32)
-    else:
-        mid = jnp.concatenate([shade_rgb, shade_flag[:, None]], axis=1)
-        tail = jnp.zeros((p, 1), jnp.float32)
+    is_tri = (prims.kind == KIND_TRIANGLE)[:, None]
+    mid = jnp.where(is_tri,
+                    jnp.concatenate([prims.params[:, 9:12],
+                                     jnp.zeros((p, 1), jnp.float32)],
+                                    axis=1),
+                    jnp.concatenate([shade_rgb, shade_flag[:, None]],
+                                    axis=1))
+    tail = is_tri.astype(jnp.float32)
     table = jnp.concatenate([
         prims.params[:, 0:9],
         idf[:, None],
@@ -235,18 +232,22 @@ def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
 
 
 def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
-                  chunk_rows, allow_exit, with_triangles=False):
+                  chunk_rows, allow_exit, with_triangles=False,
+                  big_chunk=DEFAULT_BIG_CHUNK):
     assert chunk_rows % PACK == 0
+    assert big_chunk % PACK == 0
+    n_big_block = big_chunk // PACK
 
     def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
                rows_hbm,  # (E_pad/8, 128) f32 in ANY/HBM
-               big_params_ref,  # SMEM (16, BIG) f32; row 12 = id as f32
-               big_kinds_ref,  # SMEM (1, BIG) i32
+               big_hbm,  # (BIG_pad/8, 128) f32 in ANY/HBM — same row fmt
                zmeta_ref,  # SMEM (1, 3) f32: zmin, s, thr_scale
                depth_out,  # VMEM (1, 8, 128) f32 — one pixel block
                idf_out,  # VMEM (1, 8, 128) f32 — winner id as f32
                scratch,  # SMEM (2, n_chunk_block, 128) f32
-               sems):  # DMA sems (2,)
+               sems,  # DMA sems (2,)
+               big_scratch,  # SMEM (2, n_big_block, 128) f32
+               big_sems):  # DMA sems (2,)
         tile = pl.program_id(0)
         ty = tile // tiles_x
         tx = tile % tiles_x
@@ -275,30 +276,7 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         def _():
             get_dma(0, 0).start()
 
-        # Big primitives (triangles / wide prims) first, with the full
-        # (depth, id) tie-break — exact against binned prims too, since
-        # the binned merge below uses the same lexicographic compare.
-        def big_body(j, carry):
-            d, di = carry
-            kind = big_kinds_ref[0, j]
-            p = tuple(big_params_ref[r, j] for r in range(12))
-            idf = big_params_ref[12, j]
-            zc = _eval_scalar(kind, p, qx, qy)
-            better = (zc < d) | ((zc == d) & (idf < di))
-            return jnp.where(better, zc, d), jnp.where(better, idf, di)
-
-        d_bg, i_bg = jax.lax.fori_loop(
-            0, big_n, big_body,
-            (jnp.full((8, 128), INF, jnp.float32),
-             jnp.full((8, 128), F_EMPTY, jnp.float32)))
-
-        accs = [d_bg, i_bg]
-        for _ in range(unroll - 1):
-            accs += [jnp.full((8, 128), INF, jnp.float32),
-                     jnp.full((8, 128), F_EMPTY, jnp.float32)]
-        init = tuple(accs)
-
-        def make_row_body(slot):
+        def make_row_body(scr, slot, nchains, tri):
             # Whole PACK-aligned 8-entry rows at STATIC lane offsets.
             # No stranger masking (cf. pallas_csr3): the per-pair id
             # tie-break makes processing order irrelevant, and
@@ -309,17 +287,17 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                 out = list(c2)
                 for u in range(PACK):
                     lane = u * ROW_F
-                    x0 = scratch[slot, br, lane]
-                    y0 = scratch[slot, br, lane + 1]
-                    z0 = scratch[slot, br, lane + 2]
-                    r0 = scratch[slot, br, lane + 3]
-                    sdx = scratch[slot, br, lane + 4]
-                    sdy = scratch[slot, br, lane + 5]
-                    sdz = scratch[slot, br, lane + 6]
-                    sdr = scratch[slot, br, lane + 7]
-                    il2 = scratch[slot, br, lane + 8]
-                    idf = scratch[slot, br, lane + 9]
-                    ch = u % unroll
+                    x0 = scr[slot, br, lane]
+                    y0 = scr[slot, br, lane + 1]
+                    z0 = scr[slot, br, lane + 2]
+                    r0 = scr[slot, br, lane + 3]
+                    sdx = scr[slot, br, lane + 4]
+                    sdy = scr[slot, br, lane + 5]
+                    sdz = scr[slot, br, lane + 6]
+                    sdr = scr[slot, br, lane + 7]
+                    il2 = scr[slot, br, lane + 8]
+                    idf = scr[slot, br, lane + 9]
+                    ch = u % nchains
                     d0, di = out[2 * ch], out[2 * ch + 1]
                     dx = qx - x0
                     dy = qy - y0
@@ -329,16 +307,16 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                     rad = r0 + sdr * t
                     z = z0 + sdz * t
                     cov = cx * cx + cy * cy <= rad * rad
-                    if with_triangles:
+                    if tri:
                         # Branchless dual eval: the same 9 scalars are
                         # the triangle's edge coefficients; lanes
                         # [10:13] its iz plane, lane 15 the kind flag
                         # (scalar — the select broadcasts it).  The
                         # formula matches pallas_csr._eval_tri exactly.
-                        t9 = scratch[slot, br, lane + 10]
-                        t10 = scratch[slot, br, lane + 11]
-                        t11 = scratch[slot, br, lane + 12]
-                        kf = scratch[slot, br, lane + 15]
+                        t9 = scr[slot, br, lane + 10]
+                        t10 = scr[slot, br, lane + 11]
+                        t11 = scr[slot, br, lane + 12]
+                        kf = scr[slot, br, lane + 15]
                         e0 = x0 * qy - y0 * qx + z0
                         e1 = r0 * qy - sdx * qx + sdy
                         e2 = sdz * qy - sdr * qx + il2
@@ -356,11 +334,64 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 
             return row_body
 
+        # Big primitives (triangles / wide prims) first, streamed from
+        # HBM in double-buffered chunks — the big list has NO SMEM-
+        # resident ceiling (a 1M-pt trail fade frame needs ~20k big
+        # rows; (16, 20k) f32 resident would blow the 1 MB scalar
+        # memory).  Rows share the binned 16-float format (tri-aware),
+        # and the full per-pair (depth, id) tie-break keeps the merge
+        # with binned prims exact in any processing order.
+        n_bchunks = pl.cdiv(big_n, big_chunk)
+
+        def get_big_dma(slot, ci):
+            return pltpu.make_async_copy(
+                big_hbm.at[pl.ds(ci * n_big_block, n_big_block), :],
+                big_scratch.at[slot],
+                big_sems.at[slot],
+            )
+
+        @pl.when(n_bchunks > 0)
+        def _():
+            get_big_dma(0, 0).start()
+
+        def bchunk_body(ci, accs_in):
+            s = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < n_bchunks)
+            def _():
+                get_big_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+            get_big_dma(s, ci).wait()
+            mc = jnp.minimum(big_chunk, big_n - ci * big_chunk)
+            n_rows = (mc + (PACK - 1)) // PACK
+            return jax.lax.fori_loop(
+                0, n_rows, make_row_body(big_scratch, s, 2, True),
+                accs_in)
+
+        big4 = jax.lax.fori_loop(
+            0, n_bchunks, bchunk_body,
+            (jnp.full((8, 128), INF, jnp.float32),
+             jnp.full((8, 128), F_EMPTY, jnp.float32),
+             jnp.full((8, 128), INF, jnp.float32),
+             jnp.full((8, 128), F_EMPTY, jnp.float32)))
+        bbetter = (big4[2] < big4[0]) | ((big4[2] == big4[0])
+                                         & (big4[3] < big4[1]))
+        d_bg = jnp.where(bbetter, big4[2], big4[0])
+        i_bg = jnp.where(bbetter, big4[3], big4[1])
+
+        accs = [d_bg, i_bg]
+        for _ in range(unroll - 1):
+            accs += [jnp.full((8, 128), INF, jnp.float32),
+                     jnp.full((8, 128), F_EMPTY, jnp.float32)]
+        init = tuple(accs)
+
         def process_chunk(ci, slot, accs_in):
             mc = jnp.minimum(chunk_rows, count - ci * chunk_rows)
             n_rows = (o0 + mc + (PACK - 1)) // PACK
-            return jax.lax.fori_loop(0, n_rows, make_row_body(slot),
-                                     accs_in), n_rows
+            return jax.lax.fori_loop(
+                0, n_rows,
+                make_row_body(scratch, slot, unroll, with_triangles),
+                accs_in), n_rows
 
         if allow_exit:
             # Runs ascend in zlb-bucket; every unprocessed entry's depth
@@ -480,12 +511,18 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
                       constant_values=prims.count)
     rows = table16[prims_p].reshape(e_pad // PACK, 128)
 
+    # Big stream: SAME 16-float row format, gathered by big-list id
+    # (invalid slots -> the zero pad row, which covers nothing), padded
+    # to whole DMA chunks.  Lives in HBM — no SMEM-resident size cap.
+    big_chunk = DEFAULT_BIG_CHUNK
+    big = big_list.shape[0]
+    big_pad = -(-(big + 1) // big_chunk) * big_chunk
     big_safe = jnp.maximum(big_list, 0)
-    big_kinds = jnp.where((big_list >= 0) & prims.valid[big_safe],
-                          prims.kind[big_safe], -1)[None, :]
-    big_params = jnp.zeros((16, big_list.shape[0]), jnp.float32)
-    big_params = big_params.at[:12, :].set(prims.params[big_safe].T)
-    big_params = big_params.at[12, :].set(big_safe.astype(jnp.float32))
+    big_ids = jnp.where((big_list >= 0) & prims.valid[big_safe],
+                        big_safe, prims.count)
+    big_rows = table16[jnp.pad(big_ids, (0, big_pad - big),
+                               constant_values=prims.count)]
+    big_rows = big_rows.reshape(big_pad // PACK, 128)
 
     scalars = jnp.concatenate([
         starts, jnp.minimum(big_count, big_list.shape[0])[None].astype(
@@ -498,10 +535,7 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((16, big_list.shape[0]), lambda i, c: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, big_list.shape[0]), lambda i, c: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -514,12 +548,15 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
         scratch_shapes=[
             pltpu.SMEM((2, n_chunk_block, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, big_chunk // PACK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     kernel = _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                            chunk_rows, allow_exit=zq_bits > 0,
-                           with_triangles=bin_triangles)
+                           with_triangles=bin_triangles,
+                           big_chunk=big_chunk)
     depth_t, idf_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -528,7 +565,7 @@ def _raster_core4(prims, width, height, tile_h, tile_w, unroll,
             jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, rows, big_params, big_kinds, zmeta[None, :])
+    )(scalars, rows, big_rows, zmeta[None, :])
 
     nq = 128 // tile_w
 

@@ -222,6 +222,14 @@ def _pack_rows8(prims, sorted_prims, e_pad, big_list, shade_rgb, shade_flag,
         prims.params[:, 0:3], (r * r)[:, None], shade_rgb,
         shade_flag[:, None],
     ], axis=1)
+    # INVALID prims (z-clipped / off-film) keep live — possibly
+    # covering, possibly non-finite — params, and the sentinel-keyed
+    # sort tail sits right after the LAST tile's run, inside its
+    # PACK-aligned stranger slop: zero their rows (r^2 = 0 covers no
+    # pixel center).  jnp.where, not *, so inf/NaN params can't leak
+    # NaNs into the row.  (Big rows are unaffected: big_list indexes
+    # valid prims only.)
+    table8 = jnp.where(prims.valid[:, None], table8, 0.0)
     table8 = jnp.pad(table8, ((0, 1), (0, 0)))
     binned = table8[prims_p]  # (e_pad, 8): px, py, z, r^2, c0-c2, flag
 

@@ -228,6 +228,12 @@ def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
         zlb[:, None],
         tail,
     ], axis=1)
+    # Zero INVALID prims' rows: the sentinel-keyed sort tail borders
+    # the last tile's run inside its PACK-aligned stranger slop, and
+    # invalid (z-clipped / off-film) prims keep live params.  A zero
+    # row is inert under both evals (rad = 0; kf = 0 tri with iz = 0).
+    # jnp.where, not *, so non-finite params can't leak NaNs.
+    table = jnp.where(prims.valid[:, None], table, 0.0)
     return jnp.pad(table, ((0, 1), (0, 0)))
 
 

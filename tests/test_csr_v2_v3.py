@@ -516,3 +516,68 @@ class TestV4Determinism:
         hit = i_a >= 0
         np.testing.assert_array_equal(
             np.where(hit, perm[i_b.clip(0)], -1), np.where(hit, i_a, -1))
+
+
+class TestInvalidStrangerSoundness:
+    """Invalid prims (z-clipped, off-film) keep live params; PACK-aligned
+    chunk reads evaluate up to PACK-1 'stranger' slots past a run's end.
+    For the LAST anchor tile those strangers land in the sentinel-keyed
+    sort tail, where invalid prims live — their table rows must be
+    ZEROED or a clipped prim can win a pixel (found during the v6
+    anchor-sort design review; no reference counterpart, the invariants
+    are primitives.py's)."""
+
+    def _soup(self):
+        # One valid disc anchored in the LAST tile (bottom-right of the
+        # 8x5 tile grid at 256x160) + 64 INVALID discs covering the same
+        # pixels at half the depth.  Every invalid slot sorts into the
+        # sentinel tail adjacent to the valid disc's 1-entry run.
+        px, py = W - 12.0, H - 12.0
+        n = 65
+        params = np.zeros((n, 12), np.float32)
+        params[:, 0] = px
+        params[:, 1] = py
+        params[:, 2] = 2.0  # invalid discs: closer
+        params[0, 2] = 5.0  # the one valid disc: farther
+        params[:, 3] = 6.0
+        bbox = np.stack([params[:, 0] - 6, params[:, 0] + 6,
+                         params[:, 1] - 6, params[:, 1] + 6], 1)
+        valid = np.zeros((n,), bool)
+        valid[0] = True
+        return ScreenPrimitives(
+            kind=jnp.full((n,), 0, jnp.int32),
+            params=jnp.asarray(params),
+            color=jnp.full((n, 3), 0.5, jnp.float32),
+            valid=jnp.asarray(valid),
+            bbox=jnp.asarray(bbox),
+            normal=jnp.zeros((n, 3), jnp.float32),
+        )
+
+    def test_v3_invalid_tail_strangers_inert(self):
+        from pointcloud_render_tpu.raster.pallas_csr3 import rasterize_pallas_csr3
+
+        soup = self._soup()
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        d_p, i_p = rasterize_pallas_csr3(soup, W, H, unroll=4,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_p), i_o)
+        np.testing.assert_array_equal(np.asarray(d_p), d_o)
+
+    def test_v4_invalid_tail_strangers_inert(self):
+        from pointcloud_render_tpu.raster.pallas_csr4 import rasterize_pallas_csr4
+
+        soup = self._soup()
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        d_p, i_p = rasterize_pallas_csr4(soup, W, H, unroll=4,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_p), i_o)
+        np.testing.assert_array_equal(np.asarray(d_p), d_o)
+
+    def test_v5_invalid_tail_strangers_inert(self):
+        from pointcloud_render_tpu.raster.pallas_csr5 import rasterize_pallas_csr5
+
+        soup = self._soup()
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        d_p, i_p = rasterize_pallas_csr5(soup, W, H, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_p), i_o)
+        np.testing.assert_array_equal(np.asarray(d_p), d_o)

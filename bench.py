@@ -127,15 +127,18 @@ def validate_on_chip(verbose=False):
                                        unroll=4)
         d5, i5 = rasterize_pallas_csr3(disc_soup, cam.width, cam.height,
                                        unroll=4, entry_capacity=262144)
-        # v4 generic path on the MIXED scene (capsules binned) — the
-        # pipeline's TPU default for splat/trail scenes.
+        # v4 generic path on the MIXED scene (capsules binned).
         d6, i6 = rasterize_pallas_csr4(soup, cam.width, cam.height,
+                                       unroll=4)
+        # v6 anchor-sorted path on the MIXED scene — the pipeline's TPU
+        # default for splat/trail scenes.
+        d7, i7 = rasterize_pallas_csr6(soup, cam.width, cam.height,
                                        unroll=4)
         return (jnp.mean((i1 == it).astype(jnp.float32)),
                 jnp.mean((i2 == it).astype(jnp.float32)),
                 jnp.mean((i3 == it3).astype(jnp.float32)),
                 jnp.mean(((i4 == it3) & (i5 == it3)).astype(jnp.float32)),
-                jnp.mean((i6 == it).astype(jnp.float32)),
+                jnp.mean(((i6 == it) & (i7 == it)).astype(jnp.float32)),
                 ec)
 
     def build_discs(pos):
@@ -151,6 +154,7 @@ def validate_on_chip(verbose=False):
     )
     from pointcloud_render_tpu.raster.pallas_csr3 import rasterize_pallas_csr3
     from pointcloud_render_tpu.raster.pallas_csr4 import rasterize_pallas_csr4
+    from pointcloud_render_tpu.raster.pallas_csr6 import rasterize_pallas_csr6
 
     compiled = aot.compile_const_free(both, jnp.asarray(pos),
                                       jnp.asarray(pts))
@@ -159,7 +163,7 @@ def validate_on_chip(verbose=False):
                                                 jnp.asarray(pts)))
     if verbose:
         print(f"# on-chip exactness: v1={float(m1)} v2={float(m2)} "
-              f"v2disc={float(m3)} v3disc={float(m4)} v4mixed={float(m5)} "
+              f"v2disc={float(m3)} v3disc={float(m4)} v4v6mixed={float(m5)} "
               f"(entries {int(ec)})", file=sys.stderr)
     assert int(ec) <= 262144, "validation scene outgrew its capacity"
     if not (float(m1) == float(m2) == float(m3) == float(m4)
@@ -167,7 +171,7 @@ def validate_on_chip(verbose=False):
         raise AssertionError(
             f"EXACTNESS REGRESSION on this chip: winner match "
             f"v1={float(m1)} v2={float(m2)} v2disc={float(m3)} "
-            f"v3disc={float(m4)} v4mixed={float(m5)} != 1.0")
+            f"v3disc={float(m4)} v4v6mixed={float(m5)} != 1.0")
 
 
 def run_bench(args):
@@ -342,13 +346,10 @@ def _bench_trail_scene(args, make_camera, positions):
     production pipeline soup builder — one lax.scan over a spread of
     trajectory frames (VERDICT r2 item 2: a driver-visible number for
     the reference's primary workload)."""
-    import dataclasses as _dc
-
     import jax
     import jax.numpy as jnp
 
     from pointcloud_render_tpu.configs import PRESETS
-    from pointcloud_render_tpu.raster import pallas_csr4
     from pointcloud_render_tpu.raster.render import RasterConfig, render
     from pointcloud_render_tpu.run.pipeline import build_primitives
     from pointcloud_render_tpu.scene.camera import TARGETS, Camera
@@ -361,8 +362,8 @@ def _bench_trail_scene(args, make_camera, positions):
     # Trail length peaks at frame 19 and holds (trail_length_scale);
     # sample the whole full-trail phase 20..219 INCLUDING the 200-219
     # fade tail (closest camera), whose ~13k past-2x2-span segments ride
-    # the v4 big list — streamed from HBM in DMA chunks since r3, so
-    # there is no SMEM-resident size ceiling on max_big anymore.
+    # the big list — streamed from HBM in DMA chunks since r3, so there
+    # is no SMEM-resident size ceiling on max_big anymore.
     frames = np.linspace(20, 219, args.trail_frames).astype(np.int32)
 
     def soup(fi):
@@ -373,27 +374,26 @@ def _bench_trail_scene(args, make_camera, positions):
     cam0 = make_camera(jnp.int32(0))
     w, h = cam0.width, cam0.height
 
+    # The v6 anchor-sorted kernel (the pipeline's TPU default) has no
+    # entry capacity to probe — only the big list needs sizing: closest-
+    # dolly frames push long trail segments past the 2x2 span (+margin;
+    # the kernel big loop is O(tiles x actual count) so only those
+    # frames pay; the scan's diag certificate re-checks every frame).
+    from pointcloud_render_tpu.raster import pallas_csr6
+
     def probe(fi):
         s, _ = soup(fi)
-        return (pallas_csr4.true_entry_count4(s, w, h),
-                pallas_csr4.bin_diagnostics4(s, w, h))
+        return pallas_csr6.bin_diagnostics6(s, w, h)
 
     pc = aot.compile_const_free(probe, jnp.int32(0))
-    ecs, ovfs = zip(*[
-        tuple(int(np.asarray(x)) for x in pc(jnp.int32(int(f))))
-        for f in (frames[0], frames[len(frames) // 2], frames[-2],
-                  frames[-1])])
-    cap = ((int(max(ecs) * 1.2) + 127) // 128) * 128
-    # Closest-dolly frames push long trail segments past the 2x2 span:
-    # size the big list to the measured worst overflow (+margin).  The
-    # kernel big loop is O(tiles x actual count) so only those frames
-    # pay; the scan's diag certificate still re-checks every frame.
+    ovfs = [int(np.asarray(pc(jnp.int32(int(f)))))
+            for f in (frames[0], frames[len(frames) // 2], frames[-2],
+                      frames[-1])]
     max_big = ((1024 + int(max(ovfs) * 1.5) + 511) // 512) * 512
     if args.verbose:
-        print(f"# trail entries {ecs} ovf {ovfs} capacity {cap} "
-              f"max_big {max_big}", file=sys.stderr)
-    config = RasterConfig(backend="pallas4", no_triangles=True,
-                          entry_capacity=cap, max_big=max_big)
+        print(f"# trail ovf {ovfs} max_big {max_big}", file=sys.stderr)
+    config = RasterConfig(backend="pallas6", no_triangles=True,
+                          max_big=max_big)
 
     def episode(positions, velocities):
         def body(acc, fi):
@@ -402,22 +402,21 @@ def _bench_trail_scene(args, make_camera, positions):
             c = (jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
                  + jnp.sum(fb.rgb[::8, ::8]))
             return (acc[0] + c,
-                    jnp.maximum(acc[1], diag["true_entries"]),
-                    jnp.maximum(acc[2], diag["big_overflow"])), None
+                    jnp.maximum(acc[1], diag["big_overflow"])), None
 
         acc, _ = jax.lax.scan(
-            body, (jnp.float32(0.0), jnp.int32(0), jnp.int32(0)),
+            body, (jnp.float32(0.0), jnp.int32(0)),
             jnp.asarray(frames))
         return acc
 
     compiled = _retry("trail compile", lambda: aot.compile_const_free(
         episode, positions, velocities))
     out = compiled(positions, velocities)
-    _, tc, ovf = (np.asarray(v) for v in out)
-    if int(ovf) > 0 or int(tc) > cap:
+    _, ovf = (np.asarray(v) for v in out)
+    if int(ovf) > 0:
         raise RuntimeError(
-            f"trail-scene certificate failed: max entries {int(tc)} "
-            f"(cap {cap}), overflow {int(ovf)}")
+            f"trail-scene certificate failed: big-list overflow "
+            f"{int(ovf)} (max_big {max_big})")
     times = []
     for _ in range(max(1, args.rounds - 1)):
         t0 = time.perf_counter()

@@ -34,7 +34,8 @@ Two levels of API:
 
 Capacity: the full-scene paths dispatch on ``config.backend`` — the
 capacity-capped tiled backend (default) or the capacity-free Pallas
-kernels (``pallas4`` for splat/trail mixes, ``pallas5`` for Morton-
+kernels (``pallas6`` anchor-sorted — the TPU production default — or
+``pallas4`` for splat/trail mixes, ``pallas5`` for Morton-
 ordered clouds; see ``_rasterize_shard``).  Every entry point returns the
 binning OVERFLOW count (psum over shards; 0 = every primitive rasterized
 exactly — for Pallas backends this is the big-list drop count).  Callers
@@ -239,6 +240,17 @@ def _rasterize_shard(prims, camera, config):
         depth, index, diag = pallas_csr4.rasterize_pallas_csr4(
             prims, camera.width, camera.height, unroll=config.unroll,
             entry_capacity=config.entry_capacity, interpret=interpret,
+            return_diag=True)
+        return depth, index, diag["big_overflow"]
+    if backend == "pallas6":
+        # Anchor-sorted binning: v4's contract with a per-prim sort and
+        # NO entry-capacity precondition (pallas_csr6) — the preferred
+        # sharded kernel once per-shard soups exceed ~100k prims.
+        from pointcloud_render_tpu.raster import pallas_csr6
+
+        depth, index, diag = pallas_csr6.rasterize_pallas_csr6(
+            prims, camera.width, camera.height, unroll=config.unroll,
+            max_big=config.max_big, interpret=interpret,
             return_diag=True)
         return depth, index, diag["big_overflow"]
     if backend == "pallas5":

@@ -49,8 +49,10 @@ class StreamingRasterizer:
       camera: the Camera.
       chunk_points: points per streamed chunk (static shape).
       radius_world: world-space splat radius.
-      backend: "pallas" (the v4 generic binned kernel — exact per-pair
-        (depth, id) ties for any primitive mix) | "tiled" | None (auto).
+      backend: "pallas6" (the v6 anchor-sorted kernel — exact per-pair
+        (depth, id) ties for any primitive mix, no entry capacity) |
+        "pallas" (the v4 generic binned kernel) | "tiled" | None (auto:
+        pallas6 on TPU).
       color: (3,) default color, used when a chunk has no per-point colors.
       mesh: optional jax Mesh with a 'points' axis — each chunk is
         point-sharded across it (composes streaming with the device mesh).
@@ -70,7 +72,7 @@ class StreamingRasterizer:
         self.radius = float(radius_world)
         self.color = np.asarray(color, np.float32)
         self.backend = backend or (
-            "pallas" if jax.default_backend() == "tpu" else "tiled")
+            "pallas6" if jax.default_backend() == "tpu" else "tiled")
         self.mesh = mesh
         self.entry_capacity = entry_capacity
         self.soup_fn = soup_fn
@@ -92,7 +94,19 @@ class StreamingRasterizer:
         """One device's (or the whole chip's) rasterization of a chunk."""
         cam = self.camera
         prims = self._build_soup(chunk, colors, extras)
-        if self.backend == "pallas":
+        if self.backend == "pallas6":
+            # Anchor-sorted v6: same contract as v4 with NO entry
+            # capacity to probe — the only certificate left is the
+            # big-list overflow count.
+            from pointcloud_render_tpu.raster import pallas_csr6
+
+            d, i, diag = pallas_csr6.rasterize_pallas_csr6(
+                prims, cam.width, cam.height, unroll=4,
+                interpret=jax.default_backend() != "tpu",
+                return_diag=True)
+            tc = jnp.int32(0)  # nothing capacity-capped in v6
+            ovf = diag["big_overflow"]
+        elif self.backend == "pallas":
             # v4 generic binned kernel (public API): capacity-free for
             # binned prims, exact per-pair (depth, id) ties for every
             # kind mix.  The diag carries the true (pre-capacity) entry

@@ -237,12 +237,113 @@ def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
     return jnp.pad(table, ((0, 1), (0, 0)))
 
 
+def _make_row_body16(scr, slot, nchains, tri, qx, qy):
+    """fori_loop body over one 16-float-row scratch slab (module-level so
+    pallas_csr6 shares the EXACT same eval; see _make_kernel4's row-body
+    comment for the stranger-slot soundness argument)."""
+
+    def row_body(br, c2):
+        out = list(c2)
+        for u in range(PACK):
+            lane = u * ROW_F
+            x0 = scr[slot, br, lane]
+            y0 = scr[slot, br, lane + 1]
+            z0 = scr[slot, br, lane + 2]
+            r0 = scr[slot, br, lane + 3]
+            sdx = scr[slot, br, lane + 4]
+            sdy = scr[slot, br, lane + 5]
+            sdz = scr[slot, br, lane + 6]
+            sdr = scr[slot, br, lane + 7]
+            il2 = scr[slot, br, lane + 8]
+            idf = scr[slot, br, lane + 9]
+            ch = u % nchains
+            d0, di = out[2 * ch], out[2 * ch + 1]
+            dx = qx - x0
+            dy = qy - y0
+            t = jnp.clip((dx * sdx + dy * sdy) * il2, 0.0, 1.0)
+            cx = dx - t * sdx
+            cy = dy - t * sdy
+            rad = r0 + sdr * t
+            z = z0 + sdz * t
+            cov = cx * cx + cy * cy <= rad * rad
+            if tri:
+                # Branchless dual eval: the same 9 scalars are the
+                # triangle's edge coefficients; lanes [10:13] its iz
+                # plane, lane 15 the kind flag (scalar — the select
+                # broadcasts it).  Matches pallas_csr._eval_tri exactly.
+                t9 = scr[slot, br, lane + 10]
+                t10 = scr[slot, br, lane + 11]
+                t11 = scr[slot, br, lane + 12]
+                kf = scr[slot, br, lane + 15]
+                e0 = x0 * qy - y0 * qx + z0
+                e1 = r0 * qy - sdx * qx + sdy
+                e2 = sdz * qy - sdr * qx + il2
+                iz = e0 * t9 + e1 * t10 + e2 * t11
+                cov_t = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                         & (iz > 0))
+                z_t = 1.0 / jnp.where(iz > 0, iz, 1.0)
+                is_tri = kf > 0
+                z = jnp.where(is_tri, z_t, z)
+                cov = (is_tri & cov_t) | (~is_tri & cov)
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[2 * ch] = jnp.where(better, z, d0)
+            out[2 * ch + 1] = jnp.where(better, idf, di)
+        return tuple(out)
+
+    return row_body
+
+
+def _stream_big(big_hbm, big_scratch, big_sems, big_n, big_chunk, qx, qy):
+    """Merge the HBM-streamed big list (16-float tri-aware rows, double-
+    buffered DMA chunks) -> (depth, idf) (8, 128) accumulators.  Shared
+    by the v4 and v6 kernels; the per-pair (depth, id) tie-break keeps
+    the merge with binned prims exact in any processing order."""
+    n_big_block = big_chunk // PACK
+    n_bchunks = pl.cdiv(big_n, big_chunk)
+
+    def get_big_dma(slot, ci):
+        return pltpu.make_async_copy(
+            big_hbm.at[pl.ds(ci * n_big_block, n_big_block), :],
+            big_scratch.at[slot],
+            big_sems.at[slot],
+        )
+
+    @pl.when(n_bchunks > 0)
+    def _():
+        get_big_dma(0, 0).start()
+
+    def bchunk_body(ci, accs_in):
+        s = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_bchunks)
+        def _():
+            get_big_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        get_big_dma(s, ci).wait()
+        mc = jnp.minimum(big_chunk, big_n - ci * big_chunk)
+        n_rows = (mc + (PACK - 1)) // PACK
+        return jax.lax.fori_loop(
+            0, n_rows, _make_row_body16(big_scratch, s, 2, True, qx, qy),
+            accs_in)
+
+    big4 = jax.lax.fori_loop(
+        0, n_bchunks, bchunk_body,
+        (jnp.full((8, 128), INF, jnp.float32),
+         jnp.full((8, 128), F_EMPTY, jnp.float32),
+         jnp.full((8, 128), INF, jnp.float32),
+         jnp.full((8, 128), F_EMPTY, jnp.float32)))
+    bbetter = (big4[2] < big4[0]) | ((big4[2] == big4[0])
+                                     & (big4[3] < big4[1]))
+    d_bg = jnp.where(bbetter, big4[2], big4[0])
+    i_bg = jnp.where(bbetter, big4[3], big4[1])
+    return d_bg, i_bg
+
+
 def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, with_triangles=False,
                   big_chunk=DEFAULT_BIG_CHUNK):
     assert chunk_rows % PACK == 0
     assert big_chunk % PACK == 0
-    n_big_block = big_chunk // PACK
 
     def kernel(starts_ref,  # scalar prefetch: (T+2,) i32; [T+1] = big count
                rows_hbm,  # (E_pad/8, 128) f32 in ANY/HBM
@@ -282,108 +383,20 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         def _():
             get_dma(0, 0).start()
 
-        def make_row_body(scr, slot, nchains, tri):
-            # Whole PACK-aligned 8-entry rows at STATIC lane offsets.
-            # No stranger masking (cf. pallas_csr3): the per-pair id
-            # tie-break makes processing order irrelevant, and
-            # out-of-run slots are inert (cannot cover this tile; zero
-            # pad rows cover nothing: rad = 0 and every pixel center is
-            # >= 0.5 from the origin) or idempotent duplicates.
-            def row_body(br, c2):
-                out = list(c2)
-                for u in range(PACK):
-                    lane = u * ROW_F
-                    x0 = scr[slot, br, lane]
-                    y0 = scr[slot, br, lane + 1]
-                    z0 = scr[slot, br, lane + 2]
-                    r0 = scr[slot, br, lane + 3]
-                    sdx = scr[slot, br, lane + 4]
-                    sdy = scr[slot, br, lane + 5]
-                    sdz = scr[slot, br, lane + 6]
-                    sdr = scr[slot, br, lane + 7]
-                    il2 = scr[slot, br, lane + 8]
-                    idf = scr[slot, br, lane + 9]
-                    ch = u % nchains
-                    d0, di = out[2 * ch], out[2 * ch + 1]
-                    dx = qx - x0
-                    dy = qy - y0
-                    t = jnp.clip((dx * sdx + dy * sdy) * il2, 0.0, 1.0)
-                    cx = dx - t * sdx
-                    cy = dy - t * sdy
-                    rad = r0 + sdr * t
-                    z = z0 + sdz * t
-                    cov = cx * cx + cy * cy <= rad * rad
-                    if tri:
-                        # Branchless dual eval: the same 9 scalars are
-                        # the triangle's edge coefficients; lanes
-                        # [10:13] its iz plane, lane 15 the kind flag
-                        # (scalar — the select broadcasts it).  The
-                        # formula matches pallas_csr._eval_tri exactly.
-                        t9 = scr[slot, br, lane + 10]
-                        t10 = scr[slot, br, lane + 11]
-                        t11 = scr[slot, br, lane + 12]
-                        kf = scr[slot, br, lane + 15]
-                        e0 = x0 * qy - y0 * qx + z0
-                        e1 = r0 * qy - sdx * qx + sdy
-                        e2 = sdz * qy - sdr * qx + il2
-                        iz = e0 * t9 + e1 * t10 + e2 * t11
-                        cov_t = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                                 & (iz > 0))
-                        z_t = 1.0 / jnp.where(iz > 0, iz, 1.0)
-                        is_tri = kf > 0
-                        z = jnp.where(is_tri, z_t, z)
-                        cov = (is_tri & cov_t) | (~is_tri & cov)
-                    better = cov & ((z < d0) | ((z == d0) & (idf < di)))
-                    out[2 * ch] = jnp.where(better, z, d0)
-                    out[2 * ch + 1] = jnp.where(better, idf, di)
-                return tuple(out)
-
-            return row_body
+        # Whole PACK-aligned 8-entry rows at STATIC lane offsets
+        # (_make_row_body16).  No stranger masking (cf. pallas_csr3):
+        # the per-pair id tie-break makes processing order irrelevant,
+        # and out-of-run slots are inert (cannot cover this tile; zero
+        # pad rows cover nothing: rad = 0 and every pixel center is
+        # >= 0.5 from the origin) or idempotent duplicates.
 
         # Big primitives (triangles / wide prims) first, streamed from
         # HBM in double-buffered chunks — the big list has NO SMEM-
         # resident ceiling (a 1M-pt trail fade frame needs ~20k big
         # rows; (16, 20k) f32 resident would blow the 1 MB scalar
-        # memory).  Rows share the binned 16-float format (tri-aware),
-        # and the full per-pair (depth, id) tie-break keeps the merge
-        # with binned prims exact in any processing order.
-        n_bchunks = pl.cdiv(big_n, big_chunk)
-
-        def get_big_dma(slot, ci):
-            return pltpu.make_async_copy(
-                big_hbm.at[pl.ds(ci * n_big_block, n_big_block), :],
-                big_scratch.at[slot],
-                big_sems.at[slot],
-            )
-
-        @pl.when(n_bchunks > 0)
-        def _():
-            get_big_dma(0, 0).start()
-
-        def bchunk_body(ci, accs_in):
-            s = jax.lax.rem(ci, 2)
-
-            @pl.when(ci + 1 < n_bchunks)
-            def _():
-                get_big_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
-
-            get_big_dma(s, ci).wait()
-            mc = jnp.minimum(big_chunk, big_n - ci * big_chunk)
-            n_rows = (mc + (PACK - 1)) // PACK
-            return jax.lax.fori_loop(
-                0, n_rows, make_row_body(big_scratch, s, 2, True),
-                accs_in)
-
-        big4 = jax.lax.fori_loop(
-            0, n_bchunks, bchunk_body,
-            (jnp.full((8, 128), INF, jnp.float32),
-             jnp.full((8, 128), F_EMPTY, jnp.float32),
-             jnp.full((8, 128), INF, jnp.float32),
-             jnp.full((8, 128), F_EMPTY, jnp.float32)))
-        bbetter = (big4[2] < big4[0]) | ((big4[2] == big4[0])
-                                         & (big4[3] < big4[1]))
-        d_bg = jnp.where(bbetter, big4[2], big4[0])
-        i_bg = jnp.where(bbetter, big4[3], big4[1])
+        # memory).
+        d_bg, i_bg = _stream_big(big_hbm, big_scratch, big_sems, big_n,
+                                 big_chunk, qx, qy)
 
         accs = [d_bg, i_bg]
         for _ in range(unroll - 1):
@@ -396,7 +409,8 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             n_rows = (o0 + mc + (PACK - 1)) // PACK
             return jax.lax.fori_loop(
                 0, n_rows,
-                make_row_body(scratch, slot, unroll, with_triangles),
+                _make_row_body16(scratch, slot, unroll, with_triangles,
+                                 qx, qy),
                 accs_in), n_rows
 
         if allow_exit:
@@ -618,27 +632,14 @@ def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
     return depth, index
 
 
-def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
-                       tile_w: int = 32, unroll: int = 4,
-                       entry_capacity=None,
-                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
-                       max_big: int = DEFAULT_MAX_BIG,
-                       bin_triangles: bool = False,
-                       interpret: bool = False,
-                       return_diag: bool = False):
-    """Rasterize + shade in one pass: (rgb, depth, index).
+def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag):
+    """Per-pixel winner-id shade epilogue -> (rgb, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
-    modes) with ONE 16-float per-pixel gather of the prim table by
-    winner id.  Same preconditions as rasterize_pallas_csr4.
+    modes) with ONE compact 8-float per-pixel gather; shared by the v4
+    and v6 fused render paths.
     """
     width, height = camera.width, camera.height
-    shade_rgb, shade_flag = _preshade(prims, camera, shading)
-    depth, idf, table16, diag = _raster_core4(
-        prims, width, height, tile_h, tile_w, unroll, entry_capacity,
-        chunk_rows, interpret, shade_rgb, shade_flag, max_big=max_big,
-        bin_triangles=bin_triangles)
-
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
     safe = jnp.where(hit, index, prims.count)  # pad row: zeros
@@ -672,6 +673,31 @@ def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
 
     bg = np.asarray(shading.background, np.float32)
     rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
+    return rgb, index
+
+
+def render_shaded_csr4(prims, camera, shading, tile_h: int = 32,
+                       tile_w: int = 32, unroll: int = 4,
+                       entry_capacity=None,
+                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                       max_big: int = DEFAULT_MAX_BIG,
+                       bin_triangles: bool = False,
+                       interpret: bool = False,
+                       return_diag: bool = False):
+    """Rasterize + shade in one pass: (rgb, depth, index).
+
+    Matches shading.shade_framebuffer bit-for-bit (lambert and flat
+    modes) with ONE 16-float per-pixel gather of the prim table by
+    winner id.  Same preconditions as rasterize_pallas_csr4.
+    """
+    width, height = camera.width, camera.height
+    shade_rgb, shade_flag = _preshade(prims, camera, shading)
+    depth, idf, table16, diag = _raster_core4(
+        prims, width, height, tile_h, tile_w, unroll, entry_capacity,
+        chunk_rows, interpret, shade_rgb, shade_flag, max_big=max_big,
+        bin_triangles=bin_triangles)
+    rgb, index = _shade_by_id(prims, camera, shading, depth, idf,
+                              shade_rgb, shade_flag)
     if return_diag:
         return rgb, depth, index, diag
     return rgb, depth, index

@@ -152,6 +152,18 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             entry_capacity=config.entry_capacity,
             max_big=config.max_big,
             interpret=jax.default_backend() != "tpu")
+    if backend == "pallas6":
+        # Anchor-sorted binning: one sort slot per prim + 5-range CSR.
+        # Same contract/eval as pallas4 with a 4x smaller sort and NO
+        # entry-capacity precondition (pallas_csr6 docstring).
+        from pointcloud_render_tpu.raster import pallas_csr6  # noqa: PLC0415
+
+        return pallas_csr6.rasterize_pallas_csr6(
+            prims, width, height,
+            unroll=config.unroll,
+            bin_triangles=config.bin_triangles,
+            max_big=config.max_big,
+            interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
 
@@ -184,6 +196,16 @@ def render(prims: ScreenPrimitives, camera,
         rgb, depth, index, diag = pallas_csr4.render_shaded_csr4(
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
+            bin_triangles=config.bin_triangles, max_big=config.max_big,
+            interpret=jax.default_backend() != "tpu", return_diag=True)
+        fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+        return (fb, diag) if return_diag else fb
+    if backend == "pallas6":
+        from pointcloud_render_tpu.raster import pallas_csr6  # noqa: PLC0415
+
+        rgb, depth, index, diag = pallas_csr6.render_shaded_csr6(
+            prims, camera, config.shading,
+            unroll=config.unroll,
             bin_triangles=config.bin_triangles, max_big=config.max_big,
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)

@@ -166,18 +166,19 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
     if preset.splat == "sphere" or droplet_lod != "mesh":
         # Scene emits only discs/capsules (+ the big-list ground):
         # compile the branch-free kernel path.  On TPU the pipeline
-        # knows this statically, so "auto" upgrades to the v4 generic
-        # binned kernel (measured 3x over v2 on trail scenes).
+        # knows this statically, so "auto" upgrades to the v6
+        # anchor-sorted generic kernel (measured 1.5x over v4 on the
+        # 1M-pt trail scene, benchmarks/v6_ab.py; no entry capacity).
         raster_config = _dc.replace(raster_config, no_triangles=True)
         if (raster_config.backend == "auto"
                 and jax.default_backend() == "tpu"):
-            raster_config = _dc.replace(raster_config, backend="pallas4")
+            raster_config = _dc.replace(raster_config, backend="pallas6")
     elif (raster_config.backend == "auto"
           and jax.default_backend() == "tpu"):
-        # Mesh-LOD droplet scenes: v4 with small-triangle binning (the
+        # Mesh-LOD droplet scenes: v6 with small-triangle binning (the
         # branchless dual eval) — only the ground rides the big list
         # (VERDICT r2 item 5; was a v2 fallback).
-        raster_config = _dc.replace(raster_config, backend="pallas4",
+        raster_config = _dc.replace(raster_config, backend="pallas6",
                                     bin_triangles=True)
     ss = raster_config.supersample
 

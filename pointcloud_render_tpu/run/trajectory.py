@@ -66,13 +66,14 @@ class TrajectoryScanRenderer:
         config = self.raster_config
         if config.backend == "auto" and jax.default_backend() == "tpu":
             if (preset.splat == "sphere" or self.droplet_lod != "mesh"):
-                # Disc/capsule-only soups: the v4 generic binned kernel
-                # (run/pipeline._make_step applies the same upgrade).
-                config = _dc.replace(config, backend="pallas4",
+                # Disc/capsule-only soups: the v6 anchor-sorted kernel
+                # (run/pipeline._make_step applies the same upgrade;
+                # no entry capacity to probe).
+                config = _dc.replace(config, backend="pallas6",
                                      no_triangles=True)
             else:
-                # Mesh-LOD droplets: v4 with small-triangle binning.
-                config = _dc.replace(config, backend="pallas4",
+                # Mesh-LOD droplets: v6 with small-triangle binning.
+                config = _dc.replace(config, backend="pallas6",
                                      bin_triangles=True)
         dt = self.dt
         motion = self.motion_color
@@ -132,16 +133,20 @@ class TrajectoryScanRenderer:
 
         return chunk_fn
 
-    def _probe_entry_capacity(self, positions, velocities, frame_indices):
-        """Measure the v4 binned-entry count at the trajectory extremes
-        and fix config.entry_capacity (+30% margin) so the per-frame
-        sorted-row gather covers real entries instead of all 4P slots
-        (an uncapped 100k-point trail frame pays ~14 ms extra).
-        The probe advects the cloud to each sampled frame when dt != 0.
+    def _probe_max_big(self, positions, velocities, frame_indices):
+        """Size config.max_big from the measured big-list overflow at
+        sampled trajectory frames (+50% margin).  The v6 anchor-sorted
+        kernel has NO entry-capacity precondition (pallas_csr6) — the
+        only remaining truncation risk is the big list, which close-
+        dolly trail frames can push past the 1024 default (a 1M-point
+        fade frame needs ~20k).  The scan's per-frame overflow
+        certificate still re-checks EVERY frame post hoc; this probe
+        just avoids a wasted first render.  Advects the cloud to each
+        sampled frame when dt != 0.
         """
         import dataclasses as _dc
 
-        from pointcloud_render_tpu.raster import pallas_csr4
+        from pointcloud_render_tpu.raster import pallas_csr6
         from pointcloud_render_tpu.run.pipeline import build_primitives
         from pointcloud_render_tpu.scene.camera import (
             IMAGE_HEIGHT,
@@ -164,12 +169,10 @@ class TrajectoryScanRenderer:
                                      droplet_lod=self.droplet_lod)
             mesh_lod = (preset.splat != "sphere"
                         and self.droplet_lod == "mesh")
-            return (pallas_csr4.true_entry_count4(
-                        prims, IMAGE_WIDTH, IMAGE_HEIGHT,
-                        bin_triangles=mesh_lod),
-                    pallas_csr4.bin_diagnostics4(
-                        prims, IMAGE_WIDTH, IMAGE_HEIGHT,
-                        bin_triangles=mesh_lod))
+            return pallas_csr6.bin_diagnostics6(
+                prims, IMAGE_WIDTH, IMAGE_HEIGHT,
+                max_big=self.raster_config.max_big,
+                bin_triangles=mesh_lod)
 
         jp = aot.compile_const_free(probe, jnp.int32(0), positions,
                                     velocities)
@@ -177,18 +180,12 @@ class TrajectoryScanRenderer:
         for fi in sorted(samples):
             p = (dynamics.advect(positions, velocities, self.dt * fi)
                  if self.dt else positions)
-            ec, ovf = (int(np.asarray(x))
-                       for x in jp(jnp.int32(fi), p, velocities))
-            if ovf > 0:
-                raise RuntimeError(
-                    f"pallas_csr4 big-list overflow ({ovf} primitives) "
-                    f"at frame {fi} — the render would silently drop "
-                    f"them. Use backend='pallas' (v2 bins wide prims) "
-                    f"or reduce primitive screen extents.")
-            worst = max(worst, ec)
-        cap = ((int(worst * 1.3) + 127) // 128) * 128
-        self.raster_config = _dc.replace(self.raster_config,
-                                         entry_capacity=cap)
+            worst = max(worst, int(np.asarray(jp(jnp.int32(fi), p,
+                                                 velocities))))
+        if worst > 0:
+            mb = self.raster_config.max_big + int(worst * 1.5)
+            self.raster_config = _dc.replace(
+                self.raster_config, max_big=((mb + 511) // 512) * 512)
 
     def render_frames(self, positions, velocities, frame_indices):
         """Render the given frame indices in chunks; returns a list of
@@ -198,11 +195,10 @@ class TrajectoryScanRenderer:
         positions = jnp.asarray(positions, jnp.float32)
         velocities = jnp.asarray(velocities, jnp.float32)
         if (self._compiled is None
-                and self.raster_config.entry_capacity is None
                 and self.raster_config.backend == "auto"
                 and jax.default_backend() == "tpu"):
-            self._probe_entry_capacity(positions, velocities,
-                                       list(frame_indices))
+            self._probe_max_big(positions, velocities,
+                                list(frame_indices))
         history = jnp.broadcast_to(positions[None],
                                    (HISTORY_WINDOW,) + positions.shape) \
             if self.preset.trail == "history" else \

@@ -467,15 +467,25 @@ class TestPallasCsr4:
 
 
 class TestV4OverflowGuard:
-    def test_trajectory_probe_raises_on_big_overflow(self):
-        """run/trajectory's capacity probe must refuse scenes whose
-        non-binnable prims exceed the v4 big-list cap (they would be
-        dropped silently)."""
-        import pytest
-
+    def test_trajectory_probe_grows_max_big_on_overflow(self):
+        """run/trajectory's pre-flight probe must GROW max_big for
+        scenes whose non-binnable prims exceed the default big-list cap
+        (they would otherwise fail the scan's per-frame overflow
+        certificate after a wasted render)."""
         from pointcloud_render_tpu.configs import PRESETS
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            bin_diagnostics6,
+        )
+        from pointcloud_render_tpu.run.pipeline import build_primitives
         from pointcloud_render_tpu.run.trajectory import (
             TrajectoryScanRenderer,
+        )
+        from pointcloud_render_tpu.scene.camera import (
+            IMAGE_HEIGHT,
+            IMAGE_WIDTH,
+            TARGETS,
+            Camera,
+            camera_origin,
         )
 
         # Giant splat radius -> every disc spans > 2x2 blocks -> all big.
@@ -487,9 +497,18 @@ class TestV4OverflowGuard:
         pos = rng.uniform(-0.4, 0.4, (3000, 3)).astype(np.float32)
         vel = np.zeros((3000, 3), np.float32)
         r = TrajectoryScanRenderer(preset)
-        with pytest.raises(RuntimeError, match="big-list overflow"):
-            r._probe_entry_capacity(jnp.asarray(pos), jnp.asarray(vel),
-                                    list(range(4)))
+        assert r.raster_config.max_big == 1024
+        r._probe_max_big(jnp.asarray(pos), jnp.asarray(vel),
+                         list(range(4)))
+        assert r.raster_config.max_big > 3000
+        cam = Camera(origin=jnp.asarray(camera_origin("traj_ball", 0, 220)),
+                     target=np.asarray(TARGETS["traj_ball"], np.float32),
+                     fov_x_degrees=preset.fov_x_degrees)
+        prims = build_primitives(preset, cam, jnp.asarray(pos),
+                                 jnp.asarray(vel), jnp.int32(0))
+        assert int(np.asarray(bin_diagnostics6(
+            prims, IMAGE_WIDTH, IMAGE_HEIGHT,
+            max_big=r.raster_config.max_big))) == 0
 
 
 class TestV4Determinism:

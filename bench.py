@@ -23,11 +23,11 @@ Robustness (the artifact-of-record contract):
   REAL CHIP: a mixed 1080p scene (ground + 20k discs + trail capsules)
   must winner-match the tiled XLA backend 100% (CI only ever runs the
   kernels in CPU interpret mode; this is the hardware gate);
-* the v3 disc kernel's entry capacity is MEASURED over the trajectory's
-  extremes and asserted (pallas_csr3 exactness precondition), and the
-  2x2-span big-list overflow is asserted zero at those frames.
+* the pallas6 disc kernel has NO entry capacity (anchor-sorted rows);
+  its only truncation risk, big-list overflow, is carried device-side
+  through the scan and asserted zero over EVERY frame.
 
-Usage: python bench.py [--points N] [--backend pallas3] [--radius R]
+Usage: python bench.py [--points N] [--backend pallas6] [--radius R]
 """
 
 import argparse
@@ -131,13 +131,17 @@ def validate_on_chip(verbose=False):
         d6, i6 = rasterize_pallas_csr4(soup, cam.width, cam.height,
                                        unroll=4)
         # v6 anchor-sorted path on the MIXED scene — the pipeline's TPU
-        # default for splat/trail scenes.
+        # default for splat/trail scenes — plus its 8-float discs_only
+        # mode on the disc soup (the TIMED bench configuration).
         d7, i7 = rasterize_pallas_csr6(soup, cam.width, cam.height,
                                        unroll=4)
+        d8, i8 = rasterize_pallas_csr6(disc_soup, cam.width, cam.height,
+                                       unroll=4, discs_only=True)
         return (jnp.mean((i1 == it).astype(jnp.float32)),
                 jnp.mean((i2 == it).astype(jnp.float32)),
                 jnp.mean((i3 == it3).astype(jnp.float32)),
-                jnp.mean(((i4 == it3) & (i5 == it3)).astype(jnp.float32)),
+                jnp.mean(((i4 == it3) & (i5 == it3)
+                          & (i8 == it3)).astype(jnp.float32)),
                 jnp.mean(((i6 == it) & (i7 == it)).astype(jnp.float32)),
                 ec)
 
@@ -213,11 +217,11 @@ def run_bench(args):
                               np.array([0.3, 0.3, 0.3], np.float32)),
         ])
 
-    # The bench scene is discs over big-list furniture -> the v3 disc
-    # fast path applies, with a MEASURED entry capacity (+15% headroom)
-    # taken over the trajectory's extremes; its exactness precondition
-    # (pallas_csr3 docstring) and the 2x2-span overflow == 0 invariant
-    # are asserted at those frames.
+    # The bench scene is discs over big-list furniture.  The default
+    # pallas6 disc path needs NO capacity probe (the anchor-sorted row
+    # buffer is always exactly P prims); the scan carries the big-list
+    # overflow certificate and it is asserted 0 after warmup.  The
+    # legacy v2/v3 backends keep their measured-entry-capacity probes.
     entry_capacity = None
     probe_frames = (0, 120, 199, 219)
     if args.backend == "pallas3":
@@ -268,20 +272,30 @@ def run_bench(args):
                           entry_capacity=entry_capacity,
                           uniform_look=uniform_look)
 
+    with_diag = args.backend == "pallas6"
+
     def episode(positions, radii):
         """The full 220-frame flythrough as ONE scan: per-frame camera
         eval, projection, binning, sort, gather, kernel, and shading all
-        run inside the loop; only a scalar checksum leaves the device."""
+        run inside the loop; only a scalar checksum (plus the pallas6
+        big-overflow certificate) leaves the device."""
 
         def body(acc, frame_index):
             camera = make_camera(frame_index)
-            fb = render(soup(camera, positions, radii), camera, config)
+            s = soup(camera, positions, radii)
+            if with_diag:
+                fb, diag = render(s, camera, config, return_diag=True)
+                ovf = jnp.maximum(acc[1], diag["big_overflow"])
+            else:
+                fb = render(s, camera, config)
+                ovf = acc[1]
             c = (jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
                  + jnp.sum(fb.rgb[::8, ::8]))
-            return acc + c, None
+            return (acc[0] + c, ovf), None
 
         frames = jnp.arange(args.frames, dtype=jnp.int32)
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), frames)
+        acc, _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.int32(0)),
+                              frames)
         return acc
 
     # Exactness gate: certify the compiled kernels on this platform
@@ -294,14 +308,20 @@ def run_bench(args):
     def compile_and_warm():
         state["compiled"] = aot.compile_const_free(episode, positions, radii)
         out = state["compiled"](positions, radii)
-        float(np.asarray(out))
+        float(np.asarray(out[0]))
+        if with_diag and int(np.asarray(out[1])) > 0:
+            raise RuntimeError(
+                f"disc-scene big-list overflow {int(np.asarray(out[1]))} "
+                f"(max_big default) — certificate failed")
 
     _retry("compile+warmup", compile_and_warm)
 
     def one_round():
         t0 = time.perf_counter()
         out = state["compiled"](positions, radii)
-        float(np.asarray(out))
+        # Fetch BOTH scalars: blocking one leaf of an AOT result does
+        # not await the program on the tunneled backend.
+        float(np.asarray(out[0])), float(np.asarray(out[1]))
         return (time.perf_counter() - t0) / args.frames
 
     times = []
@@ -441,8 +461,9 @@ def main():
         pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1_000_000)
-    ap.add_argument("--backend", default="pallas3",
-                    help="pallas3 (disc fast path) | pallas | tiled | ...")
+    ap.add_argument("--backend", default="pallas6",
+                    help="pallas6 (anchor-sorted disc path, the default)"
+                         " | pallas3 | pallas | tiled | ...")
     ap.add_argument("--radius", type=float, default=0.002)
     ap.add_argument("--frames", type=int, default=220,
                     help="trajectory frames per scan dispatch")

@@ -126,6 +126,9 @@ def main():
         time_scan("disc v6 fused", frame(RasterConfig(
             backend="pallas6", no_triangles=True)), frames,
             positions, radii)
+        time_scan("disc v6 discs_only fused", frame(RasterConfig(
+            backend="pallas6", no_triangles=True, discs_only=True)),
+            frames, positions, radii)
 
     # ---- trail scene -------------------------------------------------
     if not args.skip_trail:

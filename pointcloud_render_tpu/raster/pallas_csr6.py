@@ -71,12 +71,15 @@ from pointcloud_render_tpu.raster.primitives import (
 
 ROW_F = 16
 PACK = 128 // ROW_F  # 8 entries per 128-lane row
+ROW_F_DISC = 8  # discs_only rows: [px, py, z, r^2, idf, 0, 0, 0]
+PACK_DISC = 128 // ROW_F_DISC
 ZQ = 8  # z-bucket bits in the int32 key (256 buckets)
 DEFAULT_CHUNK_ROWS = 256
 
 
 def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-              max_big=DEFAULT_MAX_BIG, bin_triangles=False):
+              max_big=DEFAULT_MAX_BIG, bin_triangles=False,
+              discs_only=False):
     """Per-prim (anchor, class, z-bucket) int32 keys + UNSTABLE sort.
 
     Returns (sorted_keys, sorted_prims, big_list, big_count, zmeta);
@@ -90,9 +93,12 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
     ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
     ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
-    binnable = (prims.kind == KIND_DISC) | (prims.kind == KIND_CAPSULE)
-    if bin_triangles:
-        binnable = binnable | (prims.kind == KIND_TRIANGLE)
+    if discs_only:
+        binnable = prims.kind == KIND_DISC
+    else:
+        binnable = (prims.kind == KIND_DISC) | (prims.kind == KIND_CAPSULE)
+        if bin_triangles:
+            binnable = binnable | (prims.kind == KIND_TRIANGLE)
     fits = (tx1 - tx0 < 2) & (ty1 - ty0 < 2) & binnable
     is_small = prims.valid & fits
     is_big = prims.valid & ~fits
@@ -139,10 +145,42 @@ def bin_diagnostics6(prims, width: int, height: int, tile_h: int = 32,
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
+def _make_row_body8(scr, slot, nchains, qx, qy):
+    """fori_loop body over one 8-float DISC-row scratch slab:
+    [px, py, z, r^2, idf, 0, 0, 0] x 16 per 128-lane row.  r^2 is
+    squared at TABLE build (P rows) — bit-identical to squaring per
+    pair (same f32 multiply on the same input, the pallas_csr3
+    convention); the per-pair (depth, id) tie-break matches
+    _make_row_body16 exactly."""
+
+    def row_body(br, c2):
+        out = list(c2)
+        for u in range(PACK_DISC):
+            lane = u * ROW_F_DISC
+            px = scr[slot, br, lane]
+            py = scr[slot, br, lane + 1]
+            z = scr[slot, br, lane + 2]
+            r2 = scr[slot, br, lane + 3]
+            idf = scr[slot, br, lane + 4]
+            ch = u % nchains
+            d0, di = out[2 * ch], out[2 * ch + 1]
+            dx = qx - px
+            dy = qy - py
+            cov = dx * dx + dy * dy <= r2
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[2 * ch] = jnp.where(better, z, d0)
+            out[2 * ch + 1] = jnp.where(better, idf, di)
+        return tuple(out)
+
+    return row_body
+
+
 def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, with_triangles=False,
-                  big_chunk=DEFAULT_BIG_CHUNK):
-    assert chunk_rows % PACK == 0
+                  big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F):
+    pack = 128 // row_f
+    zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
+    assert chunk_rows % pack == 0
     assert big_chunk % PACK == 0
 
     def kernel(starts_ref,  # scalar prefetch: (4T+2,) i32; [4T+1] = big n
@@ -215,7 +253,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         def get_dma(slot, ci):
             g0, _, _ = locate(ci)
             return pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(g0 // PACK, n_chunk_block), :],
+                rows_hbm.at[pl.ds(g0 // pack, n_chunk_block), :],
                 scratch.at[slot],
                 sems.at[slot],
             )
@@ -251,13 +289,13 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 
             get_dma(slot, ci).wait()
             g0, mc, nxt = locate(ci)
-            o0 = jax.lax.rem(g0, PACK)
-            n_rows = (o0 + mc + (PACK - 1)) // PACK
-            accs_out = jax.lax.fori_loop(
-                0, n_rows,
-                _make_row_body16(scratch, slot, unroll, with_triangles,
-                                 qx, qy),
-                accs_in)
+            o0 = jax.lax.rem(g0, pack)
+            n_rows = (o0 + mc + (pack - 1)) // pack
+            body_fn = (_make_row_body16(scratch, slot, unroll,
+                                        with_triangles, qx, qy)
+                       if row_f == ROW_F else
+                       _make_row_body8(scratch, slot, unroll, qx, qy))
+            accs_out = jax.lax.fori_loop(0, n_rows, body_fn, accs_in)
 
             if allow_exit:
                 # Each range ascends in zlb-bucket; once the last
@@ -272,7 +310,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                     dmin = jnp.minimum(dmin, accs_out[2 * u])
                 dmax = jnp.max(dmin)
                 last_zlb = scratch[slot, n_rows - 1,
-                                   (PACK - 1) * ROW_F + 14]
+                                   (pack - 1) * row_f + zlb_lane]
                 qz = jnp.maximum(
                     jnp.floor((last_zlb - zmin) * zs) - 1.0, 0.0)
                 done = zmin + qz * thr_scale > dmax
@@ -313,7 +351,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
-                  allow_exit=True):
+                  discs_only=False, allow_exit=True):
     """Binning + kernel launch.  Returns (depth, idf_img, diag); diag's
     ``big_overflow`` must be 0 for exactness (``true_entries`` reports
     the would-be v4 entry count for observability — v6 itself has no
@@ -333,7 +371,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
 
     sorted_keys, sorted_prims, big_list, big_count, zmeta = _bin_csr6(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big, bin_triangles=bin_triangles)
+        max_big=max_big, bin_triangles=bin_triangles,
+        discs_only=discs_only)
 
     # (anchor, class) boundaries: B[j] = first sorted position with
     # anchor*4+cls >= j.  B[4T] = number of binned prims.
@@ -352,12 +391,28 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                 big_overflow=jnp.maximum(big_count - big_list.shape[0], 0))
 
     p = prims.count
-    p_pad = -(-(p + chunk_rows + PACK) // chunk_rows) * chunk_rows
+    row_f = ROW_F_DISC if discs_only else ROW_F
+    pack = 128 // row_f
+    p_pad = -(-(p + chunk_rows + pack) // chunk_rows) * chunk_rows
 
     table16 = _build_table16(prims, shade_rgb, shade_flag,
                              bin_triangles=bin_triangles)
     prims_p = jnp.pad(sorted_prims, (0, p_pad - p), constant_values=p)
-    rows = table16[prims_p].reshape(p_pad // PACK, 128)
+    if discs_only:
+        # Narrow 8-float disc rows: [px, py, z, r^2, idf, 0, 0, 0] —
+        # 32 B gathers are ~40% cheaper than 64 B at equal row count
+        # (benchmarks/v6_probe.py).  Invalid rows zeroed as table16.
+        r = prims.params[:, 3]
+        table8 = jnp.concatenate([
+            prims.params[:, 0:3], (r * r)[:, None],
+            jnp.arange(p, dtype=jnp.float32)[:, None],
+            jnp.zeros((p, 3), jnp.float32),
+        ], axis=1)
+        table8 = jnp.where(prims.valid[:, None], table8, 0.0)
+        table8 = jnp.pad(table8, ((0, 1), (0, 0)))
+        rows = table8[prims_p].reshape(p_pad // pack, 128)
+    else:
+        rows = table16[prims_p].reshape(p_pad // pack, 128)
 
     big_chunk = DEFAULT_BIG_CHUNK
     big = big_list.shape[0]
@@ -372,7 +427,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     scalars = jnp.concatenate([
         starts, jnp.minimum(big_count, big)[None].astype(jnp.int32)])
 
-    n_chunk_block = chunk_rows // PACK + 1
+    n_chunk_block = chunk_rows // pack + 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -400,7 +455,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     kernel = _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                            chunk_rows, allow_exit=allow_exit,
                            with_triangles=bin_triangles,
-                           big_chunk=big_chunk)
+                           big_chunk=big_chunk, row_f=row_f)
     depth_t, idf_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -428,6 +483,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           chunk_rows: int = DEFAULT_CHUNK_ROWS,
                           max_big: int = DEFAULT_MAX_BIG,
                           bin_triangles: bool = False,
+                          discs_only: bool = False,
                           interpret: bool = False,
                           return_diag: bool = False,
                           allow_exit: bool = True):
@@ -437,14 +493,17 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
     ties, big list for wide prims/triangles, optional bin_triangles),
     with the anchor-sorted binning — and therefore NO entry_capacity
     precondition: nothing is ever truncated except big-list overflow
-    (check diag/bin_diagnostics6).
+    (check diag/bin_diagnostics6).  ``discs_only`` narrows binned rows
+    to 8 floats (capsules AND triangles ride the big list) — the disc-
+    cloud fast path, ~40% cheaper row gathers.
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
     depth, idf, _, diag = _raster_core6(
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, zeros3, zerosf, max_big=max_big,
-        bin_triangles=bin_triangles, allow_exit=allow_exit)
+        bin_triangles=bin_triangles, discs_only=discs_only,
+        allow_exit=allow_exit)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -456,6 +515,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
                        max_big: int = DEFAULT_MAX_BIG,
                        bin_triangles: bool = False,
+                       discs_only: bool = False,
                        interpret: bool = False,
                        return_diag: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
@@ -471,7 +531,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
     depth, idf, _, diag = _raster_core6(
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, shade_rgb, shade_flag, max_big=max_big,
-        bin_triangles=bin_triangles)
+        bin_triangles=bin_triangles, discs_only=discs_only)
     rgb, index = _v4._shade_by_id(prims, camera, shading, depth, idf,
                                   shade_rgb, shade_flag)
     if return_diag:

@@ -162,6 +162,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             prims, width, height,
             unroll=config.unroll,
             bin_triangles=config.bin_triangles,
+            discs_only=config.discs_only,
             max_big=config.max_big,
             interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
@@ -206,7 +207,8 @@ def render(prims: ScreenPrimitives, camera,
         rgb, depth, index, diag = pallas_csr6.render_shaded_csr6(
             prims, camera, config.shading,
             unroll=config.unroll,
-            bin_triangles=config.bin_triangles, max_big=config.max_big,
+            bin_triangles=config.bin_triangles,
+            discs_only=config.discs_only, max_big=config.max_big,
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb

@@ -224,3 +224,53 @@ class TestPallasCsr6:
         np.testing.assert_array_equal(np.asarray(fb6.rgb),
                                       np.asarray(fb4.rgb))
         assert int(np.asarray(diag6["big_overflow"])) == 0
+
+
+class TestPallasCsr6DiscMode:
+    """discs_only=True narrows binned rows to 8 floats (capsules AND
+    triangles ride the big list) — the disc-cloud fast path."""
+
+    def _disc_soup(self, ties=0, n=300, radius=0.03):
+        cam = make_camera()
+        rng = np.random.default_rng(3)
+        pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+        if ties:
+            pos[ties:2 * ties] = pos[:ties]
+        discs = discs_from_points(jnp.asarray(pos), cam,
+                                  jnp.full((n,), radius, jnp.float32),
+                                  np.array([0.3, 0.3, 0.3], np.float32))
+        return ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), discs])
+
+    def test_disc_mode_matches_oracle_with_ties(self):
+        _assert_matches_oracle(self._disc_soup(ties=40), discs_only=True)
+
+    def test_disc_mode_capsules_ride_big_list(self):
+        # The mixed soup's capsules must still render exactly (big list).
+        _assert_matches_oracle(_mixed_soup(make_camera(), trails=10),
+                               discs_only=True)
+
+    def test_disc_mode_matches_generic_v6(self):
+        soup = self._disc_soup(ties=25)
+        d_g, i_g = rasterize_pallas_csr6(soup, W, H, interpret=True)
+        d_d, i_d = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                         discs_only=True)
+        np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_g))
+        np.testing.assert_array_equal(np.asarray(d_d), np.asarray(d_g))
+
+    def test_disc_mode_fused_shading(self):
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            render_shaded_csr6,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        soup = self._disc_soup()
+        cfg = ShadingConfig()
+        rgb_g, d_g, i_g = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True)
+        rgb_d, d_d, i_d = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             discs_only=True)
+        np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_g))
+        np.testing.assert_array_equal(np.asarray(rgb_d), np.asarray(rgb_g))

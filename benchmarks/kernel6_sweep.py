@@ -1,0 +1,106 @@
+"""Sweep the v6 kernel knobs on the 1M-disc bench frame.
+
+The v6-disc kernel measured 18.3 ms where v3's was 8.6 on the same
+pairs (stage_profile6) — sweep chunk_rows / allow_exit / unroll to
+find where the overhead lives (exit-jump DMA drains, chunk-schedule
+scalar work, or chunk size).
+
+Run: python benchmarks/kernel6_sweep.py [--scene disc|trail]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(name, fn, *a, reps=6):
+    from pointcloud_render_tpu.utils import aot
+
+    c = aot.compile_const_free(fn, *a)
+    out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:52s} {dt * 1e3:8.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="disc", choices=["disc", "trail"])
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--frame", type=int, default=120)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.raster import pallas_csr6
+    from pointcloud_render_tpu.raster.primitives import (
+        ScreenPrimitives,
+        discs_from_points,
+    )
+    from pointcloud_render_tpu.raster.render import ground_plane
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.scene.camera import (
+        TARGETS,
+        TOTAL_FRAMES,
+        Camera,
+        camera_origin_jax,
+    )
+
+    n = args.points
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
+    radii = jnp.full((n,), 0.002, jnp.float32)
+    fi = jnp.int32(args.frame)
+    discs_only = args.scene == "disc"
+    max_big = 1024 if discs_only else 20480
+
+    def make(p, v):
+        cam = Camera(
+            origin=camera_origin_jax("traj_ball", fi, TOTAL_FRAMES),
+            target=np.asarray(TARGETS["traj_ball"], np.float32))
+        if args.scene == "disc":
+            soup = ScreenPrimitives.concatenate([
+                ground_plane(cam, 10.0, (0.0, 0.0, -0.5)),
+                discs_from_points(p, cam, radii,
+                                  np.array([0.3, 0.3, 0.3], np.float32))])
+        else:
+            soup = build_primitives(PRESETS["traj_ball"], cam, p, v, fi)
+        return soup, cam
+
+    _, cam0 = make(pos, vel)
+    W, H = cam0.width, cam0.height
+
+    def raster(chunk_rows, allow_exit, unroll):
+        def f(p, v):
+            soup, _ = make(p, v)
+            d, i = pallas_csr6.rasterize_pallas_csr6(
+                soup, W, H, unroll=unroll, max_big=max_big,
+                discs_only=discs_only, chunk_rows=chunk_rows,
+                allow_exit=allow_exit)
+            return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+
+        return f
+
+    for cr in (256, 512, 1024):
+        for ex in (True, False):
+            for un in (4,) if cr != 512 else (2, 4, 8):
+                timed(f"chunk={cr} exit={int(ex)} unroll={un}",
+                      raster(cr, ex, un), pos, vel)
+
+
+if __name__ == "__main__":
+    main()

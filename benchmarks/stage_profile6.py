@@ -1,0 +1,177 @@
+"""Stage budget of the v6 anchor-sorted frame (disc or trail scene).
+
+Cumulative stages (each includes the previous ones):
+  build   — soup construction (projection, trails, concat)
+  bin     — + per-prim (anchor, class, qz) keys + i32 sort
+  starts  — + the 4T+1-bound searchsorted
+  rows    — + the per-prim row gather (8 or 16 floats)
+  raster  — + the Pallas CSR v6 kernel (depth + idf image)
+  shade   — + the by-id shade epilogue (= the full frame)
+
+Run: python benchmarks/stage_profile6.py [--scene disc|trail]
+     [--points N] [--frame F]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(name, fn, *a, reps=6):
+    from pointcloud_render_tpu.utils import aot
+
+    c = aot.compile_const_free(fn, *a)
+    out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:44s} {dt * 1e3:8.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="disc", choices=["disc", "trail"])
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--frame", type=int, default=120)
+    ap.add_argument("--radius", type=float, default=0.002)
+    ap.add_argument("--unroll", type=int, default=4)
+    ap.add_argument("--max-big", type=int, default=20480)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.raster import pallas_csr6
+    from pointcloud_render_tpu.raster.primitives import (
+        ScreenPrimitives,
+        discs_from_points,
+    )
+    from pointcloud_render_tpu.raster.render import ground_plane
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.scene.camera import (
+        TARGETS,
+        TOTAL_FRAMES,
+        Camera,
+        camera_origin_jax,
+    )
+    from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+    n = args.points
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
+    radii = jnp.full((n,), args.radius, jnp.float32)
+    fi = jnp.int32(args.frame)
+    gray = np.array([0.3, 0.3, 0.3], np.float32)
+    discs_only = args.scene == "disc"
+    max_big = 1024 if discs_only else args.max_big
+
+    def make(p, v):
+        cam = Camera(
+            origin=camera_origin_jax("traj_ball", fi, TOTAL_FRAMES),
+            target=np.asarray(TARGETS["traj_ball"], np.float32))
+        if args.scene == "disc":
+            soup = ScreenPrimitives.concatenate([
+                ground_plane(cam, 10.0, (0.0, 0.0, -0.5)),
+                discs_from_points(p, cam, radii, gray)])
+        else:
+            soup = build_primitives(PRESETS["traj_ball"], cam, p, v, fi)
+        return soup, cam
+
+    soup0, cam0 = make(pos, vel)
+    W, H = cam0.width, cam0.height
+    th = tw = 32
+    tiles_y, tiles_x = -(-H // th), -(-W // tw)
+    num_tiles = tiles_y * tiles_x
+    print(f"scene={args.scene} prims {soup0.count} "
+          f"discs_only={discs_only}", flush=True)
+
+    def stage_build(p, v):
+        soup, _ = make(p, v)
+        return soup.params.sum()
+
+    def stage_bin(p, v):
+        soup, _ = make(p, v)
+        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
+            soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
+            discs_only=discs_only)
+        return sk[0] + sp[0] + bc
+
+    def stage_starts(p, v):
+        soup, _ = make(p, v)
+        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
+            soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
+            discs_only=discs_only)
+        bounds = (np.arange(num_tiles * 4 + 1, dtype=np.int32)
+                  << pallas_csr6.ZQ)
+        starts = jnp.searchsorted(sk, jnp.asarray(bounds))
+        return starts[0] + sp[0]
+
+    def stage_rows(p, v):
+        soup, _ = make(p, v)
+        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
+            soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
+            discs_only=discs_only)
+        bounds = (np.arange(num_tiles * 4 + 1, dtype=np.int32)
+                  << pallas_csr6.ZQ)
+        starts = jnp.searchsorted(sk, jnp.asarray(bounds))
+        pp = soup.count
+        row_f = 8 if discs_only else 16
+        pack = 128 // row_f
+        p_pad = -(-(pp + 256 + pack) // 256) * 256
+        prims_p = jnp.pad(sp, (0, p_pad - pp), constant_values=pp)
+        if discs_only:
+            r = soup.params[:, 3]
+            tab = jnp.concatenate([
+                soup.params[:, 0:3], (r * r)[:, None],
+                jnp.arange(pp, dtype=jnp.float32)[:, None],
+                jnp.zeros((pp, 3), jnp.float32)], axis=1)
+            tab = jnp.where(soup.valid[:, None], tab, 0.0)
+            tab = jnp.pad(tab, ((0, 1), (0, 0)))
+        else:
+            z3 = jnp.zeros((pp, 3), jnp.float32)
+            zf = jnp.zeros((pp,), jnp.float32)
+            tab = pallas_csr6._build_table16(soup, z3, zf)
+        rows = tab[prims_p].reshape(p_pad // pack, 128)
+        return rows.sum() + starts[0].astype(jnp.float32)
+
+    def stage_raster(p, v):
+        soup, _ = make(p, v)
+        d, i = pallas_csr6.rasterize_pallas_csr6(
+            soup, W, H, unroll=args.unroll, max_big=max_big,
+            discs_only=discs_only)
+        return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+
+    def stage_shade(p, v):
+        soup, cam = make(p, v)
+        rgb, d, i = pallas_csr6.render_shaded_csr6(
+            soup, cam, ShadingConfig(), unroll=args.unroll,
+            max_big=max_big, discs_only=discs_only)
+        return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+                + jnp.sum(rgb[::8, ::8]))
+
+    t1 = timed("build (soup construction)", stage_build, pos, vel)
+    t2 = timed("+ bin (keys + 1-slot sort)", stage_bin, pos, vel)
+    t3 = timed("+ starts (searchsorted 4T+1)", stage_starts, pos, vel)
+    t4 = timed("+ per-prim row gather", stage_rows, pos, vel)
+    t5 = timed("+ CSR v6 kernel", stage_raster, pos, vel)
+    t6 = timed("+ by-id shade (full frame)", stage_shade, pos, vel)
+    print(f"\ndeltas: bin={1e3 * (t2 - t1):.1f} "
+          f"starts={1e3 * (t3 - t2):.1f} rows={1e3 * (t4 - t3):.1f} "
+          f"kernel={1e3 * (t5 - t4):.1f} shade={1e3 * (t6 - t5):.1f} "
+          f"total={1e3 * t6:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

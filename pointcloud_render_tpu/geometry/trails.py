@@ -102,6 +102,53 @@ def velocity_trails(positions, velocities, frame_index, schedule: str = "ball"):
     return pts, valid
 
 
+def velocity_trails_sampled(positions, velocities, frame_index, indices,
+                            schedule: str = "ball"):
+    """``velocity_trails`` evaluated ONLY at vertex ``indices`` (static).
+
+    Bit-identical to ``velocity_trails(...)[0][:, indices]`` — the same
+    f32 expression (direction * (L * t)) at the same t values, with
+    index 20 mapping to the appended position — but materializes
+    (N, K, 3) instead of (N, 21, 3): at 1M points the render layer
+    samples 9 of 21 vertices (run/pipeline.py), so the full trail
+    build + gather is ~60% wasted work.  The validity mask keeps the
+    FULL 21-point finiteness semantics (any non-finite vertex of the
+    complete trail invalidates it, matching velocity_trails exactly;
+    non-finite values can only arise from non-finite inputs, which
+    poison every vertex, so checking the sampled vertices is
+    equivalent — asserted against the full build in tests).
+    """
+    idx = np.asarray(indices, np.int64)
+    p = jnp.asarray(positions, jnp.float32)
+    v = jnp.asarray(velocities, jnp.float32)
+    scale = trail_length_scale(schedule, jnp.asarray(frame_index))
+
+    vel_norm = jnp.linalg.norm(v, axis=1)
+    valid = (vel_norm >= VELOCITY_EPS) & (scale > 0)
+
+    vel_normalized = jnp.minimum(vel_norm / VEL_NORMALIZER, 1.0)
+    trail_length = (BASE_TRAIL_LENGTH
+                    + (MAX_TRAIL_LENGTH - BASE_TRAIL_LENGTH) * vel_normalized
+                    ) * scale
+    safe = jnp.where(vel_norm < VELOCITY_EPS, 1.0, vel_norm)
+    direction = -v / safe[:, None]
+
+    ts_full = (N_TRAIL_POINTS - 1
+               - np.arange(N_TRAIL_POINTS, dtype=np.float32)) / (
+        N_TRAIL_POINTS - 1)
+    ts = ts_full[np.minimum(idx, N_TRAIL_POINTS - 1)]
+    ts[idx >= N_TRAIL_POINTS] = 0.0  # index 20: the position itself
+    offsets = direction[:, None, :] * (
+        trail_length[:, None] * jnp.asarray(ts)[None, :])[..., None]
+    pts = p[:, None, :] + offsets  # (N, K, 3)
+    is_pos = jnp.asarray(idx >= N_TRAIL_POINTS)
+    pts = jnp.where(is_pos[None, :, None],
+                    jnp.broadcast_to(p[:, None, :], pts.shape), pts)
+    valid = valid & jnp.all(jnp.isfinite(pts.reshape(pts.shape[0], -1)),
+                            axis=1)
+    return pts, valid
+
+
 # --------------------------------------------------------------------------
 # Catmull-Rom history-fit trails (traj_renderer)
 # --------------------------------------------------------------------------

@@ -417,7 +417,13 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             # Runs ascend in zlb-bucket; every unprocessed entry's depth
             # >= its zlb >= the last streamed bucket's floor (one bucket
             # + 1e-6 margin back) — soundness as in pallas_csr3, with
-            # zlb in row slot 14.
+            # zlb in row slot 14.  The bucket is read at the chunk's
+            # LAST REAL entry (o0 + mc - 1), never a PACK-slop slot, so
+            # the bound's soundness is local to this ascending run: it
+            # never rests on which neighbouring run's entries happen to
+            # share the slab (slop slots are evaluated, so nothing live
+            # is ever skipped either way — but the last-real read keeps
+            # the invariant checkable without that global argument).
             zmin = zmeta_ref[0, 0]
             zs = zmeta_ref[0, 1]
             thr_scale = zmeta_ref[0, 2]
@@ -440,8 +446,10 @@ def _make_kernel4(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                 for u in range(1, unroll):
                     dmin = jnp.minimum(dmin, accs_out[2 * u])
                 dmax = jnp.max(dmin)
-                last_zlb = scratch[slot, n_rows - 1,
-                                   (PACK - 1) * ROW_F + 14]
+                mc = jnp.minimum(chunk_rows, count - ci * chunk_rows)
+                e = o0 + mc - 1
+                last_zlb = scratch[slot, e // PACK,
+                                   jax.lax.rem(e, PACK) * ROW_F + 14]
                 qz = jnp.maximum(
                     jnp.floor((last_zlb - zmin) * zs) - 1.0, 0.0)
                 # STRICT >: at equality a remaining equal-depth entry
@@ -632,17 +640,52 @@ def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
     return depth, index
 
 
-def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag):
+def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag,
+                 uniform_look=None):
     """Per-pixel winner-id shade epilogue -> (rgb, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
     modes) with ONE compact 8-float per-pixel gather; shared by the v4
     and v6 fused render paths.
+
+    ``uniform_look``: optional ((disc rgb), (preshaded big rgb)) for
+    TWO-TONE scenes — narrows the per-pixel gather to 4 floats
+    [x0, y0, flag, 0] with the two colors injected as constants
+    (bit-identical exactly when the scene's colors really are these
+    two constants; lambert mode only — the pallas_csr3 option, ported).
     """
     width, height = camera.width, camera.height
     hit = jnp.isfinite(depth)
     index = jnp.where(hit, idf.astype(jnp.int32), -1)
     safe = jnp.where(hit, index, prims.count)  # pad row: zeros
+
+    def lambert(px, py, inv_r):
+        qx = (np.arange(width, dtype=np.float32) + 0.5)[None, :]
+        qy = (np.arange(height, dtype=np.float32) + 0.5)[:, None]
+        m = camera.world_to_camera_matrix()
+        l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
+        u = (qx - px) * inv_r
+        v = -(qy - py) * inv_r
+        w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
+        nz = -jnp.sqrt(w2)
+        ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
+        return shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
+
+    if uniform_look is not None and shading.mode != "flat":
+        table4 = jnp.pad(jnp.concatenate([
+            prims.params[:, 0:2], shade_flag[:, None],
+            jnp.zeros((prims.count, 1), jnp.float32),
+        ], axis=1), ((0, 1), (0, 0)))
+        a = table4[safe]  # (H, W, 4)
+        inv_r = a[..., 2]
+        lit = lambert(a[..., 0], a[..., 1], inv_r)
+        uc = np.asarray(uniform_look[0], np.float32)
+        ub = np.asarray(uniform_look[1], np.float32)
+        rgb = jnp.where((inv_r > 0)[..., None], uc * lit[..., None], ub)
+        bg = np.asarray(shading.background, np.float32)
+        rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
+        return rgb, index
+
     # Gathers are row-count bound but byte-width still shows at 2M
     # pixels: shade from a compact 8-float table [x0, y0, c0, c1, c2,
     # flag, 0, 0] (one O(P) repack).  Built from the soup directly —
@@ -656,17 +699,8 @@ def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag):
     if shading.mode == "flat":
         rgb = a[..., 2:5]
     else:
-        qx = (np.arange(width, dtype=np.float32) + 0.5)[None, :]
-        qy = (np.arange(height, dtype=np.float32) + 0.5)[:, None]
-        m = camera.world_to_camera_matrix()
-        l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
         inv_r = a[..., 5]
-        u = (qx - a[..., 0]) * inv_r
-        v = -(qy - a[..., 1]) * inv_r
-        w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
-        nz = -jnp.sqrt(w2)
-        ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
-        lit = shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
+        lit = lambert(a[..., 0], a[..., 1], inv_r)
         is_disc = inv_r > 0
         rgb = jnp.where(is_disc[..., None], a[..., 2:5] * lit[..., None],
                         a[..., 2:5])

@@ -7,16 +7,21 @@ cost.  v6 sorts each prim ONCE by its ANCHOR (top-left covered tile)
 with its spill class and z-bucket in the key:
 
     key = ((anchor * 4 + cls) << ZQ) | qz        (int32)
-    cls = (spans 2 tiles in x) + 2 * (spans 2 tiles in y)
+    cls in (0=none, 1=x-spill, 2=both, 3=y-spill)   [span=2 ordinals]
 
-A tile t's entries are then FIVE contiguous ranges of the prim-sorted
-order (B = searchsorted boundaries at every (anchor, cls)):
+The ordinals put every neighbor's spill subset CONTIGUOUS, so a tile
+t's entries are FOUR contiguous ranges of the prim-sorted order
+(B = searchsorted boundaries at every (anchor, cls)):
 
     r0: B[4t]          .. B[4t + 4]         every prim anchored at t
-    r1: B[4(t-1) + 1]  .. B[4(t-1) + 2]     left neighbors, cls 1
-    r2: B[4(t-1) + 3]  .. B[4(t-1) + 4]     left neighbors, cls 3
-    r3: B[4(t-tx) + 2] .. B[4(t-tx) + 4]    up neighbors, cls {2, 3}
-    r4: B[4(t-tx-1)+3] .. B[4(t-tx-1) + 4]  diag neighbors, cls 3
+    r1: B[4(t-1) + 1]  .. B[4(t-1) + 3]     left neighbors, x-spill
+    r2: B[4(t-tx) + 2] .. B[4(t-tx) + 4]    up neighbors, y-spill
+    r3: B[4(t-tx-1)+2] .. B[4(t-tx-1) + 3]  diag neighbors, both
+
+(with the early exit ON the kernel instead walks the NINE single-class
+segments those ranges merge — see the exit note below; ``span=4``
+generalizes the decomposition to 4x4-tile prims for long-segment
+soups, big-list relief on trail fade frames).
 
 The union is EXACTLY the set of binned prims covering t (same pair
 count as v4's expansion), so the kernel work is unchanged while the
@@ -35,9 +40,13 @@ PACK-aligned chunk slop either covers this tile (then it also appears
 in one of the five ranges — idempotent) or fails coverage (inert;
 invalid prims' rows are zeroed at table build).
 
-The in-kernel depth early-exit is per RANGE: each range ascends in
-z-bucket, so the v4 exit bound applies with the jump target being the
-next range's first chunk instead of loop termination.
+The in-kernel depth early-exit is per SEGMENT: the exit bound needs
+the streamed order to ascend in z-bucket, and the bucket resets at
+every (anchor, class) boundary — so with the exit on, each range is a
+single-class segment (nine per tile at span=2) and the jump target is
+the next segment's first chunk.  Exiting inside a MERGED range would
+unsoundly skip closer prims of its later classes (regression-tested:
+test_csr_v6.test_exit_does_not_skip_cross_class_prims).
 
 Reference parity: this replaces what Mitsuba's BVH + megakernel do for
 the reference renderer (/root/reference/traj_ball_renderer.py:355-359);
@@ -79,10 +88,19 @@ DEFAULT_CHUNK_ROWS = 256
 
 def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
               max_big=DEFAULT_MAX_BIG, bin_triangles=False,
-              discs_only=False):
+              discs_only=False, span=2):
     """Per-prim (anchor, class, z-bucket) int32 keys + UNSTABLE sort.
 
-    Returns (sorted_keys, sorted_prims, big_list, big_count, zmeta);
+    ``span``: prims whose bbox covers <= span x span tiles are binned
+    (span*span classes; span=2 uses the reordered ordinals below,
+    span=4 row-major (spany)*span + spanx); wider prims ride the big
+    list.  span=2 is the default (4 merged ranges/tile); span=4 serves
+    long-segment soups (fade-frame trails) whose segments would
+    otherwise flood the big list.
+
+    Returns (sorted_keys, sorted_prims, big_ids, big_count, zmeta) —
+    big_ids (max_big,) holds prim ids (P for empty slots), sliced from
+    the sorted tail (NO scatter);
     zmeta = f32 [zmin, s, thr_scale] over the binned prims' zlb exactly
     as pallas_csr4._bin_csr4 (the kernel's exit math is shared).
     """
@@ -99,14 +117,34 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
         binnable = (prims.kind == KIND_DISC) | (prims.kind == KIND_CAPSULE)
         if bin_triangles:
             binnable = binnable | (prims.kind == KIND_TRIANGLE)
-    fits = (tx1 - tx0 < 2) & (ty1 - ty0 < 2) & binnable
+    fits = (tx1 - tx0 < span) & (ty1 - ty0 < span) & binnable
     is_small = prims.valid & fits
     is_big = prims.valid & ~fits
 
     prim_id = np.arange(p, dtype=np.int32)
-    cls = (tx1 > tx0).astype(jnp.int32) + 2 * (ty1 > ty0).astype(jnp.int32)
+    sx = tx1 - tx0
+    sy = ty1 - ty0
+    if span == 2:
+        # Class ordinals (0 = none, 1 = x-spill, 2 = both, 3 = y-spill)
+        # chosen so every neighbor's class subset is CONTIGUOUS in the
+        # sorted order: left needs {x-spill} = ordinals {1, 2}, up needs
+        # {y-spill} = {2, 3}, diag = {2} — the kernel then walks FOUR
+        # merged ranges per tile instead of five (one fewer tiny-chunk
+        # DMA), or NINE single-class segments when the early exit is on
+        # (each ascends in z-bucket, which the exit requires).
+        cls = sx + 3 * sy - 2 * (sx * sy)
+    else:
+        cls = sy * span + sx
     anchor = ty0 * tiles_x + tx0
-    sent = np.int32(num_tiles * 4) << ZQ
+    # Sentinel keys: big (valid, non-binnable) prims sort into a
+    # DEDICATED region just past the binned keys, invalids after them —
+    # the sorted tail IS the big list (one dynamic slice), replacing
+    # the big-list scatter (a 9M-index scatter costs ~15-20 ms at trail
+    # scale; "every scatter is a sort in disguise", KERNEL_NOTES r3).
+    # Big order is arbitrary (unstable sort) — exact under the per-pair
+    # (depth, id) tie-break.
+    sent_big = np.int32(num_tiles * span * span) << ZQ
+    sent_invalid = sent_big + np.int32(1 << ZQ)
 
     nb = np.float32(1 << ZQ)
     zlb = _z_lower_bound(prims, with_triangles=bin_triangles)
@@ -119,29 +157,36 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     zmeta = jnp.stack([jnp.where(jnp.isfinite(zmin), zmin, 0.0),
                        s, thr_scale])
 
-    key = jnp.where(is_small, ((anchor * 4 + cls) << ZQ) | qz, sent)
+    key = jnp.where(is_small,
+                    ((anchor * (span * span) + cls) << ZQ) | qz,
+                    jnp.where(is_big, sent_big, sent_invalid))
     sorted_keys, sorted_prims = jax.lax.sort(
         (key, jnp.asarray(prim_id)), num_keys=1, is_stable=False)
 
-    big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
-    big_idx = jnp.where(is_big & (big_rank < max_big), big_rank, max_big)
-    big_list = jnp.full((max_big + 1,), -1, jnp.int32)
-    big_list = big_list.at[big_idx].set(prim_id, mode="drop")
-    big_list = big_list[:-1]
-    big_count = jnp.sum(is_big.astype(jnp.int32))
-    return sorted_keys, sorted_prims, big_list, big_count, zmeta
+    n_small = jnp.searchsorted(sorted_keys, sent_big).astype(jnp.int32)
+    n_nonval = jnp.searchsorted(sorted_keys, sent_invalid).astype(jnp.int32)
+    big_count = n_nonval - n_small
+    # Slice the big segment out of the sorted order; pad first so the
+    # slice never clamps (tiny scenes can have P < n_small + max_big).
+    # Empty slots -> id P (the zero pad row).
+    tail = jnp.pad(sorted_prims, (0, max_big), constant_values=p)
+    big_ids = jax.lax.dynamic_slice(tail, (n_small,), (max_big,))
+    big_ids = jnp.where(
+        jnp.arange(max_big, dtype=jnp.int32)
+        < jnp.minimum(big_count, max_big), big_ids, p)
+    return sorted_keys, sorted_prims, big_ids, big_count, zmeta
 
 
 def bin_diagnostics6(prims, width: int, height: int, tile_h: int = 32,
                      tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG,
-                     bin_triangles: bool = False):
+                     bin_triangles: bool = False, span: int = 2):
     """Big-list overflow count under the v6 binning (0 = exact)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     _, _, big_list, big_count, _ = _bin_csr6(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big, bin_triangles=bin_triangles)
+        max_big=max_big, bin_triangles=bin_triangles, span=span)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
@@ -177,13 +222,14 @@ def _make_row_body8(scr, slot, nchains, qx, qy):
 
 def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, with_triangles=False,
-                  big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F):
+                  big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2):
+    k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
     assert chunk_rows % pack == 0
     assert big_chunk % PACK == 0
 
-    def kernel(starts_ref,  # scalar prefetch: (4T+2,) i32; [4T+1] = big n
+    def kernel(starts_ref,  # scalar prefetch: (k2*T+2,) i32; [-1] = big n
                rows_hbm,  # (P_pad/8, 128) f32 in ANY/HBM, anchor-sorted
                big_hbm,  # (BIG_pad/8, 128) f32 in ANY/HBM
                zmeta_ref,  # SMEM (1, 3) f32: zmin, s, thr_scale
@@ -204,24 +250,61 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         qy = (ty * tile_h + iy + 8 * (ix // tile_w)).astype(
             jnp.float32) + 0.5
 
-        big_n = starts_ref[4 * num_t + 1]
+        big_n = starts_ref[k2 * num_t + 1]
 
-        # --- the five ranges (starts, counts), guarded at grid edges --
+        # --- the contiguous ranges (starts, counts), guarded at grid
+        # edges.  Tile t owns every prim anchored at itself (all
+        # classes, one range) plus each neighbor's spill-class subset.
+        # span=2 uses the reordered ordinals (0=none, 1=x, 2=both,
+        # 3=y, _bin_csr6) so those subsets are contiguous: FOUR merged
+        # ranges — or, when the early exit is on, NINE single-class
+        # segments, because the exit bound needs each streamed range to
+        # ascend in z-bucket and the bucket resets at class boundaries
+        # (a merged range is NOT globally ascending; exiting inside its
+        # first class would unsoundly skip closer prims of the later
+        # classes).  span=4 (exit unsupported) walks the row-major
+        # class grid: the subset {spanx > dx, spany > dy} of anchor
+        # t - dy*tiles_x - dx is contiguous per spany row. --
         def rng(anchor, c_lo, c_hi, ok):
             a = jnp.maximum(anchor, 0)
-            s = starts_ref[4 * a + c_lo]
-            n = starts_ref[4 * a + c_hi] - s
+            s = starts_ref[k2 * a + c_lo]
+            n = starts_ref[k2 * a + c_hi] - s
             return s, jnp.where(ok, n, 0)
 
-        left = tx > 0
-        up = ty > 0
-        ranges = [
-            rng(tile, 0, 4, True),
-            rng(tile - 1, 1, 2, left),
-            rng(tile - 1, 3, 4, left),
-            rng(tile - tiles_x, 2, 4, up),
-            rng(tile - tiles_x - 1, 3, 4, left & up),
-        ]
+        if span == 2:
+            left = tx >= 1
+            up = ty >= 1
+            both = left & up
+            if allow_exit:
+                ranges = [rng(tile, c, c + 1, True) for c in range(4)]
+                ranges += [
+                    rng(tile - 1, 1, 2, left),
+                    rng(tile - 1, 2, 3, left),
+                    rng(tile - tiles_x, 2, 3, up),
+                    rng(tile - tiles_x, 3, 4, up),
+                    rng(tile - tiles_x - 1, 2, 3, both),
+                ]
+            else:
+                ranges = [
+                    rng(tile, 0, 4, True),
+                    rng(tile - 1, 1, 3, left),
+                    rng(tile - tiles_x, 2, 4, up),
+                    rng(tile - tiles_x - 1, 2, 3, both),
+                ]
+        else:
+            ranges = [rng(tile, 0, k2, True)]
+            for dy in range(span):
+                for dx in range(span):
+                    if dx == 0 and dy == 0:
+                        continue
+                    a = tile - dy * tiles_x - dx
+                    ok = (tx >= dx) & (ty >= dy)
+                    if dx == 0:
+                        ranges.append(rng(a, dy * span, k2, ok))
+                    else:
+                        for cy in range(dy, span):
+                            ranges.append(rng(a, cy * span + dx,
+                                              cy * span + span, ok))
 
         # Flat chunk schedule across the ranges: chunk ci of the tile
         # maps to (range r, offset j) via the cumulative chunk counts,
@@ -240,14 +323,12 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             g0 = ranges[0][0] + ci * chunk_rows
             mc = ranges[0][1] - ci * chunk_rows
             nxt = cums[0]
-            prev = jnp.int32(0)
-            for r in range(1, 5):
+            for r in range(1, len(ranges)):
                 inr = ci >= cums[r - 1]
                 j = ci - cums[r - 1]
                 g0 = jnp.where(inr, ranges[r][0] + j * chunk_rows, g0)
                 mc = jnp.where(inr, ranges[r][1] - j * chunk_rows, mc)
                 nxt = jnp.where(inr, cums[r], nxt)
-                prev = jnp.where(inr, cums[r - 1], prev)
             return g0, jnp.minimum(mc, chunk_rows), nxt
 
         def get_dma(slot, ci):
@@ -298,19 +379,23 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             accs_out = jax.lax.fori_loop(0, n_rows, body_fn, accs_in)
 
             if allow_exit:
-                # Each range ascends in zlb-bucket; once the last
-                # streamed bucket's floor (one bucket + 1e-6 margin
-                # back, STRICT >) beats the tile's worst winning depth,
-                # the REST OF THIS RANGE cannot win — jump to the next
-                # range's first chunk.  Soundness as pallas_csr4 (the
-                # last slot may be a stranger from a LOWER bucket,
-                # which only delays the jump).
+                # Each range is a SINGLE (anchor, class) segment (see
+                # the range construction above), so it ascends in
+                # zlb-bucket; once the last streamed bucket's floor
+                # (one bucket + 1e-6 margin back, STRICT >) beats the
+                # tile's worst winning depth, the REST OF THIS RANGE
+                # cannot win — jump to the next range's first chunk.
+                # The bucket is read at the chunk's LAST REAL entry
+                # (o0 + mc - 1), never a PACK-slop slot, keeping the
+                # bound's soundness local to this ascending segment
+                # (pallas_csr4 has the same guard).
                 dmin = accs_out[0]
                 for u in range(1, unroll):
                     dmin = jnp.minimum(dmin, accs_out[2 * u])
                 dmax = jnp.max(dmin)
-                last_zlb = scratch[slot, n_rows - 1,
-                                   (pack - 1) * row_f + zlb_lane]
+                e = o0 + mc - 1
+                last_zlb = scratch[slot, e // pack,
+                                   jax.lax.rem(e, pack) * row_f + zlb_lane]
                 qz = jnp.maximum(
                     jnp.floor((last_zlb - zmin) * zs) - 1.0, 0.0)
                 done = zmin + qz * thr_scale > dmax
@@ -351,11 +436,24 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
-                  discs_only=False, allow_exit=True):
+                  discs_only=False, allow_exit=None, span=2):
     """Binning + kernel launch.  Returns (depth, idf_img, diag); diag's
     ``big_overflow`` must be 0 for exactness (``true_entries`` reports
     the would-be v4 entry count for observability — v6 itself has no
     capacity precondition)."""
+    if allow_exit is None:
+        # Measured policy (benchmarks/kernel6_sweep.py): the per-range
+        # exit WINS 13% on the deep-run trail scene but LOSES ~1 ms on
+        # shallow disc runs (the jump's prefetch drain/restart outweighs
+        # the skipped chunks) — auto: on for generic span=2, off for
+        # discs and for span=4 (whose exit would need 100 single-class
+        # segments per tile; unsupported).
+        allow_exit = (not discs_only) and span == 2
+    elif allow_exit and span != 2:
+        raise ValueError(
+            "allow_exit requires span=2: the exit bound needs single-"
+            "class segments, and span=4 would take 100 of them per "
+            "tile ((span*(span+1)/2)**2)")
     if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
         raise ValueError(
             "pallas_csr6 pixel blocks must hold exactly one (8, 128) "
@@ -366,29 +464,34 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
-    if (num_tiles * 4 + 1) << ZQ >= (1 << 31):
+    k2 = span * span
+    if (num_tiles * k2 + 2) << ZQ >= (1 << 31):
         raise ValueError("tile grid too large for the int32 v6 key")
 
-    sorted_keys, sorted_prims, big_list, big_count, zmeta = _bin_csr6(
+    sorted_keys, sorted_prims, big_ids, big_count, zmeta = _bin_csr6(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
         max_big=max_big, bin_triangles=bin_triangles,
-        discs_only=discs_only)
+        discs_only=discs_only, span=span)
 
     # (anchor, class) boundaries: B[j] = first sorted position with
-    # anchor*4+cls >= j.  B[4T] = number of binned prims.
-    bounds = (np.arange(num_tiles * 4 + 1, dtype=np.int32) << ZQ)
+    # anchor*k2+cls >= j.  B[k2*T] = number of binned prims.
+    bounds = (np.arange(num_tiles * k2 + 1, dtype=np.int32) << ZQ)
     starts = jnp.searchsorted(sorted_keys, jnp.asarray(bounds)).astype(
         jnp.int32)
-    n_small = starts[num_tiles * 4]
-    # Entry count as v4 would bin it (sum over tiles of range lengths) —
-    # reported for observability/tests, not a precondition.
+    n_small = starts[num_tiles * k2]
+    # Entry count (sum over tiles of range lengths = per-class tile
+    # coverage) — reported for observability/tests, not a precondition.
     cls_counts = starts[1:] - starts[:-1]
-    c = cls_counts.reshape(num_tiles, 4)
-    # Entries per class: cls0 -> 1 tile, cls1/cls2 -> 2, cls3 -> 4.
-    true_entries = (n_small + jnp.sum(c[:, 1]) + jnp.sum(c[:, 2])
-                    + 3 * jnp.sum(c[:, 3]))
+    c = cls_counts.reshape(num_tiles, k2)
+    if span == 2:
+        # Reordered ordinals (0=none, 1=x, 2=both, 3=y) -> tile coverage.
+        w_cls = np.asarray([1, 2, 4, 2], np.int32)
+    else:
+        w_cls = np.asarray([(cy + 1) * (cx + 1) for cy in range(span)
+                            for cx in range(span)], np.int32)
+    true_entries = jnp.sum(jnp.sum(c, axis=0) * jnp.asarray(w_cls))
     diag = dict(true_entries=true_entries.astype(jnp.int32),
-                big_overflow=jnp.maximum(big_count - big_list.shape[0], 0))
+                big_overflow=jnp.maximum(big_count - big_ids.shape[0], 0))
 
     p = prims.count
     row_f = ROW_F_DISC if discs_only else ROW_F
@@ -415,11 +518,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         rows = table16[prims_p].reshape(p_pad // pack, 128)
 
     big_chunk = DEFAULT_BIG_CHUNK
-    big = big_list.shape[0]
+    big = big_ids.shape[0]
     big_pad = -(-(big + 1) // big_chunk) * big_chunk
-    big_safe = jnp.maximum(big_list, 0)
-    big_ids = jnp.where((big_list >= 0) & prims.valid[big_safe],
-                        big_safe, p)
     big_rows = table16[jnp.pad(big_ids, (0, big_pad - big),
                                constant_values=p)]
     big_rows = big_rows.reshape(big_pad // PACK, 128)
@@ -455,7 +555,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     kernel = _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                            chunk_rows, allow_exit=allow_exit,
                            with_triangles=bin_triangles,
-                           big_chunk=big_chunk, row_f=row_f)
+                           big_chunk=big_chunk, row_f=row_f, span=span)
     depth_t, idf_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -486,7 +586,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           discs_only: bool = False,
                           interpret: bool = False,
                           return_diag: bool = False,
-                          allow_exit: bool = True):
+                          allow_exit=None, span: int = 2):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -503,7 +603,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, zeros3, zerosf, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
-        allow_exit=allow_exit)
+        allow_exit=allow_exit, span=span)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -516,8 +616,10 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        max_big: int = DEFAULT_MAX_BIG,
                        bin_triangles: bool = False,
                        discs_only: bool = False,
+                       uniform_look=None,
                        interpret: bool = False,
-                       return_diag: bool = False):
+                       return_diag: bool = False,
+                       allow_exit=None, span: int = 2):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -531,9 +633,11 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
     depth, idf, _, diag = _raster_core6(
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, shade_rgb, shade_flag, max_big=max_big,
-        bin_triangles=bin_triangles, discs_only=discs_only)
+        bin_triangles=bin_triangles, discs_only=discs_only,
+        allow_exit=allow_exit, span=span)
     rgb, index = _v4._shade_by_id(prims, camera, shading, depth, idf,
-                                  shade_rgb, shade_flag)
+                                  shade_rgb, shade_flag,
+                                  uniform_look=uniform_look)
     if return_diag:
         return rgb, depth, index, diag
     return rgb, depth, index

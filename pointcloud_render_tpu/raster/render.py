@@ -53,6 +53,11 @@ class RasterConfig:
     # is O(tiles x actual big count), so keep it as small as the scene
     # allows.
     max_big: int = 1024
+    # pallas6: binning span — prims covering <= span x span tiles bin
+    # (span*span classes, generated neighbor ranges); wider prims ride
+    # the big list.  2 = canonical 5-range CSR; 4 serves long-segment
+    # soups (fade-frame trails) that would otherwise flood the big list.
+    span: int = 2
     # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
     unroll: int = 4
     # pallas: static cap on the sorted-entry row gather.  None = exact;
@@ -163,7 +168,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             unroll=config.unroll,
             bin_triangles=config.bin_triangles,
             discs_only=config.discs_only,
-            max_big=config.max_big,
+            max_big=config.max_big, span=config.span,
             interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
@@ -209,6 +214,7 @@ def render(prims: ScreenPrimitives, camera,
             unroll=config.unroll,
             bin_triangles=config.bin_triangles,
             discs_only=config.discs_only, max_big=config.max_big,
+            uniform_look=config.uniform_look, span=config.span,
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb

@@ -107,8 +107,6 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
         raise ValueError(f"unknown splat kind {preset.splat!r}")
 
     if preset.trail == "velocity" and velocities is not None:
-        pts, valid = trails_mod.velocity_trails(
-            positions, velocities, frame_index, preset.trail_schedule)
         # A velocity trail is a STRAIGHT constant-radius polyline
         # (trails.py: p + dir * L * ts); its projection stays a straight
         # line, so a coarser subsample of the same endpoints is a CLOSE
@@ -124,11 +122,15 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
         # the Pallas paths instead of falling to the O(T x big) list.
         # The state-layer 21-point trail (golden vs the reference's
         # curve files) is unchanged; this is the render-layer soup.
-        v = pts.shape[1]
-        sub = np.round(np.linspace(0, v - 1,
+        # Only the sampled vertices are COMPUTED (bit-identical to
+        # subsampling the full 21-point build; ~60% of the trail-point
+        # work at 1M points was discarded vertices).
+        sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS,
                                    VEL_TRAIL_RENDER_SEGMENTS + 1)
                        ).astype(np.int32)
-        ends = pts[:, jnp.asarray(sub), :]
+        ends, valid = trails_mod.velocity_trails_sampled(
+            positions, velocities, frame_index, sub,
+            preset.trail_schedule)
         vertex_valid = jnp.broadcast_to(valid[:, None], ends.shape[:2])
         parts.append(capsules_from_polylines(
             ends, vertex_valid, camera, preset.trail_radius,
@@ -357,7 +359,8 @@ class FramePipeline:
             raise RuntimeError(
                 f"big-list overflow ({ovf} primitives) at frame "
                 f"{frame_index} — the render dropped them. Raise "
-                f"max_big / use a binning backend for this scene.")
+                f"max_big, or span=4 (pallas6) if the overflow is "
+                f"long trail segments.")
         cap = self.raster_config.entry_capacity
         if cap is not None:
             tc = int(np.asarray(tc))

@@ -39,6 +39,26 @@ from tests.test_raster import (
 )
 
 
+def _screen_discs(px, py, z, r):
+    """Screen-space discs with EXACT pixel placement (no camera) — for
+    tests that need a prim in a specific tile/class at a chosen depth."""
+    from pointcloud_render_tpu.raster.primitives import KIND_DISC
+
+    px, py, z, r = (np.asarray(a, np.float32) for a in (px, py, z, r))
+    n = px.shape[0]
+    params = np.zeros((n, 12), np.float32)
+    params[:, 0], params[:, 1], params[:, 2], params[:, 3] = px, py, z, r
+    bbox = np.stack([px - r, px + r, py - r, py + r], axis=1)
+    return ScreenPrimitives(
+        kind=jnp.full((n,), KIND_DISC, jnp.int32),
+        params=jnp.asarray(params),
+        color=jnp.full((n, 3), 0.3, jnp.float32),
+        valid=jnp.ones((n,), bool),
+        bbox=jnp.asarray(bbox),
+        normal=jnp.zeros((n, 3), jnp.float32),
+    )
+
+
 def _mixed_soup(cam, n=400, trails=30, seed=7, radius=0.025):
     rng = np.random.default_rng(seed)
     discs = random_cloud_prims(cam, n=n, radius=radius, seed=seed)
@@ -201,6 +221,29 @@ class TestPallasCsr6:
         _assert_matches_oracle(_mixed_soup(make_camera(), n=150),
                                tile_h=1024 // tile_w, tile_w=tile_w)
 
+    def test_exit_does_not_skip_cross_class_prims(self):
+        """Regression: the early exit must not fire across a CLASS
+        boundary.  One anchor holds >256 far cls-0 discs followed (in
+        sorted order) by one NEAR x-spill disc; a big-list disc at a
+        middle depth sets the tile's dmax between them.  A merged
+        own-anchor range would exit after the first (far, high-bucket)
+        chunk and skip the near disc — the z-bucket ascent RESETS at
+        the class boundary, so exit-on kernels must walk single-class
+        segments."""
+        rng = np.random.default_rng(0)
+        n_far = 300
+        mid = _screen_discs([128.0], [80.0], [1.0], [400.0])  # big list
+        far = _screen_discs(rng.uniform(68, 92, n_far),
+                            rng.uniform(68, 92, n_far),
+                            rng.uniform(5.0, 6.0, n_far),
+                            np.full(n_far, 2.0))
+        # Crosses x=96 (anchored with the far discs, x-spill class),
+        # in FRONT of the mid disc: must win its pixels.
+        near = _screen_discs([95.5], [80.0], [0.5], [2.0])
+        soup = ScreenPrimitives.concatenate([mid, far, near])
+        _assert_matches_oracle(soup, allow_exit=True)
+        _assert_matches_oracle(soup, allow_exit=False)
+
     def test_invalid_tail_strangers_inert(self):
         from tests.test_csr_v2_v3 import TestInvalidStrangerSoundness
 
@@ -274,3 +317,80 @@ class TestPallasCsr6DiscMode:
                                              discs_only=True)
         np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_g))
         np.testing.assert_array_equal(np.asarray(rgb_d), np.asarray(rgb_g))
+
+    def test_uniform_look_matches_generic(self):
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            render_shaded_csr6,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        soup = self._disc_soup()
+        cfg = ShadingConfig()
+        rgb_g, d_g, i_g = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             discs_only=True)
+        rgb_u, d_u, i_u = render_shaded_csr6(
+            soup, cam, cfg, interpret=True, discs_only=True,
+            uniform_look=((0.3, 0.3, 0.3), (1.0, 1.0, 1.0)))
+        np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_g))
+        np.testing.assert_allclose(np.asarray(rgb_u), np.asarray(rgb_g),
+                                   atol=2e-6)
+
+
+class TestPallasCsr6Span4:
+    """span=4 binning: prims covering up to 4x4 tiles bin (16 classes,
+    generated ranges) instead of flooding the big list — the close-
+    dolly trail-segment mode."""
+
+    def _long_capsule_soup(self):
+        cam = make_camera()
+        rng = np.random.default_rng(3)
+        base = rng.uniform(-0.4, 0.4, (60, 1, 3))
+        steps = rng.normal(size=(60, 3, 3)) * 0.25
+        pts = (base + np.cumsum(steps, axis=1)).astype(np.float32)
+        caps = capsules_from_polylines(
+            jnp.asarray(pts), np.ones((60, 3), bool), cam, 0.004,
+            np.array([0.2, 1.0, 0.4], np.float32))
+        return ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), caps])
+
+    def test_span4_bins_what_span2_overflows(self):
+        soup = self._long_capsule_soup()
+        ov2 = int(np.asarray(bin_diagnostics6(soup, W, H, max_big=16,
+                                              span=2)))
+        ov4 = int(np.asarray(bin_diagnostics6(soup, W, H, max_big=16,
+                                              span=4)))
+        assert ov2 > 0 and ov4 == 0
+
+    def test_span4_long_capsules_match_oracle(self):
+        _assert_matches_oracle(self._long_capsule_soup(), span=4)
+
+    def test_span4_mixed_spill_heavy(self):
+        _assert_matches_oracle(
+            _mixed_soup(make_camera(), n=250, radius=0.08, seed=11),
+            span=4)
+
+    def test_span4_matches_span2_on_small_prims(self):
+        soup = _mixed_soup(make_camera(), seed=29)
+        d2, i2 = rasterize_pallas_csr6(soup, W, H, interpret=True, span=2)
+        d4, i4 = rasterize_pallas_csr6(soup, W, H, interpret=True, span=4)
+        np.testing.assert_array_equal(np.asarray(i4), np.asarray(i2))
+        # Winners exact; capsule depth may differ by <= 2 ulp between
+        # the two compiled programs (XLA FMA contraction — the
+        # test_raster convention).
+        hit = np.asarray(i2) >= 0
+        np.testing.assert_allclose(np.asarray(d4)[hit],
+                                   np.asarray(d2)[hit], rtol=2e-5)
+
+    def test_span4_exact_ties(self):
+        cam = make_camera()
+        rng = np.random.default_rng(3)
+        pos = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+        pos[40:80] = pos[:40]
+        discs = discs_from_points(jnp.asarray(pos), cam,
+                                  jnp.full((300,), 0.03, jnp.float32),
+                                  np.array([0.3, 0.3, 0.3], np.float32))
+        soup = ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), discs])
+        _assert_matches_oracle(soup, span=4)

@@ -190,6 +190,26 @@ class TestVelocityTrails:
         pts, _ = trails.velocity_trails(pos, vel, 100, "ball")
         np.testing.assert_array_equal(np.asarray(pts)[:, -1], np.asarray(pts)[:, -2])
 
+    def test_sampled_bit_equal_to_full_subsample(self):
+        """velocity_trails_sampled (the render-layer fast path,
+        run/pipeline.py) must be BIT-identical to gathering the full
+        21-point build, validity included, for every schedule and
+        phase."""
+        pos = RNG.normal(size=(200, 3)).astype(np.float32)
+        vel = (RNG.normal(size=(200, 3)) * 3).astype(np.float32)
+        vel[7] = 0  # below epsilon -> invalid
+        sub = np.round(np.linspace(0, trails.N_TRAIL_POINTS, 9)).astype(
+            np.int32)
+        for fi in (5, 40, 210):
+            for sched in ("ball", "vel", "fixed"):
+                full, vf = trails.velocity_trails(pos, vel, fi, sched)
+                samp, vs = trails.velocity_trails_sampled(pos, vel, fi,
+                                                          sub, sched)
+                np.testing.assert_array_equal(np.asarray(full)[:, sub],
+                                              np.asarray(samp))
+                np.testing.assert_array_equal(np.asarray(vf),
+                                              np.asarray(vs))
+
 
 class TestDroplet:
     def test_mesh_matches_reference(self):

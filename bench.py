@@ -401,9 +401,11 @@ def _bench_trail_scene(args, make_camera, positions):
     # frames pay; the scan's diag certificate re-checks every frame).
     from pointcloud_render_tpu.raster import pallas_csr6
 
+    span = args.trail_span
+
     def probe(fi):
         s, _ = soup(fi)
-        return pallas_csr6.bin_diagnostics6(s, w, h)
+        return pallas_csr6.bin_diagnostics6(s, w, h, span=span)
 
     pc = aot.compile_const_free(probe, jnp.int32(0))
     ovfs = [int(np.asarray(pc(jnp.int32(int(f)))))
@@ -411,9 +413,10 @@ def _bench_trail_scene(args, make_camera, positions):
                       frames[-1])]
     max_big = ((1024 + int(max(ovfs) * 1.5) + 511) // 512) * 512
     if args.verbose:
-        print(f"# trail ovf {ovfs} max_big {max_big}", file=sys.stderr)
+        print(f"# trail ovf {ovfs} max_big {max_big} span {span}",
+              file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
-                          max_big=max_big)
+                          max_big=max_big, span=span)
 
     def episode(positions, velocities):
         def body(acc, fi):
@@ -474,6 +477,10 @@ def main():
     ap.add_argument("--trail-frames", type=int, default=24,
                     help="frames for the secondary trail-scene metric "
                          "(0 disables)")
+    ap.add_argument("--trail-span", type=int, default=2, choices=(2, 4),
+                    help="v6 binning span for the trail metric: 4 bins "
+                         "the fade-frame long segments that flood the "
+                         "big list at 2 (A/B knob)")
     ap.add_argument("--uniform-look", action="store_true",
                     help="pallas3 two-tone 4-float shade gather "
                          "(measured 1.8 ms SLOWER at 1M — see bench "

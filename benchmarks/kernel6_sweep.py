@@ -84,13 +84,13 @@ def main():
     _, cam0 = make(pos, vel)
     W, H = cam0.width, cam0.height
 
-    def raster(chunk_rows, allow_exit, unroll):
+    def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
                 soup, W, H, unroll=unroll, max_big=max_big,
                 discs_only=discs_only, chunk_rows=chunk_rows,
-                allow_exit=allow_exit)
+                allow_exit=allow_exit, dma_slots=dma_slots, span=span)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
         return f
@@ -100,6 +100,12 @@ def main():
             for un in (4,) if cr != 512 else (2, 4, 8):
                 timed(f"chunk={cr} exit={int(ex)} unroll={un}",
                       raster(cr, ex, un), pos, vel)
+    # DMA ring depth (exit-off fori path only) and span A/B.
+    for ds in (3, 4, 8):
+        timed(f"chunk=256 exit=0 unroll=4 dma_slots={ds}",
+              raster(256, False, 4, dma_slots=ds), pos, vel)
+    timed("chunk=256 exit=0 unroll=4 span=4",
+          raster(256, False, 4, span=4), pos, vel)
 
 
 if __name__ == "__main__":

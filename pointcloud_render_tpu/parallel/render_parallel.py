@@ -250,7 +250,9 @@ def _rasterize_shard(prims, camera, config):
 
         depth, index, diag = pallas_csr6.rasterize_pallas_csr6(
             prims, camera.width, camera.height, unroll=config.unroll,
-            max_big=config.max_big, interpret=interpret,
+            max_big=config.max_big, span=config.span,
+            bin_triangles=config.bin_triangles,
+            discs_only=config.discs_only, interpret=interpret,
             return_diag=True)
         return depth, index, diag["big_overflow"]
     if backend == "pallas5":

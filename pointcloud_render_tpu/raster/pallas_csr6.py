@@ -222,7 +222,8 @@ def _make_row_body8(scr, slot, nchains, qx, qy):
 
 def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, with_triangles=False,
-                  big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2):
+                  big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2,
+                  dma_slots=2):
     k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
@@ -339,9 +340,11 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                 sems.at[slot],
             )
 
-        @pl.when(total_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
+        n_slots = 2 if allow_exit else dma_slots
+        for j in range(n_slots - 1):
+            @pl.when(j < total_chunks)
+            def _(j=j):
+                get_dma(j, j).start()
 
         d_bg, i_bg = _stream_big(big_hbm, big_scratch, big_sems, big_n,
                                  big_chunk, qx, qy)
@@ -352,33 +355,56 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                      jnp.full((8, 128), F_EMPTY, jnp.float32)]
         init = tuple(accs)
 
-        if allow_exit:
+        def make_body_fn(slot):
+            return (_make_row_body16(scratch, slot, unroll,
+                                     with_triangles, qx, qy)
+                    if row_f == ROW_F else
+                    _make_row_body8(scratch, slot, unroll, qx, qy))
+
+        if not allow_exit:
+            # Straight-line schedule: fori over the flat chunk list with
+            # an n-slot DMA ring (slot = ci % n; chunks ci..ci+n-1 in
+            # flight) — no jump bookkeeping, and the static trip
+            # structure lets Mosaic pipeline the chunk loop.
+            def chunk_body(ci, accs_in):
+                slot = jax.lax.rem(ci, n_slots)
+
+                @pl.when(ci + n_slots - 1 < total_chunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + n_slots - 1, n_slots),
+                            ci + n_slots - 1).start()
+
+                get_dma(slot, ci).wait()
+                g0, mc, _ = locate(ci)
+                o0 = jax.lax.rem(g0, pack)
+                n_rows = (o0 + mc + (pack - 1)) // pack
+                return jax.lax.fori_loop(0, n_rows, make_body_fn(slot),
+                                         accs_in)
+
+            out = jax.lax.fori_loop(0, total_chunks, chunk_body, init)
+        else:
             zmin = zmeta_ref[0, 0]
             zs = zmeta_ref[0, 1]
             thr_scale = zmeta_ref[0, 2]
 
-        def cond(c):
-            return c[0] < total_chunks
+            def cond(c):
+                return c[0] < total_chunks
 
-        def body(c):
-            ci, slot = c[0], c[1]
-            accs_in = c[2:]
+            def body(c):
+                ci, slot = c[0], c[1]
+                accs_in = c[2:]
 
-            @pl.when(ci + 1 < total_chunks)
-            def _():
-                get_dma(1 - slot, ci + 1).start()
+                @pl.when(ci + 1 < total_chunks)
+                def _():
+                    get_dma(1 - slot, ci + 1).start()
 
-            get_dma(slot, ci).wait()
-            g0, mc, nxt = locate(ci)
-            o0 = jax.lax.rem(g0, pack)
-            n_rows = (o0 + mc + (pack - 1)) // pack
-            body_fn = (_make_row_body16(scratch, slot, unroll,
-                                        with_triangles, qx, qy)
-                       if row_f == ROW_F else
-                       _make_row_body8(scratch, slot, unroll, qx, qy))
-            accs_out = jax.lax.fori_loop(0, n_rows, body_fn, accs_in)
+                get_dma(slot, ci).wait()
+                g0, mc, nxt = locate(ci)
+                o0 = jax.lax.rem(g0, pack)
+                n_rows = (o0 + mc + (pack - 1)) // pack
+                accs_out = jax.lax.fori_loop(0, n_rows,
+                                             make_body_fn(slot), accs_in)
 
-            if allow_exit:
                 # Each range is a SINGLE (anchor, class) segment (see
                 # the range construction above), so it ascends in
                 # zlb-bucket; once the last streamed bucket's floor
@@ -400,25 +426,23 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                     jnp.floor((last_zlb - zmin) * zs) - 1.0, 0.0)
                 done = zmin + qz * thr_scale > dmax
                 ci_next = jnp.where(done, nxt, ci + 1)
-            else:
-                ci_next = ci + 1
 
-            # On a jump the sequential prefetch (ci+1 -> 1-slot) is
-            # wrong: drain it, then start the jump target's chunk.
-            jumped = (ci_next != ci + 1) & (ci + 1 < total_chunks)
+                # On a jump the sequential prefetch (ci+1 -> 1-slot) is
+                # wrong: drain it, then start the jump target's chunk.
+                jumped = (ci_next != ci + 1) & (ci + 1 < total_chunks)
 
-            @pl.when(jumped)
-            def _():
-                get_dma(1 - slot, ci + 1).wait()
+                @pl.when(jumped)
+                def _():
+                    get_dma(1 - slot, ci + 1).wait()
 
-            @pl.when(jumped & (ci_next < total_chunks))
-            def _():
-                get_dma(1 - slot, ci_next).start()
+                @pl.when(jumped & (ci_next < total_chunks))
+                def _():
+                    get_dma(1 - slot, ci_next).start()
 
-            return (ci_next, 1 - slot) + accs_out
+                return (ci_next, 1 - slot) + accs_out
 
-        out = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(0)) + init)[2:]
+            out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(0)) + init)[2:]
 
         depth, idf = out[0], out[1]
         for u in range(1, unroll):
@@ -436,7 +460,8 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
-                  discs_only=False, allow_exit=None, span=2):
+                  discs_only=False, allow_exit=None, span=2,
+                  dma_slots=2):
     """Binning + kernel launch.  Returns (depth, idf_img, diag); diag's
     ``big_overflow`` must be 0 for exactness (``true_entries`` reports
     the would-be v4 entry count for observability — v6 itself has no
@@ -528,6 +553,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         starts, jnp.minimum(big_count, big)[None].astype(jnp.int32)])
 
     n_chunk_block = chunk_rows // pack + 1
+    n_slots = 2 if allow_exit else dma_slots
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -545,8 +571,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, n_chunk_block, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((n_slots, n_chunk_block, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SMEM((2, big_chunk // PACK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -555,7 +581,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     kernel = _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                            chunk_rows, allow_exit=allow_exit,
                            with_triangles=bin_triangles,
-                           big_chunk=big_chunk, row_f=row_f, span=span)
+                           big_chunk=big_chunk, row_f=row_f, span=span,
+                           dma_slots=dma_slots)
     depth_t, idf_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -586,7 +613,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           discs_only: bool = False,
                           interpret: bool = False,
                           return_diag: bool = False,
-                          allow_exit=None, span: int = 2):
+                          allow_exit=None, span: int = 2,
+                          dma_slots: int = 2):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -603,7 +631,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, zeros3, zerosf, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
-        allow_exit=allow_exit, span=span)
+        allow_exit=allow_exit, span=span, dma_slots=dma_slots)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -619,7 +647,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        uniform_look=None,
                        interpret: bool = False,
                        return_diag: bool = False,
-                       allow_exit=None, span: int = 2):
+                       allow_exit=None, span: int = 2,
+                       dma_slots: int = 2):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -634,7 +663,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, shade_rgb, shade_flag, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
-        allow_exit=allow_exit, span=span)
+        allow_exit=allow_exit, span=span, dma_slots=dma_slots)
     rgb, index = _v4._shade_by_id(prims, camera, shading, depth, idf,
                                   shade_rgb, shade_flag,
                                   uniform_look=uniform_look)

@@ -265,11 +265,17 @@ def run_bench(args):
     uniform_look = (((0.3, 0.3, 0.3), (1.0, 1.0, 1.0))
                     if args.backend == "pallas3"
                     and args.uniform_look else None)
+    # max_big 256 <= one DMA chunk puts the v6 big list (the 2 ground
+    # tris + a handful of wide discs; 4 measured over the trajectory)
+    # on the RESIDENT SMEM path — no per-tile big-DMA round-trip.  The
+    # per-frame big_overflow certificate below fails loudly if a frame
+    # ever exceeds it.
     config = RasterConfig(backend=args.backend,
                           max_per_tile=args.max_per_tile,
                           max_tiles_per_prim=args.max_tiles_per_prim,
                           no_triangles=True, discs_only=True,
                           entry_capacity=entry_capacity,
+                          max_big=256 if args.backend == "pallas6" else 1024,
                           uniform_look=uniform_look)
 
     with_diag = args.backend == "pallas6"

@@ -84,11 +84,12 @@ def main():
     _, cam0 = make(pos, vel)
     W, H = cam0.width, cam0.height
 
-    def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2):
+    def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2,
+               mb=None):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
-                soup, W, H, unroll=unroll, max_big=max_big,
+                soup, W, H, unroll=unroll, max_big=mb or max_big,
                 discs_only=discs_only, chunk_rows=chunk_rows,
                 allow_exit=allow_exit, dma_slots=dma_slots, span=span)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
@@ -106,6 +107,13 @@ def main():
               raster(256, False, 4, dma_slots=ds), pos, vel)
     timed("chunk=256 exit=0 unroll=4 span=4",
           raster(256, False, 4, span=4), pos, vel)
+    if discs_only:
+        # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
+        # (no per-tile big-DMA round-trip).
+        timed("chunk=256 exit=0 unroll=4 max_big=256 (resident big)",
+              raster(256, False, 4, mb=256), pos, vel)
+        timed("chunk=256 exit=0 u=4 mb=256 dma_slots=4",
+              raster(256, False, 4, dma_slots=4, mb=256), pos, vel)
 
 
 if __name__ == "__main__":

@@ -223,7 +223,7 @@ def _make_row_body8(scr, slot, nchains, qx, qy):
 def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, with_triangles=False,
                   big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2,
-                  dma_slots=2):
+                  dma_slots=2, big_resident=False):
     k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
@@ -232,14 +232,14 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 
     def kernel(starts_ref,  # scalar prefetch: (k2*T+2,) i32; [-1] = big n
                rows_hbm,  # (P_pad/8, 128) f32 in ANY/HBM, anchor-sorted
-               big_hbm,  # (BIG_pad/8, 128) f32 in ANY/HBM
+               big_hbm,  # (BIG_pad/8, 128) f32: ANY/HBM, or SMEM block
                zmeta_ref,  # SMEM (1, 3) f32: zmin, s, thr_scale
                depth_out,  # VMEM (1, 8, 128) f32
                idf_out,  # VMEM (1, 8, 128) f32
                scratch,  # SMEM (2, n_chunk_block, 128) f32
                sems,  # DMA sems (2,)
-               big_scratch,  # SMEM (2, big_chunk/8, 128) f32
-               big_sems):  # DMA sems (2,)
+               big_scratch=None,  # SMEM (2, big_chunk/8, 128) f32
+               big_sems=None):  # DMA sems (2,)
         tile = pl.program_id(0)
         num_t = pl.num_programs(0)
         ty = tile // tiles_x
@@ -346,8 +346,27 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             def _(j=j):
                 get_dma(j, j).start()
 
-        d_bg, i_bg = _stream_big(big_hbm, big_scratch, big_sems, big_n,
-                                 big_chunk, qx, qy)
+        if big_resident:
+            # One-chunk big list rides an SMEM block with a CONSTANT
+            # index map: Mosaic fetches it once for the whole grid, so
+            # the per-tile DMA start/wait round-trip of the streamed
+            # path (2040 of them at 1080p — measurable when the big
+            # list is just the ground) disappears.  Same 16-float
+            # tri-aware eval; pad rows are zero (inert).
+            body = _make_row_body16(big_hbm, 0, 2, True, qx, qy)
+            big4 = jax.lax.fori_loop(
+                0, (big_n + PACK - 1) // PACK, body,
+                (jnp.full((8, 128), INF, jnp.float32),
+                 jnp.full((8, 128), F_EMPTY, jnp.float32),
+                 jnp.full((8, 128), INF, jnp.float32),
+                 jnp.full((8, 128), F_EMPTY, jnp.float32)))
+            bbetter = (big4[2] < big4[0]) | ((big4[2] == big4[0])
+                                             & (big4[3] < big4[1]))
+            d_bg = jnp.where(bbetter, big4[2], big4[0])
+            i_bg = jnp.where(bbetter, big4[3], big4[1])
+        else:
+            d_bg, i_bg = _stream_big(big_hbm, big_scratch, big_sems,
+                                     big_n, big_chunk, qx, qy)
 
         accs = [d_bg, i_bg]
         for _ in range(unroll - 1):
@@ -548,6 +567,12 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     big_rows = table16[jnp.pad(big_ids, (0, big_pad - big),
                                constant_values=p)]
     big_rows = big_rows.reshape(big_pad // PACK, 128)
+    # A one-chunk big list (e.g. just the ground) rides a constant-
+    # index SMEM block — fetched once for the whole grid instead of a
+    # per-tile DMA round-trip (see the kernel's big_resident branch).
+    big_resident = big_pad <= big_chunk
+    if big_resident:
+        big_rows = big_rows[None]
 
     scalars = jnp.concatenate([
         starts, jnp.minimum(big_count, big)[None].astype(jnp.int32)])
@@ -555,12 +580,25 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     n_chunk_block = chunk_rows // pack + 1
     n_slots = 2 if allow_exit else dma_slots
 
+    big_spec = (pl.BlockSpec((1, big_pad // PACK, 128),
+                             lambda i, c: (0, 0, 0),
+                             memory_space=pltpu.SMEM)
+                if big_resident else pl.BlockSpec(memory_space=pl.ANY))
+    scratch_shapes = [
+        pltpu.SMEM((n_slots, n_chunk_block, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((n_slots,)),
+    ]
+    if not big_resident:
+        scratch_shapes += [
+            pltpu.SMEM((2, big_chunk // PACK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            big_spec,
             pl.BlockSpec((1, 3), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -570,19 +608,14 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((n_slots, n_chunk_block, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-            pltpu.SMEM((2, big_chunk // PACK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     kernel = _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                            chunk_rows, allow_exit=allow_exit,
                            with_triangles=bin_triangles,
                            big_chunk=big_chunk, row_f=row_f, span=span,
-                           dma_slots=dma_slots)
+                           dma_slots=dma_slots, big_resident=big_resident)
     depth_t, idf_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

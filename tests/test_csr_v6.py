@@ -221,6 +221,18 @@ class TestPallasCsr6:
         _assert_matches_oracle(_mixed_soup(make_camera(), n=150),
                                tile_h=1024 // tile_w, tile_w=tile_w)
 
+    def test_resident_big_list_matches_streamed(self):
+        """max_big <= one DMA chunk rides the constant-index SMEM block
+        (fetched once for the grid); larger big lists stream per tile.
+        Both must produce BIT-equal buffers."""
+        soup = _mixed_soup(make_camera(), seed=31, radius=0.06)
+        d_r, i_r = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                         max_big=64)  # one chunk
+        d_s, i_s = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                         max_big=1024)  # streamed
+        np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_s))
+        np.testing.assert_array_equal(np.asarray(d_r), np.asarray(d_s))
+
     def test_exit_does_not_skip_cross_class_prims(self):
         """Regression: the early exit must not fire across a CLASS
         boundary.  One anchor holds >256 far cls-0 discs followed (in

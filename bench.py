@@ -407,19 +407,38 @@ def _bench_trail_scene(args, make_camera, positions):
     # frames pay; the scan's diag certificate re-checks every frame).
     from pointcloud_render_tpu.raster import pallas_csr6
 
-    span = args.trail_span
+    probe_frames = (frames[0], frames[len(frames) // 2], frames[-2],
+                    frames[-1])
 
-    def probe(fi):
-        s, _ = soup(fi)
-        return pallas_csr6.bin_diagnostics6(s, w, h, span=span)
+    def big_counts(span):
+        # bin_diagnostics6 returns overflow past max_big; max_big=0
+        # makes it the raw big COUNT.
+        def probe(fi):
+            s, _ = soup(fi)
+            return pallas_csr6.bin_diagnostics6(s, w, h, span=span,
+                                                max_big=0)
 
-    pc = aot.compile_const_free(probe, jnp.int32(0))
-    ovfs = [int(np.asarray(pc(jnp.int32(int(f)))))
-            for f in (frames[0], frames[len(frames) // 2], frames[-2],
-                      frames[-1])]
-    max_big = ((1024 + int(max(ovfs) * 1.5) + 511) // 512) * 512
+        pc = aot.compile_const_free(probe, jnp.int32(0))
+        return [int(np.asarray(pc(jnp.int32(int(f)))))
+                for f in probe_frames]
+
+    if args.trail_span == "auto":
+        bigs2 = big_counts(2)
+        # Fade-frame trail segments flood the span-2 big list (14k at
+        # 1M pts, frame 219): each big prim is evaluated at EVERY tile,
+        # so past ~2k the span-4 binning (16 classes, +0.4% slots, one
+        # 16x-larger searchsorted) wins.
+        span = 4 if max(bigs2) > 2048 else 2
+        bigs = big_counts(4) if span == 4 else bigs2
+    else:
+        span = int(args.trail_span)
+        bigs = big_counts(span)
+    # max_big 384 -> big_pad 512 = one chunk = the RESIDENT SMEM big
+    # list (no per-tile big DMA); bigger lists round up to 256s.
+    need = int(max(bigs) * 1.5) + 64
+    max_big = 384 if need <= 384 else ((need + 255) // 256) * 256
     if args.verbose:
-        print(f"# trail ovf {ovfs} max_big {max_big} span {span}",
+        print(f"# trail big counts {bigs} max_big {max_big} span {span}",
               file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span)
@@ -483,10 +502,12 @@ def main():
     ap.add_argument("--trail-frames", type=int, default=24,
                     help="frames for the secondary trail-scene metric "
                          "(0 disables)")
-    ap.add_argument("--trail-span", type=int, default=2, choices=(2, 4),
+    ap.add_argument("--trail-span", default="auto",
+                    choices=("auto", "2", "4"),
                     help="v6 binning span for the trail metric: 4 bins "
                          "the fade-frame long segments that flood the "
-                         "big list at 2 (A/B knob)")
+                         "big list at 2 (auto: 4 iff the span-2 probe "
+                         "sees > 2048 big prims on any probe frame)")
     ap.add_argument("--uniform-look", action="store_true",
                     help="pallas3 two-tone 4-float shade gather "
                          "(measured 1.8 ms SLOWER at 1M — see bench "

@@ -105,8 +105,11 @@ def main():
     for ds in (3, 4, 8):
         timed(f"chunk=256 exit=0 unroll=4 dma_slots={ds}",
               raster(256, False, 4, dma_slots=ds), pos, vel)
-    timed("chunk=256 exit=0 unroll=4 span=4",
-          raster(256, False, 4, span=4), pos, vel)
+    # span=4 needs a fraction of the big list (fade-frame trail
+    # segments bin; 14052 -> 4 bigs at frame 219) — mb=384 also rides
+    # the resident SMEM big path.
+    timed("chunk=256 exit=0 unroll=4 span=4 mb=384",
+          raster(256, False, 4, span=4, mb=384), pos, vel)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).

@@ -262,9 +262,15 @@ def run_bench(args):
     # The option stays available (--uniform-look) for scenes where the
     # row table is reused across frames; the bench keeps the generic
     # gather.
+    # pallas6 + discs_only + uniform_look rides the FUSED (u, v) shade:
+    # the kernel carries the winner's lambert coordinates and the
+    # epilogue is gather-free (unlike the pallas3 gather-based
+    # uniform_look, which lost its A/B).  --no-uniform-look reverts to
+    # the generic by-id gather for comparison.
     uniform_look = (((0.3, 0.3, 0.3), (1.0, 1.0, 1.0))
-                    if args.backend == "pallas3"
-                    and args.uniform_look else None)
+                    if (args.backend == "pallas3" and args.uniform_look)
+                    or (args.backend == "pallas6"
+                        and not args.no_uniform_look) else None)
     # max_big 256 <= one DMA chunk puts the v6 big list (the 2 ground
     # tris + a handful of wide discs; 4 measured over the trajectory)
     # on the RESIDENT SMEM path — no per-tile big-DMA round-trip.  The
@@ -512,6 +518,9 @@ def main():
                     help="pallas3 two-tone 4-float shade gather "
                          "(measured 1.8 ms SLOWER at 1M — see bench "
                          "source comment)")
+    ap.add_argument("--no-uniform-look", action="store_true",
+                    help="disable the pallas6 fused (u, v) two-tone "
+                         "shade (A/B escape)")
     ap.add_argument("--skip-validate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

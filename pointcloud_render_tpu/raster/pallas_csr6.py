@@ -220,26 +220,128 @@ def _make_row_body8(scr, slot, nchains, qx, qy):
     return row_body
 
 
+def _make_row_body8_uv(scr, slot, nchains, qx, qy):
+    """``_make_row_body8`` with the winner's lambert plane coordinates
+    carried through the merge.  Rows [px, py, z, r^2, idf, inv_r, 0, 0]
+    (lane 5 = _preshade's disc flag); carry per chain = (depth, idf,
+    u, v) with u = (qx - px) * inv_r and v = -(qy - py) * inv_r — the
+    EXACT expressions _shade_by_id evaluates after its per-pixel
+    gather, so the fused epilogue needs NO gather at all for two-tone
+    scenes.  Big-list winners keep the chain-init u = +inf (the 'not a
+    binned disc' marker the epilogue tests with isfinite)."""
+
+    def row_body(br, c4):
+        out = list(c4)
+        for k in range(PACK_DISC):
+            lane = k * ROW_F_DISC
+            px = scr[slot, br, lane]
+            py = scr[slot, br, lane + 1]
+            z = scr[slot, br, lane + 2]
+            r2 = scr[slot, br, lane + 3]
+            idf = scr[slot, br, lane + 4]
+            invr = scr[slot, br, lane + 5]
+            ch = k % nchains
+            d0, di, u0, v0 = out[4 * ch], out[4 * ch + 1], \
+                out[4 * ch + 2], out[4 * ch + 3]
+            dx = qx - px
+            dy = qy - py
+            cov = dx * dx + dy * dy <= r2
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[4 * ch] = jnp.where(better, z, d0)
+            out[4 * ch + 1] = jnp.where(better, idf, di)
+            out[4 * ch + 2] = jnp.where(better, dx * invr, u0)
+            out[4 * ch + 3] = jnp.where(better, -dy * invr, v0)
+        return tuple(out)
+
+    return row_body
+
+
+def _make_big_body16_uv(scr, nchains, qx, qy):
+    """Resident-big row body for the fused (u, v) path: the EXACT
+    16-float tri-aware eval of pallas_csr4._make_row_body16, with the
+    winner's lambert coordinates carried at stride 4.  Big-list WIDE
+    DISCS (kind flag 0, _preshade flag > 0 at lane 13) get real (u, v)
+    — the gather path lights them as lambert discs, so the fused path
+    must too; triangles/capsules (preshaded) carry u = +inf."""
+
+    def row_body(br, c4):
+        out = list(c4)
+        for k in range(PACK):
+            lane = k * ROW_F
+            x0 = scr[0, br, lane]
+            y0 = scr[0, br, lane + 1]
+            z0 = scr[0, br, lane + 2]
+            r0 = scr[0, br, lane + 3]
+            sdx = scr[0, br, lane + 4]
+            sdy = scr[0, br, lane + 5]
+            sdz = scr[0, br, lane + 6]
+            sdr = scr[0, br, lane + 7]
+            il2 = scr[0, br, lane + 8]
+            idf = scr[0, br, lane + 9]
+            flag = scr[0, br, lane + 13]
+            t9 = scr[0, br, lane + 10]
+            t10 = scr[0, br, lane + 11]
+            t11 = scr[0, br, lane + 12]
+            kf = scr[0, br, lane + 15]
+            ch = k % nchains
+            d0, di, u0, v0 = out[4 * ch], out[4 * ch + 1], \
+                out[4 * ch + 2], out[4 * ch + 3]
+            dx = qx - x0
+            dy = qy - y0
+            t = jnp.clip((dx * sdx + dy * sdy) * il2, 0.0, 1.0)
+            cx = dx - t * sdx
+            cy = dy - t * sdy
+            rad = r0 + sdr * t
+            z = z0 + sdz * t
+            cov = cx * cx + cy * cy <= rad * rad
+            e0 = x0 * qy - y0 * qx + z0
+            e1 = r0 * qy - sdx * qx + sdy
+            e2 = sdz * qy - sdr * qx + il2
+            iz = e0 * t9 + e1 * t10 + e2 * t11
+            cov_t = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (iz > 0)
+            z_t = 1.0 / jnp.where(iz > 0, iz, 1.0)
+            is_tri = kf > 0
+            z = jnp.where(is_tri, z_t, z)
+            cov = (is_tri & cov_t) | (~is_tri & cov)
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            is_disc = jnp.logical_not(is_tri) & (flag > 0)
+            uc = jnp.where(is_disc, dx * flag, INF)
+            vc = jnp.where(is_disc, -dy * flag, INF)
+            out[4 * ch] = jnp.where(better, z, d0)
+            out[4 * ch + 1] = jnp.where(better, idf, di)
+            out[4 * ch + 2] = jnp.where(better, uc, u0)
+            out[4 * ch + 3] = jnp.where(better, vc, v0)
+        return tuple(out)
+
+    return row_body
+
+
 def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, with_triangles=False,
                   big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2,
-                  dma_slots=2, big_resident=False):
+                  dma_slots=2, big_resident=False, fused_uv=False):
     k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
+    stride = 4 if fused_uv else 2  # accumulators per merge chain
     assert chunk_rows % pack == 0
     assert big_chunk % PACK == 0
+    assert not (fused_uv and allow_exit)
 
     def kernel(starts_ref,  # scalar prefetch: (k2*T+2,) i32; [-1] = big n
                rows_hbm,  # (P_pad/8, 128) f32 in ANY/HBM, anchor-sorted
                big_hbm,  # (BIG_pad/8, 128) f32: ANY/HBM, or SMEM block
                zmeta_ref,  # SMEM (1, 3) f32: zmin, s, thr_scale
-               depth_out,  # VMEM (1, 8, 128) f32
-               idf_out,  # VMEM (1, 8, 128) f32
-               scratch,  # SMEM (2, n_chunk_block, 128) f32
-               sems,  # DMA sems (2,)
-               big_scratch=None,  # SMEM (2, big_chunk/8, 128) f32
-               big_sems=None):  # DMA sems (2,)
+               *refs):  # outs (2 or 4 VMEM (1,8,128)), then scratch
+        if fused_uv:
+            depth_out, idf_out, u_out, v_out = refs[:4]
+            rest = refs[4:]
+        else:
+            depth_out, idf_out = refs[:2]
+            rest = refs[2:]
+        scratch, sems = rest[0], rest[1]
+        big_scratch = rest[2] if not big_resident else None
+        big_sems = rest[3] if not big_resident else None
         tile = pl.program_id(0)
         num_t = pl.num_programs(0)
         ty = tile // tiles_x
@@ -346,7 +448,22 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             def _(j=j):
                 get_dma(j, j).start()
 
-        if big_resident:
+        inf = jnp.full((8, 128), INF, jnp.float32)
+        emp = jnp.full((8, 128), F_EMPTY, jnp.float32)
+        n_big_rows = (big_n + PACK - 1) // PACK
+        if big_resident and fused_uv:
+            # Resident big list with the fused (u, v) carry: big WIDE
+            # DISCS get real lambert coordinates (the gather path
+            # lights them; the fused path must match), preshaded
+            # tris/capsules carry the +inf marker.
+            big8 = jax.lax.fori_loop(
+                0, n_big_rows, _make_big_body16_uv(big_hbm, 2, qx, qy),
+                (inf, emp, inf, inf, inf, emp, inf, inf))
+            bbetter = (big8[4] < big8[0]) | ((big8[4] == big8[0])
+                                             & (big8[5] < big8[1]))
+            bg = tuple(jnp.where(bbetter, big8[4 + j], big8[j])
+                       for j in range(4))
+        elif big_resident:
             # One-chunk big list rides an SMEM block with a CONSTANT
             # index map: Mosaic fetches it once for the whole grid, so
             # the per-tile DMA start/wait round-trip of the streamed
@@ -354,27 +471,30 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             # list is just the ground) disappears.  Same 16-float
             # tri-aware eval; pad rows are zero (inert).
             body = _make_row_body16(big_hbm, 0, 2, True, qx, qy)
-            big4 = jax.lax.fori_loop(
-                0, (big_n + PACK - 1) // PACK, body,
-                (jnp.full((8, 128), INF, jnp.float32),
-                 jnp.full((8, 128), F_EMPTY, jnp.float32),
-                 jnp.full((8, 128), INF, jnp.float32),
-                 jnp.full((8, 128), F_EMPTY, jnp.float32)))
+            big4 = jax.lax.fori_loop(0, n_big_rows, body,
+                                     (inf, emp, inf, emp))
             bbetter = (big4[2] < big4[0]) | ((big4[2] == big4[0])
                                              & (big4[3] < big4[1]))
-            d_bg = jnp.where(bbetter, big4[2], big4[0])
-            i_bg = jnp.where(bbetter, big4[3], big4[1])
+            bg = (jnp.where(bbetter, big4[2], big4[0]),
+                  jnp.where(bbetter, big4[3], big4[1]))
         else:
-            d_bg, i_bg = _stream_big(big_hbm, big_scratch, big_sems,
-                                     big_n, big_chunk, qx, qy)
+            bg = _stream_big(big_hbm, big_scratch, big_sems,
+                             big_n, big_chunk, qx, qy)
 
-        accs = [d_bg, i_bg]
-        for _ in range(unroll - 1):
-            accs += [jnp.full((8, 128), INF, jnp.float32),
-                     jnp.full((8, 128), F_EMPTY, jnp.float32)]
+        if fused_uv:
+            # Chain carry (depth, idf, u, v).
+            accs = list(bg)
+            for _ in range(unroll - 1):
+                accs += [inf, emp, inf, inf]
+        else:
+            accs = list(bg)
+            for _ in range(unroll - 1):
+                accs += [inf, emp]
         init = tuple(accs)
 
         def make_body_fn(slot):
+            if fused_uv:
+                return _make_row_body8_uv(scratch, slot, unroll, qx, qy)
             return (_make_row_body16(scratch, slot, unroll,
                                      with_triangles, qx, qy)
                     if row_f == ROW_F else
@@ -463,12 +583,24 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             out = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.int32(0)) + init)[2:]
 
-        depth, idf = out[0], out[1]
-        for u in range(1, unroll):
-            du, iu = out[2 * u], out[2 * u + 1]
-            better = (du < depth) | ((du == depth) & (iu < idf))
-            depth = jnp.where(better, du, depth)
-            idf = jnp.where(better, iu, idf)
+        if fused_uv:
+            depth, idf, uu, vv = out[0], out[1], out[2], out[3]
+            for c in range(1, unroll):
+                dc, ic, uc, vc = out[4 * c:4 * c + 4]
+                better = (dc < depth) | ((dc == depth) & (ic < idf))
+                depth = jnp.where(better, dc, depth)
+                idf = jnp.where(better, ic, idf)
+                uu = jnp.where(better, uc, uu)
+                vv = jnp.where(better, vc, vv)
+            u_out[0, :, :] = uu
+            v_out[0, :, :] = vv
+        else:
+            depth, idf = out[0], out[1]
+            for u in range(1, unroll):
+                du, iu = out[2 * u], out[2 * u + 1]
+                better = (du < depth) | ((du == depth) & (iu < idf))
+                depth = jnp.where(better, du, depth)
+                idf = jnp.where(better, iu, idf)
 
         depth_out[0, :, :] = depth
         idf_out[0, :, :] = idf
@@ -480,11 +612,20 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
                   discs_only=False, allow_exit=None, span=2,
-                  dma_slots=2):
-    """Binning + kernel launch.  Returns (depth, idf_img, diag); diag's
+                  dma_slots=2, fused_uv=False):
+    """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
+    diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
+    lambert (u, v) images; +inf marks big-list winners).  diag's
     ``big_overflow`` must be 0 for exactness (``true_entries`` reports
     the would-be v4 entry count for observability — v6 itself has no
     capacity precondition)."""
+    if fused_uv and not discs_only:
+        raise ValueError("fused_uv requires discs_only rows")
+    if fused_uv and max_big + 1 > DEFAULT_BIG_CHUNK:
+        raise ValueError(
+            "fused_uv requires a RESIDENT big list (max_big <= "
+            f"{DEFAULT_BIG_CHUNK - 1}): its (u, v) carry has no "
+            "streamed-big variant")
     if allow_exit is None:
         # Measured policy (benchmarks/kernel6_sweep.py): the per-range
         # exit WINS 13% on the deep-run trail scene but LOSES ~1 ms on
@@ -493,6 +634,9 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         # discs and for span=4 (whose exit would need 100 single-class
         # segments per tile; unsupported).
         allow_exit = (not discs_only) and span == 2
+    elif allow_exit and fused_uv:
+        raise ValueError("fused_uv carries (u, v) through the stride-2 "
+                         "exit merge — allow_exit must be off")
     elif allow_exit and span != 2:
         raise ValueError(
             "allow_exit requires span=2: the exit bound needs single-"
@@ -522,7 +666,6 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     bounds = (np.arange(num_tiles * k2 + 1, dtype=np.int32) << ZQ)
     starts = jnp.searchsorted(sorted_keys, jnp.asarray(bounds)).astype(
         jnp.int32)
-    n_small = starts[num_tiles * k2]
     # Entry count (sum over tiles of range lengths = per-class tile
     # coverage) — reported for observability/tests, not a precondition.
     cls_counts = starts[1:] - starts[:-1]
@@ -550,10 +693,13 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         # 32 B gathers are ~40% cheaper than 64 B at equal row count
         # (benchmarks/v6_probe.py).  Invalid rows zeroed as table16.
         r = prims.params[:, 3]
+        # Lane 5 carries _preshade's disc flag (inv_r) for the fused
+        # (u, v) row body; zeros otherwise (rasterize passes zerosf).
         table8 = jnp.concatenate([
             prims.params[:, 0:3], (r * r)[:, None],
             jnp.arange(p, dtype=jnp.float32)[:, None],
-            jnp.zeros((p, 3), jnp.float32),
+            shade_flag[:, None],
+            jnp.zeros((p, 2), jnp.float32),
         ], axis=1)
         table8 = jnp.where(prims.valid[:, None], table8, 0.0)
         table8 = jnp.pad(table8, ((0, 1), (0, 0)))
@@ -593,6 +739,9 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             pltpu.SMEM((2, big_chunk // PACK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    n_out = 4 if fused_uv else 2
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -602,12 +751,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             pl.BlockSpec((1, 3), lambda i, c: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_spec] * n_out,
         scratch_shapes=scratch_shapes,
     )
 
@@ -615,14 +759,13 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                            chunk_rows, allow_exit=allow_exit,
                            with_triangles=bin_triangles,
                            big_chunk=big_chunk, row_f=row_f, span=span,
-                           dma_slots=dma_slots, big_resident=big_resident)
-    depth_t, idf_t = pl.pallas_call(
+                           dma_slots=dma_slots, big_resident=big_resident,
+                           fused_uv=fused_uv)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32)
+                   ] * n_out,
         interpret=interpret,
     )(scalars, rows, big_rows, zmeta[None, :])
 
@@ -633,9 +776,37 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             .transpose(0, 3, 2, 1, 4) \
             .reshape(tiles_y * tile_h, tiles_x * tile_w)
 
-    depth = assemble(depth_t)[:height, :width]
-    idf = assemble(idf_t)[:height, :width]
-    return depth, idf, table16, diag
+    depth = assemble(outs[0])[:height, :width]
+    idf = assemble(outs[1])[:height, :width]
+    uv = ((assemble(outs[2])[:height, :width],
+           assemble(outs[3])[:height, :width]) if fused_uv else None)
+    return depth, idf, uv, table16, diag
+
+
+def _shade_uv(camera, shading, depth, idf, u, v, uniform_look):
+    """Gather-free two-tone epilogue over the fused (u, v) images.
+
+    Bit-compatible with _shade_by_id's uniform_look path: u and v are
+    the same f32 expressions ((qx - px) * inv_r, -(qy - py) * inv_r)
+    evaluated in-kernel at the winning pair instead of after a
+    per-pixel gather, and the lambert body below is copied verbatim.
+    Big-list winners carry u = +inf (isfinite(u) == is_disc); their
+    inf/nan lambert garbage is select()ed away.
+    """
+    hit = jnp.isfinite(depth)
+    index = jnp.where(hit, idf.astype(jnp.int32), -1)
+    m = camera.world_to_camera_matrix()
+    l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
+    w2 = jnp.maximum(0.0, 1.0 - u * u - v * v)
+    nz = -jnp.sqrt(w2)
+    ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
+    lit = shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
+    uc = np.asarray(uniform_look[0], np.float32)
+    ub = np.asarray(uniform_look[1], np.float32)
+    rgb = jnp.where(jnp.isfinite(u)[..., None], uc * lit[..., None], ub)
+    bg = np.asarray(shading.background, np.float32)
+    rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
+    return rgb, index
 
 
 def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
@@ -660,7 +831,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
-    depth, idf, _, diag = _raster_core6(
+    depth, idf, _, _, diag = _raster_core6(
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, zeros3, zerosf, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
@@ -686,20 +857,32 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
     modes); the shade epilogue is pallas_csr4's (compact 8-float
-    per-pixel winner gather by id).
+    per-pixel winner gather by id) — except TWO-TONE disc scenes
+    (``uniform_look`` + ``discs_only``), where the kernel carries the
+    winner's lambert (u, v) through the merge and the epilogue is pure
+    per-pixel math with NO gather and NO per-frame table repack (the
+    reason pallas3's gather-based uniform_look lost its measured A/B).
     """
     from pointcloud_render_tpu.raster import pallas_csr4 as _v4
 
     width, height = camera.width, camera.height
     shade_rgb, shade_flag = _preshade(prims, camera, shading)
-    depth, idf, _, diag = _raster_core6(
+    fused = (uniform_look is not None and discs_only
+             and shading.mode != "flat" and allow_exit is not True
+             and max_big + 1 <= DEFAULT_BIG_CHUNK)
+    depth, idf, uv, _, diag = _raster_core6(
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, shade_rgb, shade_flag, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
-        allow_exit=allow_exit, span=span, dma_slots=dma_slots)
-    rgb, index = _v4._shade_by_id(prims, camera, shading, depth, idf,
-                                  shade_rgb, shade_flag,
-                                  uniform_look=uniform_look)
+        allow_exit=False if fused else allow_exit, span=span,
+        dma_slots=dma_slots, fused_uv=fused)
+    if fused:
+        rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
+                               uv[1], uniform_look)
+    else:
+        rgb, index = _v4._shade_by_id(prims, camera, shading, depth, idf,
+                                      shade_rgb, shade_flag,
+                                      uniform_look=uniform_look)
     if return_diag:
         return rgb, depth, index, diag
     return rgb, depth, index

@@ -331,6 +331,11 @@ class TestPallasCsr6DiscMode:
         np.testing.assert_array_equal(np.asarray(rgb_d), np.asarray(rgb_g))
 
     def test_uniform_look_matches_generic(self):
+        """The uniform_look + discs_only combination rides the FUSED
+        (u, v) path (kernel carries the winner's lambert coordinates,
+        gather-free epilogue) — it must match the generic by-id gather
+        shade to FMA-contraction tolerance, big-list (ground) pixels
+        and background included."""
         from pointcloud_render_tpu.raster.pallas_csr6 import (
             render_shaded_csr6,
         )
@@ -346,6 +351,45 @@ class TestPallasCsr6DiscMode:
             soup, cam, cfg, interpret=True, discs_only=True,
             uniform_look=((0.3, 0.3, 0.3), (1.0, 1.0, 1.0)))
         np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_g))
+        np.testing.assert_array_equal(np.asarray(d_u), np.asarray(d_g))
+        np.testing.assert_allclose(np.asarray(rgb_u), np.asarray(rgb_g),
+                                   atol=2e-6)
+
+    def test_fused_uv_exact_ties_and_big_marker(self):
+        """Fused (u, v) merge keeps the per-pair (depth, id) contract:
+        duplicated discs (exact z ties) and a big wide disc overlapping
+        binned discs must produce the oracle winners, with the big
+        winner's pixels taking the second tone."""
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            render_shaded_csr6,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        rng = np.random.default_rng(3)
+        pos = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+        pos[40:80] = pos[:40]  # exact depth ties
+        discs = discs_from_points(jnp.asarray(pos), cam,
+                                  jnp.full((300,), 0.03, jnp.float32),
+                                  np.array([0.3, 0.3, 0.3], np.float32))
+        # Big-list (wide) LAMBERT discs must keep tone-1 lighting in
+        # the fused path — the uniform premise: every lambert disc has
+        # the tone-1 color.
+        wide = discs_from_points(jnp.asarray(pos[:2] * 0.2), cam,
+                                 jnp.full((2,), 0.4, jnp.float32),
+                                 np.array([0.3, 0.3, 0.3], np.float32))
+        soup = ScreenPrimitives.concatenate([wide, discs])
+        cfg = ShadingConfig()
+        look = ((0.3, 0.3, 0.3), (1.0, 1.0, 1.0))
+        rgb_u, d_u, i_u = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             discs_only=True,
+                                             uniform_look=look)
+        rgb_g, d_g, i_g = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             discs_only=True)
+        d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+        np.testing.assert_array_equal(np.asarray(i_u), i_o)
         np.testing.assert_allclose(np.asarray(rgb_u), np.asarray(rgb_g),
                                    atol=2e-6)
 

@@ -137,12 +137,27 @@ def validate_on_chip(verbose=False):
                                        unroll=4)
         d8, i8 = rasterize_pallas_csr6(disc_soup, cam.width, cam.height,
                                        unroll=4, discs_only=True)
+        # v6 FUSED (u, v) two-tone shade (the TIMED shading path) vs
+        # the generic by-id gather: same winners, rgb within the
+        # FMA-contraction tolerance the interpret tests pin.
+        cfg = ShadingConfig()
+        look = ((0.3, 0.3, 0.3), (1.0, 1.0, 1.0))
+        rgb_f, _, i_f = render_shaded_csr6(
+            disc_soup, cam, cfg, discs_only=True, max_big=256,
+            uniform_look=look)
+        rgb_g, _, i_g = render_shaded_csr6(
+            disc_soup, cam, cfg, discs_only=True, max_big=256)
+        m_fused = jnp.mean(
+            ((i_f == i_g)
+             & jnp.all(jnp.abs(rgb_f - rgb_g) <= 2e-6, axis=-1)
+             ).astype(jnp.float32))
         return (jnp.mean((i1 == it).astype(jnp.float32)),
                 jnp.mean((i2 == it).astype(jnp.float32)),
                 jnp.mean((i3 == it3).astype(jnp.float32)),
                 jnp.mean(((i4 == it3) & (i5 == it3)
                           & (i8 == it3)).astype(jnp.float32)),
                 jnp.mean(((i6 == it) & (i7 == it)).astype(jnp.float32)),
+                m_fused,
                 ec)
 
     def build_discs(pos):
@@ -158,24 +173,29 @@ def validate_on_chip(verbose=False):
     )
     from pointcloud_render_tpu.raster.pallas_csr3 import rasterize_pallas_csr3
     from pointcloud_render_tpu.raster.pallas_csr4 import rasterize_pallas_csr4
-    from pointcloud_render_tpu.raster.pallas_csr6 import rasterize_pallas_csr6
+    from pointcloud_render_tpu.raster.pallas_csr6 import (
+        rasterize_pallas_csr6,
+        render_shaded_csr6,
+    )
+    from pointcloud_render_tpu.shading.shade import ShadingConfig
 
     compiled = aot.compile_const_free(both, jnp.asarray(pos),
                                       jnp.asarray(pts))
-    m1, m2, m3, m4, m5, ec = (np.asarray(v)
-                              for v in compiled(jnp.asarray(pos),
-                                                jnp.asarray(pts)))
+    m1, m2, m3, m4, m5, m6, ec = (np.asarray(v)
+                                  for v in compiled(jnp.asarray(pos),
+                                                    jnp.asarray(pts)))
     if verbose:
         print(f"# on-chip exactness: v1={float(m1)} v2={float(m2)} "
               f"v2disc={float(m3)} v3disc={float(m4)} v4v6mixed={float(m5)} "
-              f"(entries {int(ec)})", file=sys.stderr)
+              f"v6fused={float(m6)} (entries {int(ec)})", file=sys.stderr)
     assert int(ec) <= 262144, "validation scene outgrew its capacity"
     if not (float(m1) == float(m2) == float(m3) == float(m4)
-            == float(m5) == 1.0):
+            == float(m5) == float(m6) == 1.0):
         raise AssertionError(
             f"EXACTNESS REGRESSION on this chip: winner match "
             f"v1={float(m1)} v2={float(m2)} v2disc={float(m3)} "
-            f"v3disc={float(m4)} v4v6mixed={float(m5)} != 1.0")
+            f"v3disc={float(m4)} v4v6mixed={float(m5)} "
+            f"v6fused={float(m6)} != 1.0")
 
 
 def run_bench(args):

@@ -118,6 +118,30 @@ def main():
         timed("chunk=256 exit=0 u=4 mb=256 dma_slots=4",
               raster(256, False, 4, dma_slots=4, mb=256), pos, vel)
 
+        # Full shaded frame: generic by-id gather vs the FUSED (u, v)
+        # two-tone epilogue (no per-pixel gather, no table repack).
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        def shaded(uniform, unroll=4):
+            look = (((0.3, 0.3, 0.3), (1.0, 1.0, 1.0))
+                    if uniform else None)
+
+            def f(p, v):
+                soup, cam = make(p, v)
+                rgb, d, i = pallas_csr6.render_shaded_csr6(
+                    soup, cam, ShadingConfig(), discs_only=True,
+                    max_big=256, unroll=unroll, uniform_look=look)
+                return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+                        + jnp.sum(rgb[::8, ::8]))
+
+            return f
+
+        timed("shaded mb=256 generic by-id gather", shaded(False),
+              pos, vel)
+        timed("shaded mb=256 FUSED uv two-tone", shaded(True), pos, vel)
+        timed("shaded mb=256 FUSED uv unroll=2", shaded(True, 2),
+              pos, vel)
+
 
 if __name__ == "__main__":
     main()

@@ -323,7 +323,6 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
     k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
-    stride = 4 if fused_uv else 2  # accumulators per merge chain
     assert chunk_rows % pack == 0
     assert big_chunk % PACK == 0
     assert not (fused_uv and allow_exit)
@@ -368,71 +367,86 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         # classes).  span=4 (exit unsupported) walks the row-major
         # class grid: the subset {spanx > dx, spany > dy} of anchor
         # t - dy*tiles_x - dx is contiguous per spany row. --
-        def rng(anchor, c_lo, c_hi, ok):
-            a = jnp.maximum(anchor, 0)
-            s = starts_ref[k2 * a + c_lo]
-            n = starts_ref[k2 * a + c_hi] - s
-            return s, jnp.where(ok, n, 0)
+        def schedule_for(t, tx_, ty_):
+            """Ranges + flat chunk schedule of tile t -> (locate, total).
 
-        if span == 2:
-            left = tx >= 1
-            up = ty >= 1
-            both = left & up
-            if allow_exit:
-                ranges = [rng(tile, c, c + 1, True) for c in range(4)]
-                ranges += [
-                    rng(tile - 1, 1, 2, left),
-                    rng(tile - 1, 2, 3, left),
-                    rng(tile - tiles_x, 2, 3, up),
-                    rng(tile - tiles_x, 3, 4, up),
-                    rng(tile - tiles_x - 1, 2, 3, both),
-                ]
+            The flat schedule maps chunk ci to (range r, offset j) via
+            the cumulative chunk counts, so the DMA pipeline spans
+            range boundaries without a per-range restart stall.
+            Parameterized by t so a tile can also compute its RIGHT
+            neighbor's first chunk (cross-tile prefetch below)."""
+            def rng(anchor, c_lo, c_hi, ok):
+                a = jnp.maximum(anchor, 0)
+                s = starts_ref[k2 * a + c_lo]
+                n = starts_ref[k2 * a + c_hi] - s
+                return s, jnp.where(ok, n, 0)
+
+            if span == 2:
+                left = tx_ >= 1
+                up = ty_ >= 1
+                both = left & up
+                if allow_exit:
+                    ranges = [rng(t, c, c + 1, True) for c in range(4)]
+                    ranges += [
+                        rng(t - 1, 1, 2, left),
+                        rng(t - 1, 2, 3, left),
+                        rng(t - tiles_x, 2, 3, up),
+                        rng(t - tiles_x, 3, 4, up),
+                        rng(t - tiles_x - 1, 2, 3, both),
+                    ]
+                else:
+                    ranges = [
+                        rng(t, 0, 4, True),
+                        rng(t - 1, 1, 3, left),
+                        rng(t - tiles_x, 2, 4, up),
+                        rng(t - tiles_x - 1, 2, 3, both),
+                    ]
             else:
-                ranges = [
-                    rng(tile, 0, 4, True),
-                    rng(tile - 1, 1, 3, left),
-                    rng(tile - tiles_x, 2, 4, up),
-                    rng(tile - tiles_x - 1, 2, 3, both),
-                ]
-        else:
-            ranges = [rng(tile, 0, k2, True)]
-            for dy in range(span):
-                for dx in range(span):
-                    if dx == 0 and dy == 0:
-                        continue
-                    a = tile - dy * tiles_x - dx
-                    ok = (tx >= dx) & (ty >= dy)
-                    if dx == 0:
-                        ranges.append(rng(a, dy * span, k2, ok))
-                    else:
-                        for cy in range(dy, span):
-                            ranges.append(rng(a, cy * span + dx,
-                                              cy * span + span, ok))
+                ranges = [rng(t, 0, k2, True)]
+                for dy in range(span):
+                    for dx in range(span):
+                        if dx == 0 and dy == 0:
+                            continue
+                        a = t - dy * tiles_x - dx
+                        ok = (tx_ >= dx) & (ty_ >= dy)
+                        if dx == 0:
+                            ranges.append(rng(a, dy * span, k2, ok))
+                        else:
+                            for cy in range(dy, span):
+                                ranges.append(rng(a, cy * span + dx,
+                                                  cy * span + span, ok))
 
-        # Flat chunk schedule across the ranges: chunk ci of the tile
-        # maps to (range r, offset j) via the cumulative chunk counts,
-        # so the double-buffered DMA pipeline spans range boundaries
-        # without a per-range restart stall.
-        ncs = [pl.cdiv(n, chunk_rows) for _, n in ranges]
-        cums = []
-        acc = jnp.int32(0)
-        for nc in ncs:
-            acc = acc + nc
-            cums.append(acc)
-        total_chunks = cums[-1]
+            ncs = [pl.cdiv(n, chunk_rows) for _, n in ranges]
+            cums = []
+            acc = jnp.int32(0)
+            for nc in ncs:
+                acc = acc + nc
+                cums.append(acc)
+            total_chunks = cums[-1]
 
-        def locate(ci):
-            """ci -> (g0 entry offset, mc live entries, next_cum)."""
-            g0 = ranges[0][0] + ci * chunk_rows
-            mc = ranges[0][1] - ci * chunk_rows
-            nxt = cums[0]
-            for r in range(1, len(ranges)):
-                inr = ci >= cums[r - 1]
-                j = ci - cums[r - 1]
-                g0 = jnp.where(inr, ranges[r][0] + j * chunk_rows, g0)
-                mc = jnp.where(inr, ranges[r][1] - j * chunk_rows, mc)
-                nxt = jnp.where(inr, cums[r], nxt)
-            return g0, jnp.minimum(mc, chunk_rows), nxt
+            def locate(ci):
+                """ci -> (g0 entry offset, mc live entries, next_cum)."""
+                g0 = ranges[0][0] + ci * chunk_rows
+                mc = ranges[0][1] - ci * chunk_rows
+                nxt = cums[0]
+                for r in range(1, len(ranges)):
+                    inr = ci >= cums[r - 1]
+                    j = ci - cums[r - 1]
+                    g0 = jnp.where(inr, ranges[r][0] + j * chunk_rows, g0)
+                    mc = jnp.where(inr, ranges[r][1] - j * chunk_rows, mc)
+                    nxt = jnp.where(inr, cums[r], nxt)
+                return g0, jnp.minimum(mc, chunk_rows), nxt
+
+            return locate, total_chunks
+
+        locate, total_chunks = schedule_for(tile, tx, ty)
+
+        def start_dma(slot, g0):
+            pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(g0 // pack, n_chunk_block), :],
+                scratch.at[slot],
+                sems.at[slot],
+            ).start()
 
         def get_dma(slot, ci):
             g0, _, _ = locate(ci)
@@ -443,10 +457,25 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             )
 
         n_slots = 2 if allow_exit else dma_slots
-        for j in range(n_slots - 1):
-            @pl.when(j < total_chunks)
-            def _(j=j):
-                get_dma(j, j).start()
+        if allow_exit:
+            @pl.when(total_chunks > 0)
+            def _():
+                get_dma(0, 0).start()
+        else:
+            # Chunk 0 of every tile > 0 was prefetched by the PREVIOUS
+            # grid step (cross-tile prefetch at the kernel tail):
+            # scratch and semaphores persist across steps, so the first
+            # chunk's HBM latency overlaps the neighbor's epilogue
+            # instead of stalling this tile's start (one exposed DMA
+            # round-trip per tile otherwise — 2040 at 1080p).
+            @pl.when((tile == 0) & (total_chunks > 0))
+            def _():
+                get_dma(0, 0).start()
+
+            for j in range(1, n_slots - 1):
+                @pl.when(j < total_chunks)
+                def _(j=j):
+                    get_dma(j, j).start()
 
         inf = jnp.full((8, 128), INF, jnp.float32)
         emp = jnp.full((8, 128), F_EMPTY, jnp.float32)
@@ -604,6 +633,21 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 
         depth_out[0, :, :] = depth
         idf_out[0, :, :] = idf
+
+        if not allow_exit:
+            # Cross-tile prefetch: start the NEXT tile's first chunk
+            # into slot 0 (all of this tile's DMAs are consumed by
+            # now).  The next step skips its own chunk-0 start under
+            # the same (tile > 0, total > 0) predicate.  t+1's reads
+            # are clamped so the last tile stays in bounds; its start
+            # is predicated off.
+            tn = jnp.minimum(tile + 1, num_t - 1)
+            loc_n, total_n = schedule_for(tn, jax.lax.rem(tn, tiles_x),
+                                          tn // tiles_x)
+
+            @pl.when((tile + 1 < num_t) & (total_n > 0))
+            def _():
+                start_dma(0, loc_n(0)[0])
 
     return kernel
 

@@ -221,6 +221,28 @@ class TestPallasCsr6:
         _assert_matches_oracle(_mixed_soup(make_camera(), n=150),
                                tile_h=1024 // tile_w, tile_w=tile_w)
 
+    def test_sparse_tiles_cross_tile_prefetch(self):
+        """Empty/non-empty tile alternation stresses the cross-tile
+        chunk-0 prefetch predicates (a step must start its right
+        neighbor's first DMA iff the neighbor has chunks, and skip its
+        own start iff its left neighbor started it).  Discs cluster in
+        a checkerboard of tiles; every other tile is empty."""
+        rng = np.random.default_rng(8)
+        pxs, pys = [], []
+        for tyy in range(H // 32):
+            for txx in range(W // 32):
+                if (txx + tyy) % 2 == 0:
+                    continue  # empty tile
+                pxs.append(rng.uniform(txx * 32 + 3, txx * 32 + 29, 40))
+                pys.append(rng.uniform(tyy * 32 + 3, tyy * 32 + 29, 40))
+        px = np.concatenate(pxs)
+        py = np.concatenate(pys)
+        n = px.shape[0]
+        soup = _screen_discs(px, py, rng.uniform(1.0, 5.0, n),
+                             np.full(n, 2.0))
+        _assert_matches_oracle(soup, allow_exit=False)
+        _assert_matches_oracle(soup, allow_exit=False, dma_slots=4)
+
     def test_resident_big_list_matches_streamed(self):
         """max_big <= one DMA chunk rides the constant-index SMEM block
         (fetched once for the grid); larger big lists stream per tile.

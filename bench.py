@@ -436,29 +436,28 @@ def _bench_trail_scene(args, make_camera, positions):
     probe_frames = (frames[0], frames[len(frames) // 2], frames[-2],
                     frames[-1])
 
-    def big_counts(span):
+    def probe(fi):
         # bin_diagnostics6 returns overflow past max_big; max_big=0
-        # makes it the raw big COUNT.
-        def probe(fi):
-            s, _ = soup(fi)
-            return pallas_csr6.bin_diagnostics6(s, w, h, span=span,
-                                                max_big=0)
+        # makes it the raw big COUNT.  Both spans in one compile (the
+        # second sort is ~15 ms next to the probe's compile time).
+        s, _ = soup(fi)
+        return (pallas_csr6.bin_diagnostics6(s, w, h, span=2, max_big=0),
+                pallas_csr6.bin_diagnostics6(s, w, h, span=4, max_big=0))
 
-        pc = aot.compile_const_free(probe, jnp.int32(0))
-        return [int(np.asarray(pc(jnp.int32(int(f)))))
-                for f in probe_frames]
-
+    pc = aot.compile_const_free(probe, jnp.int32(0))
+    counts = [tuple(int(np.asarray(v)) for v in pc(jnp.int32(int(f))))
+              for f in probe_frames]
+    bigs2 = [c[0] for c in counts]
+    bigs4 = [c[1] for c in counts]
     if args.trail_span == "auto":
-        bigs2 = big_counts(2)
         # Fade-frame trail segments flood the span-2 big list (14k at
         # 1M pts, frame 219): each big prim is evaluated at EVERY tile,
         # so past ~2k the span-4 binning (16 classes, +0.4% slots, one
         # 16x-larger searchsorted) wins.
         span = 4 if max(bigs2) > 2048 else 2
-        bigs = big_counts(4) if span == 4 else bigs2
     else:
         span = int(args.trail_span)
-        bigs = big_counts(span)
+    bigs = bigs4 if span == 4 else bigs2
     # max_big 384 -> big_pad 512 = one chunk = the RESIDENT SMEM big
     # list (no per-tile big DMA); bigger lists round up to 256s.
     need = int(max(bigs) * 1.5) + 64

@@ -85,13 +85,14 @@ def main():
     W, H = cam0.width, cam0.height
 
     def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2,
-               mb=None):
+               mb=None, tpp=1):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
                 soup, W, H, unroll=unroll, max_big=mb or max_big,
                 discs_only=discs_only, chunk_rows=chunk_rows,
-                allow_exit=allow_exit, dma_slots=dma_slots, span=span)
+                allow_exit=allow_exit, dma_slots=dma_slots, span=span,
+                tiles_per_program=tpp)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
         return f
@@ -110,6 +111,11 @@ def main():
     # the resident SMEM big path.
     timed("chunk=256 exit=0 unroll=4 span=4 mb=384",
           raster(256, False, 4, span=4, mb=384), pos, vel)
+    # Grid fusion: several tiles per program amortize the per-grid-step
+    # prologue/epilogue (the 2.4x chunk-overhead suspect list).
+    for tpp in (2, 4, 8):
+        timed(f"chunk=256 exit=0 unroll=4 tpp={tpp}",
+              raster(256, False, 4, tpp=tpp), pos, vel)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).
@@ -117,6 +123,11 @@ def main():
               raster(256, False, 4, mb=256), pos, vel)
         timed("chunk=256 exit=0 u=4 mb=256 dma_slots=4",
               raster(256, False, 4, dma_slots=4, mb=256), pos, vel)
+        timed("chunk=256 exit=0 u=4 mb=256 tpp=4",
+              raster(256, False, 4, mb=256, tpp=4), pos, vel)
+        timed("chunk=256 exit=0 u=4 mb=256 tpp=4 dma_slots=4",
+              raster(256, False, 4, mb=256, tpp=4, dma_slots=4),
+              pos, vel)
 
         # Full shaded frame: generic by-id gather vs the FUSED (u, v)
         # two-tone epilogue (no per-pixel gather, no table repack).

@@ -317,21 +317,23 @@ def _make_big_body16_uv(scr, nchains, qx, qy):
 
 
 def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
-                  chunk_rows, allow_exit, with_triangles=False,
+                  chunk_rows, allow_exit, num_tiles, with_triangles=False,
                   big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2,
-                  dma_slots=2, big_resident=False, fused_uv=False):
+                  dma_slots=2, big_resident=False, fused_uv=False,
+                  tiles_per_program=1):
     k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
     assert chunk_rows % pack == 0
     assert big_chunk % PACK == 0
     assert not (fused_uv and allow_exit)
+    assert tiles_per_program == 1 or not allow_exit
 
     def kernel(starts_ref,  # scalar prefetch: (k2*T+2,) i32; [-1] = big n
                rows_hbm,  # (P_pad/8, 128) f32 in ANY/HBM, anchor-sorted
                big_hbm,  # (BIG_pad/8, 128) f32: ANY/HBM, or SMEM block
                zmeta_ref,  # SMEM (1, 3) f32: zmin, s, thr_scale
-               *refs):  # outs (2 or 4 VMEM (1,8,128)), then scratch
+               *refs):  # outs (2 or 4 VMEM (G,8,128)), then scratch
         if fused_uv:
             depth_out, idf_out, u_out, v_out = refs[:4]
             rest = refs[4:]
@@ -341,8 +343,58 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         scratch, sems = rest[0], rest[1]
         big_scratch = rest[2] if not big_resident else None
         big_sems = rest[3] if not big_resident else None
-        tile = pl.program_id(0)
-        num_t = pl.num_programs(0)
+        pid = pl.program_id(0)
+        big_n = starts_ref[k2 * num_tiles + 1]
+
+        # Grid fusion: one program renders ``tiles_per_program``
+        # consecutive tiles (Python-unrolled below), amortizing the
+        # per-grid-step Mosaic prologue/epilogue and output-block swap;
+        # the DMA ring and the cross-tile chunk-0 prefetch flow across
+        # the in-program tiles exactly as they do across grid steps
+        # (scratch and semaphores persist either way).
+        run_tile = _make_tile_body(
+            tiles_x, tile_h, tile_w, unroll, n_chunk_block, chunk_rows,
+            allow_exit, num_tiles, with_triangles, big_chunk, row_f,
+            span, dma_slots, big_resident, fused_uv, tiles_per_program)
+
+        for g in range(tiles_per_program):
+            if num_tiles % tiles_per_program == 0:
+                run_tile(g, pid, big_n, starts_ref, rows_hbm, big_hbm,
+                         zmeta_ref, depth_out, idf_out,
+                         u_out if fused_uv else None,
+                         v_out if fused_uv else None,
+                         scratch, sems, big_scratch, big_sems)
+            else:
+                # Padded grid tail: skip tiles past the image. Their
+                # output rows stay unwritten (sliced away at assemble),
+                # and skipping keeps the prefetch/semaphore chain
+                # consistent (the last real tile's tail prefetch is
+                # already predicated off at the image edge).
+                @pl.when(pid * tiles_per_program + g < num_tiles)
+                def _(g=g):
+                    run_tile(g, pid, big_n, starts_ref, rows_hbm,
+                             big_hbm, zmeta_ref, depth_out, idf_out,
+                             u_out if fused_uv else None,
+                             v_out if fused_uv else None,
+                             scratch, sems, big_scratch, big_sems)
+
+    return kernel
+
+
+def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
+                    chunk_rows, allow_exit, num_tiles, with_triangles,
+                    big_chunk, row_f, span, dma_slots, big_resident,
+                    fused_uv, tiles_per_program):
+    """The per-tile walk of the v6 kernel (see _make_kernel6): bin
+    ranges -> flat chunk schedule -> DMA ring -> row eval -> out[g]."""
+    k2 = span * span
+    pack = 128 // row_f
+    zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
+
+    def run_tile(g, pid, big_n, starts_ref, rows_hbm, big_hbm, zmeta_ref,
+                 depth_out, idf_out, u_out, v_out, scratch, sems,
+                 big_scratch, big_sems):
+        tile = pid * tiles_per_program + g
         ty = tile // tiles_x
         tx = tile % tiles_x
         # VREG (8, 128) -> (tile_h, tile_w) pixel block (pallas_csr3).
@@ -351,8 +403,6 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         qx = (tx * tile_w + ix % tile_w).astype(jnp.float32) + 0.5
         qy = (ty * tile_h + iy + 8 * (ix // tile_w)).astype(
             jnp.float32) + 0.5
-
-        big_n = starts_ref[k2 * num_t + 1]
 
         # --- the contiguous ranges (starts, counts), guarded at grid
         # edges.  Tile t owns every prim anchored at itself (all
@@ -621,8 +671,8 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                 idf = jnp.where(better, ic, idf)
                 uu = jnp.where(better, uc, uu)
                 vv = jnp.where(better, vc, vv)
-            u_out[0, :, :] = uu
-            v_out[0, :, :] = vv
+            u_out[g, :, :] = uu
+            v_out[g, :, :] = vv
         else:
             depth, idf = out[0], out[1]
             for u in range(1, unroll):
@@ -631,8 +681,8 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                 depth = jnp.where(better, du, depth)
                 idf = jnp.where(better, iu, idf)
 
-        depth_out[0, :, :] = depth
-        idf_out[0, :, :] = idf
+        depth_out[g, :, :] = depth
+        idf_out[g, :, :] = idf
 
         if not allow_exit:
             # Cross-tile prefetch: start the NEXT tile's first chunk
@@ -641,22 +691,22 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             # the same (tile > 0, total > 0) predicate.  t+1's reads
             # are clamped so the last tile stays in bounds; its start
             # is predicated off.
-            tn = jnp.minimum(tile + 1, num_t - 1)
+            tn = jnp.minimum(tile + 1, num_tiles - 1)
             loc_n, total_n = schedule_for(tn, jax.lax.rem(tn, tiles_x),
                                           tn // tiles_x)
 
-            @pl.when((tile + 1 < num_t) & (total_n > 0))
+            @pl.when((tile + 1 < num_tiles) & (total_n > 0))
             def _():
                 start_dma(0, loc_n(0)[0])
 
-    return kernel
+    return run_tile
 
 
 def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
                   discs_only=False, allow_exit=None, span=2,
-                  dma_slots=2, fused_uv=False):
+                  dma_slots=2, fused_uv=False, tiles_per_program=1):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners).  diag's
@@ -686,6 +736,12 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             "allow_exit requires span=2: the exit bound needs single-"
             "class segments, and span=4 would take 100 of them per "
             "tile ((span*(span+1)/2)**2)")
+    if tiles_per_program < 1:
+        raise ValueError("tiles_per_program must be >= 1")
+    if tiles_per_program > 1 and allow_exit:
+        raise ValueError(
+            "tiles_per_program > 1 fuses tiles on the straight-line "
+            "fori walk — allow_exit must be off")
     if tile_h * tile_w != 1024 or tile_w not in (16, 32, 64, 128):
         raise ValueError(
             "pallas_csr6 pixel blocks must hold exactly one (8, 128) "
@@ -784,11 +840,13 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             pltpu.SemaphoreType.DMA((2,)),
         ]
     n_out = 4 if fused_uv else 2
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i, c: (i, 0, 0),
+    tpp = tiles_per_program
+    grid_steps = -(-num_tiles // tpp)
+    out_spec = pl.BlockSpec((tpp, 8, 128), lambda i, c: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        grid=(grid_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             big_spec,
@@ -801,22 +859,23 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
 
     kernel = _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                            chunk_rows, allow_exit=allow_exit,
+                           num_tiles=num_tiles,
                            with_triangles=bin_triangles,
                            big_chunk=big_chunk, row_f=row_f, span=span,
                            dma_slots=dma_slots, big_resident=big_resident,
-                           fused_uv=fused_uv)
+                           fused_uv=fused_uv, tiles_per_program=tpp)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32)
-                   ] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((grid_steps * tpp, 8, 128),
+                                        jnp.float32)] * n_out,
         interpret=interpret,
     )(scalars, rows, big_rows, zmeta[None, :])
 
     nq = 128 // tile_w
 
     def assemble(t):
-        return t.reshape(tiles_y, tiles_x, 8, nq, tile_w) \
+        return t[:num_tiles].reshape(tiles_y, tiles_x, 8, nq, tile_w) \
             .transpose(0, 3, 2, 1, 4) \
             .reshape(tiles_y * tile_h, tiles_x * tile_w)
 
@@ -862,7 +921,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           interpret: bool = False,
                           return_diag: bool = False,
                           allow_exit=None, span: int = 2,
-                          dma_slots: int = 2):
+                          dma_slots: int = 2,
+                          tiles_per_program: int = 1):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -879,7 +939,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         prims, width, height, tile_h, tile_w, unroll, chunk_rows,
         interpret, zeros3, zerosf, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
-        allow_exit=allow_exit, span=span, dma_slots=dma_slots)
+        allow_exit=allow_exit, span=span, dma_slots=dma_slots,
+        tiles_per_program=tiles_per_program)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -896,7 +957,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        interpret: bool = False,
                        return_diag: bool = False,
                        allow_exit=None, span: int = 2,
-                       dma_slots: int = 2):
+                       dma_slots: int = 2,
+                       tiles_per_program: int = 1):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -919,7 +981,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         interpret, shade_rgb, shade_flag, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
         allow_exit=False if fused else allow_exit, span=span,
-        dma_slots=dma_slots, fused_uv=fused)
+        dma_slots=dma_slots, fused_uv=fused,
+        tiles_per_program=tiles_per_program)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

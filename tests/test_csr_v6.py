@@ -243,6 +243,25 @@ class TestPallasCsr6:
         _assert_matches_oracle(soup, allow_exit=False)
         _assert_matches_oracle(soup, allow_exit=False, dma_slots=4)
 
+    def test_tiles_per_program_grid_fusion(self):
+        """Grid fusion (several tiles per pallas program) must be
+        BIT-identical to the one-tile grid: same walk, same DMA ring,
+        outputs indexed by the in-program tile.  tpp=4 divides the
+        40-tile test grid; tpp=7 exercises the padded tail (grid 6,
+        2 skipped pad tiles whose output rows are sliced away)."""
+        soup = _mixed_soup(make_camera(), seed=13, radius=0.05)
+        d1, i1 = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                       allow_exit=False)
+        for tpp in (4, 7):
+            d, i = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                         allow_exit=False,
+                                         tiles_per_program=tpp)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(d), np.asarray(d1))
+        with pytest.raises(ValueError, match="tiles_per_program"):
+            rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                  allow_exit=True, tiles_per_program=2)
+
     def test_resident_big_list_matches_streamed(self):
         """max_big <= one DMA chunk rides the constant-index SMEM block
         (fetched once for the grid); larger big lists stream per tile.

@@ -302,7 +302,9 @@ def run_bench(args):
                           no_triangles=True, discs_only=True,
                           entry_capacity=entry_capacity,
                           max_big=256 if args.backend == "pallas6" else 1024,
-                          uniform_look=uniform_look)
+                          uniform_look=uniform_look,
+                          tiles_per_program=args.tiles_per_program,
+                          dma_slots=args.dma_slots)
 
     with_diag = args.backend == "pallas6"
 
@@ -540,6 +542,11 @@ def main():
     ap.add_argument("--no-uniform-look", action="store_true",
                     help="disable the pallas6 fused (u, v) two-tone "
                          "shade (A/B escape)")
+    ap.add_argument("--tiles-per-program", type=int, default=1,
+                    help="v6 grid fusion: tiles per pallas program "
+                         "(exit-off walk; kernel6_sweep A/B knob)")
+    ap.add_argument("--dma-slots", type=int, default=2,
+                    help="v6 exit-off DMA ring depth")
     ap.add_argument("--skip-validate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

@@ -128,6 +128,10 @@ def main():
         timed("chunk=256 exit=0 u=4 mb=256 tpp=4 dma_slots=4",
               raster(256, False, 4, mb=256, tpp=4, dma_slots=4),
               pos, vel)
+        timed("chunk=512 exit=0 u=4 mb=256 tpp=4",
+              raster(512, False, 4, mb=256, tpp=4), pos, vel)
+        timed("chunk=256 exit=0 u=4 mb=256 tpp=8",
+              raster(256, False, 4, mb=256, tpp=8), pos, vel)
 
         # Full shaded frame: generic by-id gather vs the FUSED (u, v)
         # two-tone epilogue (no per-pixel gather, no table repack).

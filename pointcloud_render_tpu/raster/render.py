@@ -58,6 +58,10 @@ class RasterConfig:
     # the big list.  2 = canonical 5-range CSR; 4 serves long-segment
     # soups (fade-frame trails) that would otherwise flood the big list.
     span: int = 2
+    # pallas6 exit-off walk: tiles rendered per pallas program (grid
+    # fusion, amortizes per-grid-step overhead) and DMA ring depth.
+    tiles_per_program: int = 1
+    dma_slots: int = 2
     # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
     unroll: int = 4
     # pallas: static cap on the sorted-entry row gather.  None = exact;
@@ -169,6 +173,10 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             bin_triangles=config.bin_triangles,
             discs_only=config.discs_only,
             max_big=config.max_big, span=config.span,
+            dma_slots=config.dma_slots,
+            tiles_per_program=(config.tiles_per_program
+                               if config.discs_only or config.span != 2
+                               else 1),
             interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
@@ -215,6 +223,13 @@ def render(prims: ScreenPrimitives, camera,
             bin_triangles=config.bin_triangles,
             discs_only=config.discs_only, max_big=config.max_big,
             uniform_look=config.uniform_look, span=config.span,
+            dma_slots=config.dma_slots,
+            # Grid fusion rides the exit-off fori walk only; generic
+            # span=2 scenes default to the (measured-faster) exit-on
+            # walk, so the knob applies where the exit is off by policy.
+            tiles_per_program=(config.tiles_per_program
+                               if config.discs_only or config.span != 2
+                               else 1),
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb

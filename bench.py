@@ -32,7 +32,9 @@ Usage: python bench.py [--points N] [--backend pallas6] [--radius R]
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 import traceback
 
@@ -48,6 +50,28 @@ def _emit(metric, value, vs=None, **extra):
                                       else value / TARGET_FPS), 4)}
     rec.update(extra)
     print(json.dumps(rec))
+
+
+def _arm_deadline(args, seconds):
+    """The JSON line must ALWAYS print — including when the tunneled TPU
+    wedges and the first device op hangs forever (observed: jax.devices()
+    blocking >17 min at idle CPU after a half-recovered outage).  A
+    daemon timer emits the error record and hard-exits at the deadline;
+    legitimate runs (compile ~minutes + scan rounds) finish far inside
+    it.  Self-termination after a stuck claim is also the documented
+    remedy (CLAUDE.md tunnel discipline: kill by PID past ~15 min)."""
+
+    def fire():
+        _emit(f"1080p_fps_{args.points // 1000}k_points", 0.0, vs=0.0,
+              error=f"deadline: no result within {seconds}s "
+                    "(wedged device claim?)")
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _retry(what, fn, attempts=3, backoff=2.0):
@@ -547,12 +571,20 @@ def main():
                          "(exit-off walk; kernel6_sweep A/B knob)")
     ap.add_argument("--dma-slots", type=int, default=2,
                     help="v6 exit-off DMA ring depth")
+    ap.add_argument("--deadline", type=int,
+                    default=int(os.environ.get("BENCH_DEADLINE_S", 2400)),
+                    help="hard wall-clock cap in seconds; past it the "
+                         "error JSON line prints and the process exits "
+                         "(0 disables)")
     ap.add_argument("--skip-validate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    timer = _arm_deadline(args, args.deadline) if args.deadline else None
     try:
         run_bench(args)
+        if timer is not None:
+            timer.cancel()
     except BaseException as e:  # noqa: BLE001 — the JSON line must ALWAYS print
         traceback.print_exc()
         _emit(f"1080p_fps_{args.points // 1000}k_points", 0.0, vs=0.0,

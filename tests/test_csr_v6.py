@@ -242,6 +242,10 @@ class TestPallasCsr6:
                              np.full(n, 2.0))
         _assert_matches_oracle(soup, allow_exit=False)
         _assert_matches_oracle(soup, allow_exit=False, dma_slots=4)
+        # Empty tiles inside a fused program stress the per-g prefetch
+        # predicates (a live tile must not wait on a chunk its empty
+        # left neighbor never started).
+        _assert_matches_oracle(soup, allow_exit=False, tiles_per_program=4)
 
     def test_tiles_per_program_grid_fusion(self):
         """Grid fusion (several tiles per pallas program) must be

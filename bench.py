@@ -91,10 +91,12 @@ def _retry(what, fn, attempts=3, backoff=2.0):
     raise last
 
 
-def validate_on_chip(verbose=False):
+def validate_on_chip(verbose=False, tpp=1, dma_slots=2):
     """Mixed-scene winner-exactness of the compiled kernel vs the tiled
     backend, on whatever platform is live (the real chip under the
-    driver).  Cheap (~20k prims).  Raises on mismatch."""
+    driver).  Cheap (~20k prims).  Raises on mismatch.  ``tpp`` /
+    ``dma_slots`` mirror the TIMED v6 configuration so the certified
+    kernel is the benched kernel."""
     import jax.numpy as jnp
 
     from pointcloud_render_tpu.raster import xla_tiled
@@ -160,7 +162,9 @@ def validate_on_chip(verbose=False):
         d7, i7 = rasterize_pallas_csr6(soup, cam.width, cam.height,
                                        unroll=4)
         d8, i8 = rasterize_pallas_csr6(disc_soup, cam.width, cam.height,
-                                       unroll=4, discs_only=True)
+                                       unroll=4, discs_only=True,
+                                       tiles_per_program=tpp,
+                                       dma_slots=dma_slots)
         # v6 FUSED (u, v) two-tone shade (the TIMED shading path) vs
         # the generic by-id gather: same winners, rgb within the
         # FMA-contraction tolerance the interpret tests pin.
@@ -168,7 +172,8 @@ def validate_on_chip(verbose=False):
         look = ((0.3, 0.3, 0.3), (1.0, 1.0, 1.0))
         rgb_f, _, i_f = render_shaded_csr6(
             disc_soup, cam, cfg, discs_only=True, max_big=256,
-            uniform_look=look)
+            uniform_look=look, tiles_per_program=tpp,
+            dma_slots=dma_slots)
         rgb_g, _, i_g = render_shaded_csr6(
             disc_soup, cam, cfg, discs_only=True, max_big=256)
         m_fused = jnp.mean(
@@ -359,7 +364,10 @@ def run_bench(args):
     # Exactness gate: certify the compiled kernels on this platform
     # before timing (skippable for quick local loops).
     if not args.skip_validate and jax.default_backend() == "tpu":
-        _retry("on-chip validation", lambda: validate_on_chip(args.verbose))
+        _retry("on-chip validation",
+               lambda: validate_on_chip(args.verbose,
+                                        tpp=args.tiles_per_program,
+                                        dma_slots=args.dma_slots))
 
     state = {}
 

@@ -455,7 +455,8 @@ def _bench_trail_scene(args, make_camera, positions):
     def soup(fi):
         camera = make_camera(fi)
         return build_primitives(preset, camera, positions, velocities,
-                                fi), camera
+                                fi, trail_segments=args.trail_segments
+                                ), camera
 
     cam0 = make_camera(jnp.int32(0))
     w, h = cam0.width, cam0.height
@@ -561,6 +562,12 @@ def main():
     ap.add_argument("--trail-frames", type=int, default=24,
                     help="frames for the secondary trail-scene metric "
                          "(0 disables)")
+    ap.add_argument("--trail-segments", type=int, default=None,
+                    help="capsules per velocity trail for the trail "
+                         "metric (default: pipeline's 8; fewer segments "
+                         "shrink the 9M-prim soup ~linearly but bin "
+                         "quadratically more tiles on diagonal trails "
+                         "— a per-scene A/B lever)")
     ap.add_argument("--trail-span", default="auto",
                     choices=("auto", "2", "4"),
                     help="v6 binning span for the trail metric: 4 bins "

@@ -48,7 +48,8 @@ VEL_TRAIL_RENDER_SEGMENTS = 8
 def build_primitives(preset: ScenePreset, camera: Camera, positions,
                      velocities=None, frame_index=0, history=None,
                      rotations=None, droplet_lod: str = "capsule",
-                     return_layout: bool = False):
+                     return_layout: bool = False,
+                     trail_segments: int = None):
     """Assemble the frame's primitive soup (traceable).
 
     Primitive order (= depth-tie priority): ground, splats, trails.
@@ -58,6 +59,14 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
     fixed furniture like the ground).  Every per-point part is row-major in
     point index, so the layout is enough to map a row of a point-SHARD's
     soup to its id in the full-cloud soup (parallel/render_parallel.py).
+
+    ``trail_segments`` overrides VEL_TRAIL_RENDER_SEGMENTS (velocity
+    trails only; 1..20).  Fewer, longer capsules shrink the soup
+    proportionally (sort/row-gather/build are O(prims)) at the cost of a
+    coarser chord approximation and a larger per-capsule screen bbox
+    (quadratically more binned tiles for diagonal trails, earlier
+    big-list spill) — a measured per-scene trade, exposed for A/B
+    (bench.py --trail-segments).
     """
     parts = [ground_plane(camera, preset.ground_half_extent,
                           preset.ground_center)]
@@ -125,9 +134,13 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
         # Only the sampled vertices are COMPUTED (bit-identical to
         # subsampling the full 21-point build; ~60% of the trail-point
         # work at 1M points was discarded vertices).
+        segs = (VEL_TRAIL_RENDER_SEGMENTS if trail_segments is None
+                else trail_segments)
+        if not 1 <= segs <= trails_mod.N_TRAIL_POINTS:
+            raise ValueError(
+                f"trail_segments must be in 1..{trails_mod.N_TRAIL_POINTS}")
         sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS,
-                                   VEL_TRAIL_RENDER_SEGMENTS + 1)
-                       ).astype(np.int32)
+                                   segs + 1)).astype(np.int32)
         ends, valid = trails_mod.velocity_trails_sampled(
             positions, velocities, frame_index, sub,
             preset.trail_schedule)

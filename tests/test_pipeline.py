@@ -327,3 +327,48 @@ def test_profiler_trace_writes_files(tmp_path, small_camera):
     for root, _, files in os.walk(trace_dir):
         found += files
     assert found  # a trace artifact was produced
+
+
+def test_trail_segments_knob(small_camera):
+    """build_primitives(trail_segments=K): K capsules per velocity trail
+    whose vertices are a bit-exact subsample of the 21-point reference
+    trail (trails.py velocity_trails); soup shrinks accordingly.  The
+    knob is the bench's --trail-segments A/B lever."""
+    import jax.numpy as jnp
+
+    from pointcloud_render_tpu.geometry import trails as trails_mod
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.scene.camera import TARGETS, Camera
+
+    preset = PRESETS["traj_ball"]
+    cam = Camera(origin=np.array([2.0, 2.0, 2.2], np.float32),
+                 target=np.asarray(TARGETS["traj_ball"], np.float32))
+    rng = np.random.default_rng(3)
+    n = 50
+    pos = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)
+    fi = jnp.int32(120)
+
+    s8, layout8 = build_primitives(preset, cam, pos, vel, fi,
+                                   return_layout=True)
+    s4, layout4 = build_primitives(preset, cam, pos, vel, fi,
+                                   return_layout=True, trail_segments=4)
+    # ground rows identical; trails shrink 8 -> 4 capsules per point.
+    assert layout8[-1] == (8 * n, 8)
+    assert layout4[-1] == (4 * n, 4)
+    assert s8.count - s4.count == 4 * n
+
+    # The K=4 vertex set is a bit-exact subsample of the full trail.
+    full, valid = trails_mod.velocity_trails(pos, vel, fi,
+                                             preset.trail_schedule)
+    sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS, 5)
+                   ).astype(np.int32)
+    ends, v4 = trails_mod.velocity_trails_sampled(pos, vel, fi, sub,
+                                                  preset.trail_schedule)
+    np.testing.assert_array_equal(np.asarray(ends),
+                                  np.asarray(full[:, sub]))
+    np.testing.assert_array_equal(np.asarray(v4), np.asarray(valid))
+
+    for bad in (0, 21):
+        with pytest.raises(ValueError):
+            build_primitives(preset, cam, pos, vel, fi, trail_segments=bad)

@@ -1,0 +1,109 @@
+"""Fine-grained probe of the disc frame's BUILD stage (~6 ms at 1M pts).
+
+The v6 stage budget (stage_profile6) shows build as one number; this
+splits it: projection alone, the disc soup (projection + param/bbox/
+color blocks), the ground concat, and the binned-key computation that
+consumes it — to decide whether a soup-free disc fast path would pay.
+
+Run on the TPU: python benchmarks/build_probe.py [--points N]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(name, fn, *a, reps=8):
+    from pointcloud_render_tpu.utils import aot
+
+    c = aot.compile_const_free(fn, *a)
+    out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = c(*a)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:40s} {dt * 1e3:8.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--frame", type=int, default=120)
+    ap.add_argument("--radius", type=float, default=0.002)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    from pointcloud_render_tpu.raster import pallas_csr6
+    from pointcloud_render_tpu.raster.primitives import (
+        ScreenPrimitives,
+        discs_from_points,
+    )
+    from pointcloud_render_tpu.raster.project import project_points
+    from pointcloud_render_tpu.raster.render import ground_plane
+    from pointcloud_render_tpu.scene.camera import (
+        TARGETS,
+        TOTAL_FRAMES,
+        Camera,
+        camera_origin_jax,
+    )
+
+    n = args.points
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    radii = jnp.full((n,), args.radius, jnp.float32)
+    fi = jnp.int32(args.frame)
+    gray = np.array([0.3, 0.3, 0.3], np.float32)
+
+    def cam_of(fi):
+        return Camera(
+            origin=camera_origin_jax("traj_ball", fi, TOTAL_FRAMES),
+            target=np.asarray(TARGETS["traj_ball"], np.float32))
+
+    def s_project(p, fi):
+        proj = project_points(p, cam_of(fi), radii=radii)
+        return proj["px"].sum() + proj["r_px"].sum()
+
+    def s_discs(p, fi):
+        soup = discs_from_points(p, cam_of(fi), radii, gray)
+        return soup.params.sum() + soup.bbox.sum()
+
+    def s_concat(p, fi):
+        cam = cam_of(fi)
+        soup = ScreenPrimitives.concatenate([
+            ground_plane(cam, 10.0, (0.0, 0.0, -0.5)),
+            discs_from_points(p, cam, radii, gray)])
+        return soup.params.sum() + soup.bbox.sum()
+
+    def s_bin(p, fi):
+        cam = cam_of(fi)
+        soup = ScreenPrimitives.concatenate([
+            ground_plane(cam, 10.0, (0.0, 0.0, -0.5)),
+            discs_from_points(p, cam, radii, gray)])
+        tiles_y, tiles_x = -(-cam.height // 32), -(-cam.width // 32)
+        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
+            soup, 32, 32, tiles_y * tiles_x, tiles_x, tiles_y,
+            max_big=1024, discs_only=True)
+        return sk[0] + sp[0] + bc
+
+    t1 = timed("projection only", s_project, pos, fi)
+    t2 = timed("disc soup (params/bbox/color)", s_discs, pos, fi)
+    t3 = timed("+ ground concat", s_concat, pos, fi)
+    t4 = timed("+ bin keys + sort", s_bin, pos, fi)
+    print(f"\ndeltas: soup={1e3 * (t2 - t1):.2f} "
+          f"concat={1e3 * (t3 - t2):.2f} bin={1e3 * (t4 - t3):.2f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,7 @@ from pointcloud_render_tpu.raster.primitives import (
     KIND_CAPSULE,
     KIND_DISC,
     KIND_TRIANGLE,
+    ScreenPrimitives,
 )
 
 INF = np.float32(np.inf)
@@ -197,7 +198,8 @@ def bin_diagnostics4(prims, width: int, height: int, tile_h: int = 32,
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
-def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
+def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False,
+                   idf=None, pad=True):
     """(P+1, 16) f32 prim table; row P is the all-zero pad/sentinel.
 
     KERNEL-ONLY layout (the shade pass builds its own compact table):
@@ -209,9 +211,12 @@ def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
     triangles ride the big list even when ``bin_triangles`` is off.
     ``bin_triangles`` only controls the zlb lane (the binned stream's
     early-exit bound; the big stream never reads it).
+
+    ``idf``/``pad`` serve _build_table16_rows (gathered sub-soups whose
+    id lane must carry the ORIGINAL prim indices, unpadded).
     """
     p = prims.count
-    idf = jnp.arange(p, dtype=jnp.float32)
+    idf = jnp.arange(p, dtype=jnp.float32) if idf is None else idf
     zlb = _z_lower_bound(prims, with_triangles=bin_triangles)
     is_tri = (prims.kind == KIND_TRIANGLE)[:, None]
     mid = jnp.where(is_tri,
@@ -234,7 +239,38 @@ def _build_table16(prims, shade_rgb, shade_flag, bin_triangles=False):
     # row is inert under both evals (rad = 0; kf = 0 tri with iz = 0).
     # jnp.where, not *, so non-finite params can't leak NaNs.
     table = jnp.where(prims.valid[:, None], table, 0.0)
-    return jnp.pad(table, ((0, 1), (0, 0)))
+    return jnp.pad(table, ((0, 1), (0, 0))) if pad else table
+
+
+def _build_table16_rows(prims, shade_rgb, shade_flag, ids,
+                        bin_triangles=False):
+    """Rows ``_build_table16(...)[ids]`` WITHOUT materializing the
+    (P+1, 16) table: gather the per-prim inputs at ``ids`` first, then
+    run the identical elementwise layout on the small result.
+
+    Bit-equal per row because every lane is an elementwise function of
+    the gathered columns (gather and elementwise commute).  Indices
+    outside [0, P) (the sentinel pad P, the big list's -1 empties)
+    produce the all-zero row — inert under both kernel evals, exactly
+    like the padded table's sentinel.  Used by the pallas_csr6
+    discs_only path, where the binned stream rides 8-float rows and
+    only the few big-list prims need 16-float rows (skipping a
+    P x 16 f32 materialization per frame)."""
+    p = prims.count
+    ids = jnp.asarray(ids, jnp.int32)
+    safe = jnp.clip(ids, 0, p - 1)
+    m = ids.shape[0]
+    sub = ScreenPrimitives(
+        kind=prims.kind[safe],
+        params=prims.params[safe],
+        color=jnp.zeros((m, 3), jnp.float32),
+        valid=prims.valid[safe] & (ids >= 0) & (ids < p),
+        bbox=prims.bbox[safe],
+        normal=jnp.zeros((m, 3), jnp.float32),
+    )
+    return _build_table16(sub, shade_rgb[safe], shade_flag[safe],
+                          bin_triangles=bin_triangles,
+                          idf=ids.astype(jnp.float32), pad=False)
 
 
 def _make_row_body16(scr, slot, nchains, tri, qx, qy):

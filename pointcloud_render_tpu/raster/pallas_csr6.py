@@ -68,6 +68,7 @@ from pointcloud_render_tpu.raster.pallas_csr4 import (
     F_EMPTY,
     INF,
     _build_table16,
+    _build_table16_rows,
     _make_row_body16,
     _stream_big,
     _z_lower_bound,
@@ -709,7 +710,9 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   dma_slots=2, fused_uv=False, tiles_per_program=1):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
-    lambert (u, v) images; +inf marks big-list winners).  diag's
+    lambert (u, v) images; +inf marks big-list winners); ``table16``
+    is None under ``discs_only`` (big rows are built at the big ids
+    directly, see _build_table16_rows).  diag's
     ``big_overflow`` must be 0 for exactness (``true_entries`` reports
     the would-be v4 entry count for observability — v6 itself has no
     capacity precondition)."""
@@ -785,8 +788,11 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     pack = 128 // row_f
     p_pad = -(-(p + chunk_rows + pack) // chunk_rows) * chunk_rows
 
-    table16 = _build_table16(prims, shade_rgb, shade_flag,
-                             bin_triangles=bin_triangles)
+    big_chunk = DEFAULT_BIG_CHUNK
+    big = big_ids.shape[0]
+    big_pad = -(-(big + 1) // big_chunk) * big_chunk
+    big_ids_p = jnp.pad(big_ids, (0, big_pad - big), constant_values=p)
+
     prims_p = jnp.pad(sorted_prims, (0, p_pad - p), constant_values=p)
     if discs_only:
         # Narrow 8-float disc rows: [px, py, z, r^2, idf, 0, 0, 0] —
@@ -804,14 +810,18 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         table8 = jnp.where(prims.valid[:, None], table8, 0.0)
         table8 = jnp.pad(table8, ((0, 1), (0, 0)))
         rows = table8[prims_p].reshape(p_pad // pack, 128)
+        # Only the big list needs 16-float rows here: build them at the
+        # big ids directly instead of materializing the whole P x 16
+        # table (a ~P*64 B write per frame saved; bit-equal rows).
+        table16 = None
+        big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
+                                       big_ids_p,
+                                       bin_triangles=bin_triangles)
     else:
+        table16 = _build_table16(prims, shade_rgb, shade_flag,
+                                 bin_triangles=bin_triangles)
         rows = table16[prims_p].reshape(p_pad // pack, 128)
-
-    big_chunk = DEFAULT_BIG_CHUNK
-    big = big_ids.shape[0]
-    big_pad = -(-(big + 1) // big_chunk) * big_chunk
-    big_rows = table16[jnp.pad(big_ids, (0, big_pad - big),
-                               constant_values=p)]
+        big_rows = table16[big_ids_p]
     big_rows = big_rows.reshape(big_pad // PACK, 128)
     # A one-chunk big list (e.g. just the ground) rides a constant-
     # index SMEM block — fetched once for the whole grid instead of a

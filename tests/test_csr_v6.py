@@ -495,3 +495,34 @@ class TestPallasCsr6Span4:
         soup = ScreenPrimitives.concatenate(
             [ground_plane(cam, 10.0, (0, 0, -0.5)), discs])
         _assert_matches_oracle(soup, span=4)
+
+
+class TestBuildTable16Rows:
+    """_build_table16_rows == _build_table16(...)[ids] bit-for-bit (the
+    discs_only big-row path builds rows at the big ids directly instead
+    of materializing the (P+1, 16) table)."""
+
+    def test_bit_equal_incl_sentinels(self):
+        from pointcloud_render_tpu.raster.pallas_csr3 import _preshade
+        from pointcloud_render_tpu.raster.pallas_csr4 import (
+            _build_table16,
+            _build_table16_rows,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        soup = _mixed_soup(cam)
+        rgb, flag = _preshade(soup, cam, ShadingConfig())
+        p = soup.count
+        rng = np.random.default_rng(11)
+        ids = np.concatenate([
+            rng.integers(0, p, 64),
+            [p, p, -1, -1, 0, p - 1],  # pad sentinel / big-list empties
+        ]).astype(np.int32)
+        for bt in (False, True):
+            full = _build_table16(soup, rgb, flag, bin_triangles=bt)
+            want = np.asarray(full)[np.clip(ids, 0, p)]
+            want[ids < 0] = 0.0  # -1 empties: zero row (inert), by spec
+            got = np.asarray(_build_table16_rows(
+                soup, rgb, flag, jnp.asarray(ids), bin_triangles=bt))
+            np.testing.assert_array_equal(got, want)

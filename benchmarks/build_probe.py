@@ -1,11 +1,13 @@
-"""Fine-grained probe of the disc frame's BUILD stage (~6 ms at 1M pts).
+"""Fine-grained probe of the frame's BUILD stage.
 
-The v6 stage budget (stage_profile6) shows build as one number; this
-splits it: projection alone, the disc soup (projection + param/bbox/
-color blocks), the ground concat, and the binned-key computation that
-consumes it — to decide whether a soup-free disc fast path would pay.
+The v6 stage budget (stage_profile6) shows build as one number (disc
+~6 ms, trail ~52 ms at 1M pts); this splits it — projection alone, the
+per-part soup blocks, the concat, and the bin-key computation that
+consumes it — to decide whether a soup-free fast path or a concat-free
+layout would pay.
 
-Run on the TPU: python benchmarks/build_probe.py [--points N]
+Run on the TPU: python benchmarks/build_probe.py [--scene disc|trail]
+    [--points N]
 """
 import argparse
 import os
@@ -37,6 +39,7 @@ def timed(name, fn, *a, reps=8):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="disc", choices=["disc", "trail"])
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--frame", type=int, default=120)
     ap.add_argument("--radius", type=float, default=0.002)
@@ -96,12 +99,65 @@ def main():
             max_big=1024, discs_only=True)
         return sk[0] + sp[0] + bc
 
-    t1 = timed("projection only", s_project, pos, fi)
-    t2 = timed("disc soup (params/bbox/color)", s_discs, pos, fi)
-    t3 = timed("+ ground concat", s_concat, pos, fi)
-    t4 = timed("+ bin keys + sort", s_bin, pos, fi)
-    print(f"\ndeltas: soup={1e3 * (t2 - t1):.2f} "
-          f"concat={1e3 * (t3 - t2):.2f} bin={1e3 * (t4 - t3):.2f} ms",
+    if args.scene == "disc":
+        t1 = timed("projection only", s_project, pos, fi)
+        t2 = timed("disc soup (params/bbox/color)", s_discs, pos, fi)
+        t3 = timed("+ ground concat", s_concat, pos, fi)
+        t4 = timed("+ bin keys + sort", s_bin, pos, fi)
+        print(f"\ndeltas: soup={1e3 * (t2 - t1):.2f} "
+              f"concat={1e3 * (t3 - t2):.2f} bin={1e3 * (t4 - t3):.2f} ms",
+              flush=True)
+        return
+
+    # --- trail scene: the 9M-prim traj_ball soup, part by part.
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.geometry import trails as trails_mod
+    from pointcloud_render_tpu.raster.primitives import (
+        capsules_from_polylines,
+    )
+    from pointcloud_render_tpu.run.pipeline import (
+        VEL_TRAIL_RENDER_SEGMENTS,
+        build_primitives,
+    )
+
+    vel = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
+    preset = PRESETS["traj_ball"]
+    segs = VEL_TRAIL_RENDER_SEGMENTS
+    sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS,
+                               segs + 1)).astype(np.int32)
+
+    def s_verts(p, v, fi):
+        ends, valid = trails_mod.velocity_trails_sampled(
+            p, v, fi, sub, preset.trail_schedule)
+        return ends.sum() + valid.sum()
+
+    def s_caps(p, v, fi):
+        ends, valid = trails_mod.velocity_trails_sampled(
+            p, v, fi, sub, preset.trail_schedule)
+        vv = jnp.broadcast_to(valid[:, None], ends.shape[:2])
+        caps = capsules_from_polylines(
+            ends, vv, cam_of(fi), preset.trail_radius,
+            np.asarray(preset.trail_color, np.float32))
+        return caps.params.sum() + caps.bbox.sum()
+
+    def s_full(p, v, fi):
+        soup = build_primitives(preset, cam_of(fi), p, v, fi)
+        return soup.params.sum() + soup.bbox.sum()
+
+    def s_table16(p, v, fi):
+        from pointcloud_render_tpu.raster.pallas_csr4 import _build_table16
+
+        soup = build_primitives(preset, cam_of(fi), p, v, fi)
+        tab = _build_table16(soup, jnp.zeros((soup.count, 3), jnp.float32),
+                             jnp.zeros((soup.count,), jnp.float32))
+        return tab.sum() + soup.bbox.sum()
+
+    t1 = timed("trail vertices (sampled)", s_verts, pos, vel, fi)
+    t2 = timed("capsule part (proj + blocks)", s_caps, pos, vel, fi)
+    t3 = timed("full soup (discs + concat)", s_full, pos, vel, fi)
+    t4 = timed("+ table16 build", s_table16, pos, vel, fi)
+    print(f"\ndeltas: caps={1e3 * (t2 - t1):.2f} "
+          f"rest={1e3 * (t3 - t2):.2f} table16={1e3 * (t4 - t3):.2f} ms",
           flush=True)
 
 

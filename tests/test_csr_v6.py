@@ -526,3 +526,23 @@ class TestBuildTable16Rows:
             got = np.asarray(_build_table16_rows(
                 soup, rgb, flag, jnp.asarray(ids), bin_triangles=bt))
             np.testing.assert_array_equal(got, want)
+
+
+class TestCombinedKnobs:
+    def test_span4_tpp_dma_ring_combined(self):
+        """The A/B knobs compose: span=4 binning x grid fusion x a deep
+        DMA ring must stay bit-identical to the default walk (the TPU
+        sweep runs these combinations; this pins the index math)."""
+        soup = _mixed_soup(make_camera(), seed=17, radius=0.04)
+        d1, i1 = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                       allow_exit=False)
+        d, i = rasterize_pallas_csr6(soup, W, H, interpret=True, span=4,
+                                     allow_exit=False, tiles_per_program=4,
+                                     dma_slots=4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+        # Winners exact; capsule depth may differ by <= 2 ulp between
+        # the two compiled programs (XLA FMA contraction — the
+        # test_raster convention for cross-program comparisons).
+        hit = np.asarray(i1) >= 0
+        np.testing.assert_allclose(np.asarray(d)[hit],
+                                   np.asarray(d1)[hit], rtol=2e-5)

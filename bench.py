@@ -421,6 +421,14 @@ def run_bench(args):
             traceback.print_exc()
             extra[key] = 0.0
             extra["trail_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    if args.droplet_frames > 0:
+        key = f"droplet_fps_{n // 1000}k_points"
+        try:
+            extra[key] = round(_bench_droplet_scene(args, positions), 3)
+        except Exception as e:  # noqa: BLE001 — tertiary metric
+            traceback.print_exc()
+            extra[key] = 0.0
+            extra["droplet_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     _emit(f"1080p_fps_{n // 1000}k_points", fps, **extra)
 
@@ -428,20 +436,54 @@ def run_bench(args):
 def _bench_trail_scene(args, make_camera, positions):
     """The flagship traj_ball TRAIL scene (ground + spheres + velocity
     trails, /root/reference/traj_ball_renderer.py:309-333) at the same
-    point count / 1080p, rendered by the v4 generic kernel through the
-    production pipeline soup builder — one lax.scan over a spread of
-    trajectory frames (VERDICT r2 item 2: a driver-visible number for
-    the reference's primary workload)."""
+    point count / 1080p through the production pipeline soup builder —
+    one lax.scan over a spread of trajectory frames (VERDICT r2 item 2:
+    a driver-visible number for the reference's primary workload)."""
+    return _bench_soup_scene(args, positions, "traj_ball", "capsule",
+                             args.trail_frames,
+                             trail_segments=args.trail_segments)
+
+
+def _bench_droplet_scene(args, positions):
+    """The traj_vel DROPLET scene (ground + droplet splats + fading
+    velocity trails, /root/reference/traj_vel_renderer.py:409-439) at
+    the same point count / 1080p, capsule LOD (disc head + tapered tail
+    capsule — the production LOD at cloud scale; mesh LOD instances
+    640 triangles per point)."""
+    return _bench_soup_scene(args, positions, "traj_vel", "capsule",
+                             args.droplet_frames)
+
+
+def _bench_soup_scene(args, positions, preset_name, droplet_lod,
+                      n_frames, trail_segments=None):
+    """Scan-render ``n_frames`` trajectory frames of a full pipeline
+    soup scene (ground + splats + trails) on the v6 kernel; returns
+    device-side FPS.  Big-list capacity is probed over the trajectory
+    (span auto-selected) and certified per frame by the scan-carried
+    overflow diag."""
     import jax
     import jax.numpy as jnp
 
     from pointcloud_render_tpu.configs import PRESETS
     from pointcloud_render_tpu.raster.render import RasterConfig, render
     from pointcloud_render_tpu.run.pipeline import build_primitives
-    from pointcloud_render_tpu.scene.camera import TARGETS, Camera
+    from pointcloud_render_tpu.scene.camera import (
+        TARGETS,
+        TOTAL_FRAMES,
+        Camera,
+        camera_origin_jax,
+    )
     from pointcloud_render_tpu.utils import aot
 
-    preset = PRESETS["traj_ball"]
+    preset = PRESETS[preset_name]
+    target = np.asarray(TARGETS[preset.camera_preset], np.float32)
+
+    def make_camera(frame_index):
+        return Camera(
+            origin=camera_origin_jax(preset.camera_preset, frame_index,
+                                     TOTAL_FRAMES),
+            target=target)
+
     n = positions.shape[0]
     rng = np.random.default_rng(1)
     velocities = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
@@ -450,13 +492,13 @@ def _bench_trail_scene(args, make_camera, positions):
     # fade tail (closest camera), whose ~13k past-2x2-span segments ride
     # the big list — streamed from HBM in DMA chunks since r3, so there
     # is no SMEM-resident size ceiling on max_big anymore.
-    frames = np.linspace(20, 219, args.trail_frames).astype(np.int32)
+    frames = np.linspace(20, 219, n_frames).astype(np.int32)
 
     def soup(fi):
         camera = make_camera(fi)
         return build_primitives(preset, camera, positions, velocities,
-                                fi, trail_segments=args.trail_segments
-                                ), camera
+                                fi, droplet_lod=droplet_lod,
+                                trail_segments=trail_segments), camera
 
     cam0 = make_camera(jnp.int32(0))
     w, h = cam0.width, cam0.height
@@ -498,7 +540,8 @@ def _bench_trail_scene(args, make_camera, positions):
     need = int(max(bigs) * 1.5) + 64
     max_big = 384 if need <= 384 else ((need + 255) // 256) * 256
     if args.verbose:
-        print(f"# trail big counts {bigs} max_big {max_big} span {span}",
+        print(f"# {preset_name} big counts {bigs} max_big {max_big} "
+              f"span {span}",
               file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span)
@@ -517,13 +560,13 @@ def _bench_trail_scene(args, make_camera, positions):
             jnp.asarray(frames))
         return acc
 
-    compiled = _retry("trail compile", lambda: aot.compile_const_free(
+    compiled = _retry(f"{preset_name} compile", lambda: aot.compile_const_free(
         episode, positions, velocities))
     out = compiled(positions, velocities)
     _, ovf = (np.asarray(v) for v in out)
     if int(ovf) > 0:
         raise RuntimeError(
-            f"trail-scene certificate failed: big-list overflow "
+            f"{preset_name}-scene certificate failed: big-list overflow "
             f"{int(ovf)} (max_big {max_big})")
     times = []
     for _ in range(max(1, args.rounds - 1)):
@@ -533,7 +576,7 @@ def _bench_trail_scene(args, make_camera, positions):
         times.append((time.perf_counter() - t0) / len(frames))
     dt = float(np.median(times))
     if args.verbose:
-        print(f"# trail scene: {dt * 1e3:.2f} ms/frame over "
+        print(f"# {preset_name} scene: {dt * 1e3:.2f} ms/frame over "
               f"{len(frames)} frames", file=sys.stderr)
     return 1.0 / dt
 
@@ -562,6 +605,10 @@ def main():
     ap.add_argument("--trail-frames", type=int, default=24,
                     help="frames for the secondary trail-scene metric "
                          "(0 disables)")
+    ap.add_argument("--droplet-frames", type=int, default=0,
+                    help="frames for the tertiary traj_vel droplet-scene "
+                         "metric, capsule LOD (0 = off; opt-in so the "
+                         "default artifact run stays short)")
     ap.add_argument("--trail-segments", type=int, default=None,
                     help="capsules per velocity trail for the trail "
                          "metric (default: pipeline's 8; fewer segments "

@@ -415,8 +415,7 @@ def run_bench(args):
     if args.trail_frames > 0:
         key = f"trail_fps_{n // 1000}k_points"
         try:
-            extra[key] = round(
-                _bench_trail_scene(args, make_camera, positions), 3)
+            extra[key] = round(_bench_trail_scene(args, positions), 3)
         except Exception as e:  # noqa: BLE001 — secondary metric
             traceback.print_exc()
             extra[key] = 0.0
@@ -433,7 +432,7 @@ def run_bench(args):
     _emit(f"1080p_fps_{n // 1000}k_points", fps, **extra)
 
 
-def _bench_trail_scene(args, make_camera, positions):
+def _bench_trail_scene(args, positions):
     """The flagship traj_ball TRAIL scene (ground + spheres + velocity
     trails, /root/reference/traj_ball_renderer.py:309-333) at the same
     point count / 1080p through the production pipeline soup builder —

@@ -324,7 +324,6 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   tiles_per_program=1):
     k2 = span * span
     pack = 128 // row_f
-    zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
     assert chunk_rows % pack == 0
     assert big_chunk % PACK == 0
     assert not (fused_uv and allow_exit)

@@ -85,14 +85,14 @@ def main():
     W, H = cam0.width, cam0.height
 
     def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2,
-               mb=None, tpp=1):
+               mb=None, tpp=1, sm="scan"):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
                 soup, W, H, unroll=unroll, max_big=mb or max_big,
                 discs_only=discs_only, chunk_rows=chunk_rows,
                 allow_exit=allow_exit, dma_slots=dma_slots, span=span,
-                tiles_per_program=tpp)
+                tiles_per_program=tpp, starts_method=sm)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
         return f
@@ -116,6 +116,16 @@ def main():
     for tpp in (2, 4, 8):
         timed(f"chunk=256 exit=0 unroll=4 tpp={tpp}",
               raster(256, False, 4, tpp=tpp), pos, vel)
+    # starts stage: searchsorted method A/B in-frame (scan = default;
+    # sort merges the bounds into the keys — see starts_probe.py).
+    timed("chunk=256 exit=0 unroll=4 starts=sort",
+          raster(256, False, 4, sm="sort"), pos, vel)
+    if not discs_only:
+        timed("chunk=256 exit=0 u=4 span=4 starts=sort",
+              raster(256, False, 4, span=4, mb=max_big, sm="sort"),
+              pos, vel)
+        timed("chunk=256 exit=0 u=4 span=4 starts=scan",
+              raster(256, False, 4, span=4, mb=max_big), pos, vel)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).

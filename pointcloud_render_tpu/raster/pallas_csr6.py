@@ -706,7 +706,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
                   discs_only=False, allow_exit=None, span=2,
-                  dma_slots=2, fused_uv=False, tiles_per_program=1):
+                  dma_slots=2, fused_uv=False, tiles_per_program=1,
+                  starts_method="scan"):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners); ``table16``
@@ -766,8 +767,12 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     # (anchor, class) boundaries: B[j] = first sorted position with
     # anchor*k2+cls >= j.  B[k2*T] = number of binned prims.
     bounds = (np.arange(num_tiles * k2 + 1, dtype=np.int32) << ZQ)
-    starts = jnp.searchsorted(sorted_keys, jnp.asarray(bounds)).astype(
-        jnp.int32)
+    # method: integer searchsorted is method-invariant (side='left'),
+    # so this is a pure perf knob — 'scan' costs ~320 ns/bound (8k-32k
+    # bounds), 'sort' one extra (P+B) merge-sort (benchmarks/
+    # starts_probe.py + kernel6_sweep A/B it in-frame).
+    starts = jnp.searchsorted(sorted_keys, jnp.asarray(bounds),
+                              method=starts_method).astype(jnp.int32)
     # Entry count (sum over tiles of range lengths = per-class tile
     # coverage) — reported for observability/tests, not a precondition.
     cls_counts = starts[1:] - starts[:-1]
@@ -931,7 +936,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           return_diag: bool = False,
                           allow_exit=None, span: int = 2,
                           dma_slots: int = 2,
-                          tiles_per_program: int = 1):
+                          tiles_per_program: int = 1,
+                          starts_method: str = "scan"):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -949,7 +955,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         interpret, zeros3, zerosf, max_big=max_big,
         bin_triangles=bin_triangles, discs_only=discs_only,
         allow_exit=allow_exit, span=span, dma_slots=dma_slots,
-        tiles_per_program=tiles_per_program)
+        tiles_per_program=tiles_per_program,
+        starts_method=starts_method)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag

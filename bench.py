@@ -74,6 +74,35 @@ def _arm_deadline(args, seconds):
     return t
 
 
+def _apply_tuned(args):
+    """Fill every knob the user left unset from tuned_defaults.json —
+    the sweep queue's measured-best winners (utils/tuned.py docstring).
+    Explicit CLI flags always win; absent file = builtin defaults."""
+    from pointcloud_render_tpu.utils import tuned as _t
+
+    t = _t.load_tuned()
+    disc = t.get("disc") or {}
+    trail = t.get("trail") or {}
+    args.tiles_per_program = _t.fill(args.tiles_per_program, disc,
+                                     "tiles_per_program", 1)
+    args.dma_slots = _t.fill(args.dma_slots, disc, "dma_slots", 2)
+    args.chunk_rows = _t.fill(args.chunk_rows, disc, "chunk_rows", None)
+    args.unroll = _t.fill(args.unroll, disc, "unroll", 4)
+    ae = _t.fill(args.allow_exit, disc, "allow_exit", "auto")
+    args.allow_exit = {True: "on", False: "off"}.get(ae, ae)
+    args.starts_method = _t.fill(args.starts_method, disc,
+                                 "starts_method", "scan")
+    if not args.no_uniform_look and disc.get("uniform_look") is False:
+        args.no_uniform_look = True
+    args.trail_span = _t.fill(args.trail_span, trail, "span", "auto")
+    args.trail_segments = _t.fill(args.trail_segments, trail,
+                                  "segments", None)
+    args.trail_starts_method = trail.get("starts_method", "scan")
+    if t:
+        print(f"# tuned defaults applied ({_t.TUNED_PATH}): "
+              f"{t.get('note', '')}", file=sys.stderr)
+
+
 def _retry(what, fn, attempts=3, backoff=2.0):
     """Run fn() with retries on device runtime errors (fresh state each
     try is the CALLER's job — fn should recompile/reallocate inside)."""
@@ -91,12 +120,13 @@ def _retry(what, fn, attempts=3, backoff=2.0):
     raise last
 
 
-def validate_on_chip(verbose=False, tpp=1, dma_slots=2):
+def validate_on_chip(verbose=False, tpp=1, dma_slots=2, chunk_rows=None,
+                     allow_exit=None, starts_method="scan", unroll6=4):
     """Mixed-scene winner-exactness of the compiled kernel vs the tiled
     backend, on whatever platform is live (the real chip under the
-    driver).  Cheap (~20k prims).  Raises on mismatch.  ``tpp`` /
-    ``dma_slots`` mirror the TIMED v6 configuration so the certified
-    kernel is the benched kernel."""
+    driver).  Cheap (~20k prims).  Raises on mismatch.  The v6 knob
+    params mirror the TIMED configuration (tuned or flagged) so the
+    certified kernel is the benched kernel."""
     import jax.numpy as jnp
 
     from pointcloud_render_tpu.raster import xla_tiled
@@ -161,10 +191,13 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2):
         # mode on the disc soup (the TIMED bench configuration).
         d7, i7 = rasterize_pallas_csr6(soup, cam.width, cam.height,
                                        unroll=4)
+        ck = {} if chunk_rows is None else {"chunk_rows": chunk_rows}
         d8, i8 = rasterize_pallas_csr6(disc_soup, cam.width, cam.height,
-                                       unroll=4, discs_only=True,
+                                       unroll=unroll6, discs_only=True,
                                        tiles_per_program=tpp,
-                                       dma_slots=dma_slots)
+                                       dma_slots=dma_slots,
+                                       allow_exit=allow_exit,
+                                       starts_method=starts_method, **ck)
         # v6 FUSED (u, v) two-tone shade (the TIMED shading path) vs
         # the generic by-id gather: same winners, rgb within the
         # FMA-contraction tolerance the interpret tests pin.
@@ -173,7 +206,8 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2):
         rgb_f, _, i_f = render_shaded_csr6(
             disc_soup, cam, cfg, discs_only=True, max_big=256,
             uniform_look=look, tiles_per_program=tpp,
-            dma_slots=dma_slots)
+            dma_slots=dma_slots, unroll=unroll6,
+            starts_method=starts_method, **ck)
         rgb_g, _, i_g = render_shaded_csr6(
             disc_soup, cam, cfg, discs_only=True, max_big=256)
         m_fused = jnp.mean(
@@ -333,7 +367,12 @@ def run_bench(args):
                           max_big=256 if args.backend == "pallas6" else 1024,
                           uniform_look=uniform_look,
                           tiles_per_program=args.tiles_per_program,
-                          dma_slots=args.dma_slots)
+                          dma_slots=args.dma_slots,
+                          chunk_rows=args.chunk_rows,
+                          allow_exit={"on": True,
+                                      "off": False}.get(args.allow_exit),
+                          starts_method=args.starts_method,
+                          unroll=args.unroll)
 
     with_diag = args.backend == "pallas6"
 
@@ -365,9 +404,15 @@ def run_bench(args):
     # before timing (skippable for quick local loops).
     if not args.skip_validate and jax.default_backend() == "tpu":
         _retry("on-chip validation",
-               lambda: validate_on_chip(args.verbose,
-                                        tpp=args.tiles_per_program,
-                                        dma_slots=args.dma_slots))
+               lambda: validate_on_chip(
+                   args.verbose,
+                   tpp=args.tiles_per_program,
+                   dma_slots=args.dma_slots,
+                   chunk_rows=args.chunk_rows,
+                   allow_exit={"on": True,
+                               "off": False}.get(args.allow_exit),
+                   starts_method=args.starts_method,
+                   unroll6=args.unroll))
 
     state = {}
 
@@ -543,7 +588,9 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
               f"span {span}",
               file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
-                          max_big=max_big, span=span)
+                          max_big=max_big, span=span,
+                          starts_method=getattr(args, "trail_starts_method",
+                                                "scan"))
 
     def episode(positions, velocities):
         def body(acc, fi):
@@ -614,7 +661,7 @@ def main():
                          "shrink the 9M-prim soup ~linearly but bin "
                          "quadratically more tiles on diagonal trails "
                          "— a per-scene A/B lever)")
-    ap.add_argument("--trail-span", default="auto",
+    ap.add_argument("--trail-span", default=None,
                     choices=("auto", "2", "4"),
                     help="v6 binning span for the trail metric: 4 bins "
                          "the fade-frame long segments that flood the "
@@ -627,11 +674,27 @@ def main():
     ap.add_argument("--no-uniform-look", action="store_true",
                     help="disable the pallas6 fused (u, v) two-tone "
                          "shade (A/B escape)")
-    ap.add_argument("--tiles-per-program", type=int, default=1,
+    # v6 knob flags default to None = "tuned_defaults.json, else builtin"
+    # (utils/tuned.py): the sweep queue distills its winners into that
+    # file so the driver's FLAGLESS end-of-round run times the
+    # measured-best configuration without anyone re-editing defaults.
+    ap.add_argument("--tiles-per-program", type=int, default=None,
                     help="v6 grid fusion: tiles per pallas program "
-                         "(exit-off walk; kernel6_sweep A/B knob)")
-    ap.add_argument("--dma-slots", type=int, default=2,
-                    help="v6 exit-off DMA ring depth")
+                         "(exit-off walk; kernel6_sweep A/B knob; "
+                         "default tuned|1)")
+    ap.add_argument("--dma-slots", type=int, default=None,
+                    help="v6 exit-off DMA ring depth (default tuned|2)")
+    ap.add_argument("--chunk-rows", type=int, default=None,
+                    help="v6 binned-row DMA chunk (default tuned|kernel)")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="merge-accumulator chains (default tuned|4)")
+    ap.add_argument("--allow-exit", default=None,
+                    choices=("auto", "on", "off"),
+                    help="v6 depth early-exit walk (default tuned|auto "
+                         "policy; the fused uv shade forces off)")
+    ap.add_argument("--starts-method", default=None,
+                    choices=("scan", "sort"),
+                    help="v6 CSR range-starts stage (default tuned|scan)")
     ap.add_argument("--deadline", type=int,
                     default=int(os.environ.get("BENCH_DEADLINE_S", 2400)),
                     help="hard wall-clock cap in seconds; past it the "
@@ -640,6 +703,7 @@ def main():
     ap.add_argument("--skip-validate", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+    _apply_tuned(args)
 
     timer = _arm_deadline(args, args.deadline) if args.deadline else None
     try:

@@ -8,6 +8,7 @@ scalar work, or chunk size).
 Run: python benchmarks/kernel6_sweep.py [--scene disc|trail]
 """
 import argparse
+import json
 import os
 import sys
 import time
@@ -19,8 +20,14 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Machine-readable mirror of every timed line (one JSON record per
+# config) so benchmarks/pick_tuned.py can distill the winners into
+# tuned_defaults.json unattended — the sweep runs from the TPU probe
+# queue with nobody watching (utils/tuned.py docstring).
+_JSONL = [None]
 
-def timed(name, fn, *a, reps=6):
+
+def timed(name, fn, *a, reps=6, knobs=None):
     from pointcloud_render_tpu.utils import aot
 
     c = aot.compile_const_free(fn, *a)
@@ -32,6 +39,10 @@ def timed(name, fn, *a, reps=6):
     float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:52s} {dt * 1e3:8.2f} ms", flush=True)
+    if _JSONL[0] and knobs is not None:
+        with open(_JSONL[0], "a") as f:
+            f.write(json.dumps({"label": name,
+                                "ms": round(dt * 1e3, 3), **knobs}) + "\n")
     return dt
 
 
@@ -43,6 +54,12 @@ def main():
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    results_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "results")
+    os.makedirs(results_dir, exist_ok=True)
+    _JSONL[0] = os.path.join(results_dir, f"sweep6_{args.scene}.jsonl")
+    open(_JSONL[0], "w").close()  # fresh sweep, fresh records
 
     from pointcloud_render_tpu.configs import PRESETS
     from pointcloud_render_tpu.raster import pallas_csr6
@@ -97,51 +114,54 @@ def main():
 
         return f
 
+    def tr(label, chunk_rows=256, allow_exit=False, unroll=4,
+           dma_slots=2, span=2, mb=None, tpp=1, sm="scan"):
+        timed(label,
+              raster(chunk_rows, allow_exit, unroll, dma_slots=dma_slots,
+                     span=span, mb=mb, tpp=tpp, sm=sm),
+              pos, vel,
+              knobs=dict(kind="raster", scene=args.scene,
+                         chunk_rows=chunk_rows, allow_exit=allow_exit,
+                         unroll=unroll, dma_slots=dma_slots, span=span,
+                         max_big=mb or max_big, tiles_per_program=tpp,
+                         starts_method=sm))
+
     for cr in (256, 512, 1024):
         for ex in (True, False):
             for un in (4,) if cr != 512 else (2, 4, 8):
-                timed(f"chunk={cr} exit={int(ex)} unroll={un}",
-                      raster(cr, ex, un), pos, vel)
+                tr(f"chunk={cr} exit={int(ex)} unroll={un}",
+                   chunk_rows=cr, allow_exit=ex, unroll=un)
     # DMA ring depth (exit-off fori path only) and span A/B.
     for ds in (3, 4, 8):
-        timed(f"chunk=256 exit=0 unroll=4 dma_slots={ds}",
-              raster(256, False, 4, dma_slots=ds), pos, vel)
+        tr(f"chunk=256 exit=0 unroll=4 dma_slots={ds}", dma_slots=ds)
     # span=4 needs a fraction of the big list (fade-frame trail
     # segments bin; 14052 -> 4 bigs at frame 219) — mb=384 also rides
     # the resident SMEM big path.
-    timed("chunk=256 exit=0 unroll=4 span=4 mb=384",
-          raster(256, False, 4, span=4, mb=384), pos, vel)
+    tr("chunk=256 exit=0 unroll=4 span=4 mb=384", span=4, mb=384)
     # Grid fusion: several tiles per program amortize the per-grid-step
     # prologue/epilogue (the 2.4x chunk-overhead suspect list).
     for tpp in (2, 4, 8):
-        timed(f"chunk=256 exit=0 unroll=4 tpp={tpp}",
-              raster(256, False, 4, tpp=tpp), pos, vel)
+        tr(f"chunk=256 exit=0 unroll=4 tpp={tpp}", tpp=tpp)
     # starts stage: searchsorted method A/B in-frame (scan = default;
     # sort merges the bounds into the keys — see starts_probe.py).
-    timed("chunk=256 exit=0 unroll=4 starts=sort",
-          raster(256, False, 4, sm="sort"), pos, vel)
+    tr("chunk=256 exit=0 unroll=4 starts=sort", sm="sort")
     if not discs_only:
-        timed("chunk=256 exit=0 u=4 span=4 starts=sort",
-              raster(256, False, 4, span=4, mb=max_big, sm="sort"),
-              pos, vel)
-        timed("chunk=256 exit=0 u=4 span=4 starts=scan",
-              raster(256, False, 4, span=4, mb=max_big), pos, vel)
+        tr("chunk=256 exit=0 u=4 span=4 starts=sort",
+           span=4, mb=max_big, sm="sort")
+        tr("chunk=256 exit=0 u=4 span=4 starts=scan", span=4, mb=max_big)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).
-        timed("chunk=256 exit=0 unroll=4 max_big=256 (resident big)",
-              raster(256, False, 4, mb=256), pos, vel)
-        timed("chunk=256 exit=0 u=4 mb=256 dma_slots=4",
-              raster(256, False, 4, dma_slots=4, mb=256), pos, vel)
-        timed("chunk=256 exit=0 u=4 mb=256 tpp=4",
-              raster(256, False, 4, mb=256, tpp=4), pos, vel)
-        timed("chunk=256 exit=0 u=4 mb=256 tpp=4 dma_slots=4",
-              raster(256, False, 4, mb=256, tpp=4, dma_slots=4),
-              pos, vel)
-        timed("chunk=512 exit=0 u=4 mb=256 tpp=4",
-              raster(512, False, 4, mb=256, tpp=4), pos, vel)
-        timed("chunk=256 exit=0 u=4 mb=256 tpp=8",
-              raster(256, False, 4, mb=256, tpp=8), pos, vel)
+        tr("chunk=256 exit=0 unroll=4 max_big=256 (resident big)",
+           mb=256)
+        tr("chunk=256 exit=0 u=4 mb=256 dma_slots=4",
+           dma_slots=4, mb=256)
+        tr("chunk=256 exit=0 u=4 mb=256 tpp=4", mb=256, tpp=4)
+        tr("chunk=256 exit=0 u=4 mb=256 tpp=4 dma_slots=4",
+           mb=256, tpp=4, dma_slots=4)
+        tr("chunk=512 exit=0 u=4 mb=256 tpp=4",
+           chunk_rows=512, mb=256, tpp=4)
+        tr("chunk=256 exit=0 u=4 mb=256 tpp=8", mb=256, tpp=8)
 
         # Full shaded frame: generic by-id gather vs the FUSED (u, v)
         # two-tone epilogue (no per-pixel gather, no table repack).
@@ -161,11 +181,16 @@ def main():
 
             return f
 
+        def sknobs(uniform, unroll):
+            return dict(kind="shaded", scene=args.scene,
+                        uniform_look=uniform, unroll=unroll, max_big=256)
+
         timed("shaded mb=256 generic by-id gather", shaded(False),
-              pos, vel)
-        timed("shaded mb=256 FUSED uv two-tone", shaded(True), pos, vel)
+              pos, vel, knobs=sknobs(False, 4))
+        timed("shaded mb=256 FUSED uv two-tone", shaded(True), pos, vel,
+              knobs=sknobs(True, 4))
         timed("shaded mb=256 FUSED uv unroll=2", shaded(True, 2),
-              pos, vel)
+              pos, vel, knobs=sknobs(True, 2))
 
 
 if __name__ == "__main__":

@@ -974,7 +974,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        return_diag: bool = False,
                        allow_exit=None, span: int = 2,
                        dma_slots: int = 2,
-                       tiles_per_program: int = 1):
+                       tiles_per_program: int = 1,
+                       starts_method: str = "scan"):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -998,7 +999,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         bin_triangles=bin_triangles, discs_only=discs_only,
         allow_exit=False if fused else allow_exit, span=span,
         dma_slots=dma_slots, fused_uv=fused,
-        tiles_per_program=tiles_per_program)
+        tiles_per_program=tiles_per_program,
+        starts_method=starts_method)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

@@ -62,6 +62,13 @@ class RasterConfig:
     # fusion, amortizes per-grid-step overhead) and DMA ring depth.
     tiles_per_program: int = 1
     dma_slots: int = 2
+    # pallas6 sweep-tunable knobs (None = the kernel's own default /
+    # policy).  chunk_rows: binned-row DMA chunk; allow_exit: force the
+    # depth early-exit walk on/off; starts_method: CSR range-starts
+    # stage ("scan" searchsorted vs "sort"-merged bounds).
+    chunk_rows: Optional[int] = None
+    allow_exit: Optional[bool] = None
+    starts_method: str = "scan"
     # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
     unroll: int = 4
     # pallas: static cap on the sorted-entry row gather.  None = exact;
@@ -177,6 +184,10 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             tiles_per_program=(config.tiles_per_program
                                if config.discs_only or config.span != 2
                                else 1),
+            allow_exit=config.allow_exit,
+            starts_method=config.starts_method,
+            **({} if config.chunk_rows is None
+               else {"chunk_rows": config.chunk_rows}),
             interpret=jax.default_backend() != "tpu")
     if backend == "pallas_v1":
         from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
@@ -230,6 +241,10 @@ def render(prims: ScreenPrimitives, camera,
             tiles_per_program=(config.tiles_per_program
                                if config.discs_only or config.span != 2
                                else 1),
+            allow_exit=config.allow_exit,
+            starts_method=config.starts_method,
+            **({} if config.chunk_rows is None
+               else {"chunk_rows": config.chunk_rows}),
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb

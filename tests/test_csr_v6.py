@@ -325,6 +325,31 @@ class TestPallasCsr6:
                                       np.asarray(fb4.rgb))
         assert int(np.asarray(diag6["big_overflow"])) == 0
 
+    def test_render_config_tunable_knobs_bit_identical(self):
+        """The sweep-tunable RasterConfig knobs (chunk_rows, allow_exit,
+        starts_method — filled from tuned_defaults.json by bench.py) are
+        pure perf levers: every value must produce the same winners."""
+        from pointcloud_render_tpu.raster.render import (
+            RasterConfig,
+            render,
+        )
+
+        cam = make_camera()
+        soup = _mixed_soup(cam, seed=31)
+        base = render(soup, cam, RasterConfig(backend="pallas6"))
+        for cfg in (RasterConfig(backend="pallas6", chunk_rows=512),
+                    RasterConfig(backend="pallas6", allow_exit=True),
+                    RasterConfig(backend="pallas6", allow_exit=False),
+                    RasterConfig(backend="pallas6", starts_method="sort"),
+                    RasterConfig(backend="pallas6", chunk_rows=512,
+                                 allow_exit=False, starts_method="sort",
+                                 dma_slots=4)):
+            fb = render(soup, cam, cfg)
+            np.testing.assert_array_equal(np.asarray(fb.index),
+                                          np.asarray(base.index))
+            np.testing.assert_array_equal(np.asarray(fb.rgb),
+                                          np.asarray(base.rgb))
+
 
 class TestPallasCsr6DiscMode:
     """discs_only=True narrows binned rows to 8 floats (capsules AND

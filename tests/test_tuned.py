@@ -1,0 +1,183 @@
+"""tuned_defaults.json plumbing: utils/tuned loading + precedence,
+bench.py's knob resolution, and pick_tuned's winner distillation.
+
+The TPU tunnel drops for hours at a time, so knob sweeps run unattended
+and their winners must reach the driver's FLAGLESS end-of-round bench
+run through this file-based handoff (utils/tuned.py docstring) — these
+tests pin the whole chain on synthetic records so a refactor cannot
+silently break the one run that is scored.
+"""
+
+import json
+import os
+import sys
+import types
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+
+from pointcloud_render_tpu.utils import tuned  # noqa: E402
+
+
+def _bench_args(**kw):
+    ns = types.SimpleNamespace(
+        tiles_per_program=None, dma_slots=None, chunk_rows=None,
+        unroll=None, allow_exit=None, starts_method=None,
+        no_uniform_look=False, trail_span=None, trail_segments=None)
+    ns.__dict__.update(kw)
+    return ns
+
+
+class TestLoadAndFill:
+    def test_missing_file_is_empty(self, tmp_path):
+        assert tuned.load_tuned(str(tmp_path / "nope.json")) == {}
+
+    def test_garbage_file_is_empty(self, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text("{not json")
+        assert tuned.load_tuned(str(p)) == {}
+        p.write_text("[1, 2]")  # valid JSON, wrong shape
+        assert tuned.load_tuned(str(p)) == {}
+
+    def test_fill_precedence(self):
+        sec = {"dma_slots": 4}
+        assert tuned.fill(8, sec, "dma_slots", 2) == 8      # CLI wins
+        assert tuned.fill(None, sec, "dma_slots", 2) == 4   # tuned next
+        assert tuned.fill(None, {}, "dma_slots", 2) == 2    # builtin last
+
+
+class TestBenchApplyTuned:
+    def _with_tuned(self, monkeypatch, tmp_path, data):
+        p = tmp_path / "tuned.json"
+        p.write_text(json.dumps(data))
+        monkeypatch.setattr(tuned, "TUNED_PATH", str(p))
+
+    def test_fills_unset_knobs(self, monkeypatch, tmp_path):
+        import bench
+
+        self._with_tuned(monkeypatch, tmp_path, {
+            "disc": {"tiles_per_program": 4, "dma_slots": 4,
+                     "allow_exit": False, "uniform_look": False,
+                     "unroll": 2},
+            "trail": {"span": "4", "segments": 4,
+                      "starts_method": "sort"}})
+        ns = _bench_args()
+        bench._apply_tuned(ns)
+        assert ns.tiles_per_program == 4 and ns.dma_slots == 4
+        assert ns.allow_exit == "off" and ns.unroll == 2
+        assert ns.no_uniform_look is True
+        assert ns.trail_span == "4" and ns.trail_segments == 4
+        assert ns.trail_starts_method == "sort"
+
+    def test_explicit_flags_win(self, monkeypatch, tmp_path):
+        import bench
+
+        self._with_tuned(monkeypatch, tmp_path, {
+            "disc": {"tiles_per_program": 4},
+            "trail": {"span": "4", "segments": 4}})
+        ns = _bench_args(tiles_per_program=8, allow_exit="on",
+                         trail_span="2")
+        bench._apply_tuned(ns)
+        assert ns.tiles_per_program == 8
+        assert ns.allow_exit == "on" and ns.trail_span == "2"
+        assert ns.trail_segments == 4  # unset flag still filled
+
+    def test_absent_file_gives_builtins(self, monkeypatch, tmp_path):
+        import bench
+
+        monkeypatch.setattr(tuned, "TUNED_PATH",
+                            str(tmp_path / "nope.json"))
+        ns = _bench_args()
+        bench._apply_tuned(ns)
+        assert (ns.tiles_per_program, ns.dma_slots, ns.unroll) == (1, 2, 4)
+        assert ns.allow_exit == "auto" and ns.starts_method == "scan"
+        assert ns.trail_span == "auto" and ns.trail_segments is None
+        assert ns.trail_starts_method == "scan"
+
+
+def _raster_rec(ms, label="r", **kw):
+    rec = dict(label=label, kind="raster", scene="disc", chunk_rows=256,
+               allow_exit=False, unroll=4, dma_slots=2, span=2,
+               max_big=256, tiles_per_program=1, starts_method="scan",
+               ms=ms)
+    rec.update(kw)
+    return rec
+
+
+def _shaded_rec(ms, uniform, unroll=4):
+    return dict(label="s", kind="shaded", scene="disc",
+                uniform_look=uniform, unroll=unroll, max_big=256, ms=ms)
+
+
+class TestPickTuned:
+    def test_picks_best_record_and_fused(self):
+        import pick_tuned
+
+        disc, note = pick_tuned.pick_disc([
+            _raster_rec(16.0, label="builtin"),
+            _raster_rec(12.5, label="tpp4", tiles_per_program=4,
+                        dma_slots=4),
+            _shaded_rec(30.0, False),
+            _shaded_rec(24.0, True),
+        ])
+        assert disc["tiles_per_program"] == 4 and disc["dma_slots"] == 4
+        assert disc["uniform_look"] is True
+
+    def test_no_churn_when_builtin_within_noise(self):
+        import pick_tuned
+
+        disc, note = pick_tuned.pick_disc([
+            _raster_rec(16.0, label="builtin"),
+            _raster_rec(15.9, label="tpp4", tiles_per_program=4),
+        ])
+        assert disc is None and "builtin" in note
+
+    def test_exit_on_wins_only_past_the_fused_savings(self):
+        import pick_tuned
+
+        # exit-on raster is 2 ms faster, but fused shading (exit-off
+        # only) saves 6 ms -> exit-off + fused must win.
+        disc, _ = pick_tuned.pick_disc([
+            _raster_rec(16.0, label="builtin"),
+            _raster_rec(15.0, label="off", dma_slots=4),
+            _raster_rec(13.0, label="on", allow_exit=True, max_big=1024),
+            _shaded_rec(30.0, False),
+            _shaded_rec(24.0, True),
+        ])
+        assert disc["allow_exit"] is False and disc["uniform_look"]
+        assert disc["dma_slots"] == 4
+        # ...and with no fused savings, exit-on takes it.
+        disc2, _ = pick_tuned.pick_disc([
+            _raster_rec(16.0, label="builtin"),
+            _raster_rec(15.0, label="off", dma_slots=4),
+            _raster_rec(13.0, label="on", allow_exit=True, max_big=1024),
+            _shaded_rec(24.0, False),
+            _shaded_rec(24.5, True),
+        ])
+        assert disc2["allow_exit"] is True
+        assert disc2["uniform_look"] is False
+
+    def test_trail_from_log_sections(self):
+        import pick_tuned
+
+        log = (
+            "=== bench verbose (HEADLINE) Tue Aug 18 13:00:00 UTC 2026"
+            " ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.0}\n'
+            "=== bench trail span4 A/B Tue Aug 18 14:30:00 UTC 2026 ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.4}\n')
+        trail, _ = pick_tuned.pick_trail([], log)
+        assert trail == {"span": "4", "segments": None}
+
+    def test_trail_keeps_auto_within_noise(self):
+        import pick_tuned
+
+        log = (
+            "=== bench verbose (HEADLINE) Tue Aug 18 13:00:00 UTC 2026"
+            " ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.0}\n'
+            "=== bench trail span2 A/B Tue Aug 18 14:00:00 UTC 2026 ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.02}\n')
+        trail, note = pick_tuned.pick_trail([], log)
+        assert trail is None and "auto" in note

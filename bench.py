@@ -98,6 +98,8 @@ def _apply_tuned(args):
     args.trail_segments = _t.fill(args.trail_segments, trail,
                                   "segments", None)
     args.trail_starts_method = trail.get("starts_method", "scan")
+    c10 = _t.fill(args.trail_cap10, trail, "cap_rows10", "off")
+    args.trail_cap10 = {True: "on", False: "off"}.get(c10, c10)
     if t:
         print(f"# tuned defaults applied ({_t.TUNED_PATH}): "
               f"{t.get('note', '')}", file=sys.stderr)
@@ -191,6 +193,13 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2, chunk_rows=None,
         # mode on the disc soup (the TIMED bench configuration).
         d7, i7 = rasterize_pallas_csr6(soup, cam.width, cam.height,
                                        unroll=4)
+        # cap_rows10 narrow capsule rows (exit-off, span 2 AND the trail
+        # metric's span-4 walk) — certify Mosaic accepts the 12-per-row
+        # packing and winners stay exact before any sweep/bench times it.
+        d7a, i7a = rasterize_pallas_csr6(soup, cam.width, cam.height,
+                                         unroll=4, cap_rows10=True)
+        d7b, i7b = rasterize_pallas_csr6(soup, cam.width, cam.height,
+                                         unroll=4, cap_rows10=True, span=4)
         ck = {} if chunk_rows is None else {"chunk_rows": chunk_rows}
         d8, i8 = rasterize_pallas_csr6(disc_soup, cam.width, cam.height,
                                        unroll=unroll6, discs_only=True,
@@ -219,7 +228,8 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2, chunk_rows=None,
                 jnp.mean((i3 == it3).astype(jnp.float32)),
                 jnp.mean(((i4 == it3) & (i5 == it3)
                           & (i8 == it3)).astype(jnp.float32)),
-                jnp.mean(((i6 == it) & (i7 == it)).astype(jnp.float32)),
+                jnp.mean(((i6 == it) & (i7 == it) & (i7a == it)
+                          & (i7b == it)).astype(jnp.float32)),
                 m_fused,
                 ec)
 
@@ -590,7 +600,9 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span,
                           starts_method=getattr(args, "trail_starts_method",
-                                                "scan"))
+                                                "scan"),
+                          cap_rows10=getattr(args, "trail_cap10",
+                                             "off") == "on")
 
     def episode(positions, velocities):
         def body(acc, fi):
@@ -695,6 +707,10 @@ def main():
     ap.add_argument("--starts-method", default=None,
                     choices=("scan", "sort"),
                     help="v6 CSR range-starts stage (default tuned|scan)")
+    ap.add_argument("--trail-cap10", default=None, choices=("on", "off"),
+                    help="v6 narrow 10-float capsule rows for the trail "
+                         "metric (exit-off tri-less soups; default "
+                         "tuned|off until measured on chip)")
     ap.add_argument("--deadline", type=int,
                     default=int(os.environ.get("BENCH_DEADLINE_S", 2400)),
                     help="hard wall-clock cap in seconds; past it the "

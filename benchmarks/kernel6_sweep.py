@@ -102,29 +102,30 @@ def main():
     W, H = cam0.width, cam0.height
 
     def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2,
-               mb=None, tpp=1, sm="scan"):
+               mb=None, tpp=1, sm="scan", cap10=False):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
                 soup, W, H, unroll=unroll, max_big=mb or max_big,
                 discs_only=discs_only, chunk_rows=chunk_rows,
                 allow_exit=allow_exit, dma_slots=dma_slots, span=span,
-                tiles_per_program=tpp, starts_method=sm)
+                tiles_per_program=tpp, starts_method=sm,
+                cap_rows10=cap10)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
         return f
 
     def tr(label, chunk_rows=256, allow_exit=False, unroll=4,
-           dma_slots=2, span=2, mb=None, tpp=1, sm="scan"):
+           dma_slots=2, span=2, mb=None, tpp=1, sm="scan", cap10=False):
         timed(label,
               raster(chunk_rows, allow_exit, unroll, dma_slots=dma_slots,
-                     span=span, mb=mb, tpp=tpp, sm=sm),
+                     span=span, mb=mb, tpp=tpp, sm=sm, cap10=cap10),
               pos, vel,
               knobs=dict(kind="raster", scene=args.scene,
                          chunk_rows=chunk_rows, allow_exit=allow_exit,
                          unroll=unroll, dma_slots=dma_slots, span=span,
                          max_big=mb or max_big, tiles_per_program=tpp,
-                         starts_method=sm))
+                         starts_method=sm, cap_rows10=cap10))
 
     for cr in (256, 512, 1024):
         for ex in (True, False):
@@ -149,6 +150,15 @@ def main():
         tr("chunk=256 exit=0 u=4 span=4 starts=sort",
            span=4, mb=max_big, sm="sort")
         tr("chunk=256 exit=0 u=4 span=4 starts=scan", span=4, mb=max_big)
+        # cap_rows10 narrow capsule rows (40 B gathers, no table16) on
+        # the trail soup — chunk rounds to 252 internally (pack 12).
+        tr("chunk=256 exit=0 u=4 span=4 CAP10", span=4, mb=max_big,
+           cap10=True)
+        tr("chunk=256 exit=0 u=4 span=2 CAP10", mb=max_big, cap10=True)
+        tr("chunk=256 exit=0 u=4 span=4 CAP10 tpp=4", span=4,
+           mb=max_big, cap10=True, tpp=4)
+        tr("chunk=256 exit=0 u=4 span=4 CAP10 dma_slots=4", span=4,
+           mb=max_big, cap10=True, dma_slots=4)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).

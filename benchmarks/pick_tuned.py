@@ -107,34 +107,47 @@ def pick_trail(records, log_text):
             for k, v in rec.items():
                 if k.startswith("trail_fps_") and v:
                     sections.setdefault(label, v)
-    flags = {"bench verbose (HEADLINE)": ("auto", None),
-             "bench trail span2 A/B": ("2", None),
-             "bench trail span4 A/B": ("4", None),
-             "bench trail segments=4 A/B": ("auto", 4)}
-    cand = [(fps, flags[lab]) for lab, fps in sections.items()
+    flags = {"bench verbose (HEADLINE)": {},
+             "bench trail span2 A/B": {"span": "2"},
+             "bench trail span4 A/B": {"span": "4"},
+             "bench trail segments=4 A/B": {"segments": 4},
+             "bench trail cap10 A/B": {"cap_rows10": True}}
+    cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     if cand:
-        cand.sort(reverse=True)
-        best_fps, (span, segs) = cand[0]
+        cand.sort(key=lambda c: -c[0])
+        best_fps, best_flags, _ = cand[0]
         base = sections.get("bench verbose (HEADLINE)", 0.0)
         if base and best_fps < base * 1.02:
             notes.append(f"trail A/B best {best_fps:.2f} fps within 2% of "
                          f"headline {base:.2f} — keeping auto")
         else:
-            trail["span"], trail["segments"] = span, segs
-            notes.append(f"trail: span={span} segments={segs} "
+            trail.update({"span": "auto", "segments": None})
+            trail.update(best_flags)
+            notes.append(f"trail: {best_flags or 'headline config'} "
                          f"@ {best_fps:.2f} fps")
     # starts_method at the span the trail metric will actually run
     # (auto resolves to 4 at 1M points — the >2048-bigs probe).
     span_val = 4 if trail.get("span", "auto") in ("auto", "4") else 2
     sm = [r for r in records if r.get("kind") == "raster"
           and r.get("span") == span_val]
-    b_scan = _best([r for r in sm if r.get("starts_method") == "scan"])
-    b_sort = _best([r for r in sm if r.get("starts_method") == "sort"])
+    b_scan = _best([r for r in sm if r.get("starts_method") == "scan"
+                    and not r.get("cap_rows10")])
+    b_sort = _best([r for r in sm if r.get("starts_method") == "sort"
+                    and not r.get("cap_rows10")])
     if b_scan and b_sort and b_sort["ms"] < b_scan["ms"] * 0.985:
         trail["starts_method"] = "sort"
         notes.append(f"trail starts=sort {b_sort['ms']:.2f} vs "
                      f"scan {b_scan['ms']:.2f} ms")
+    # cap_rows10 from the sweep's same-span raster A/B (unless the
+    # bench-line A/B above already decided it).
+    if "cap_rows10" not in trail:
+        c_on = _best([r for r in sm if r.get("cap_rows10")])
+        c_off = _best([r for r in sm if not r.get("cap_rows10")])
+        if c_on and c_off and c_on["ms"] < c_off["ms"] * 0.985:
+            trail["cap_rows10"] = True
+            notes.append(f"trail cap10 {c_on['ms']:.2f} vs "
+                         f"{c_off['ms']:.2f} ms")
     return (trail or None), "; ".join(notes) or "no trail evidence"
 
 

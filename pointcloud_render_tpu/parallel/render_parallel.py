@@ -252,7 +252,10 @@ def _rasterize_shard(prims, camera, config):
             prims, camera.width, camera.height, unroll=config.unroll,
             max_big=config.max_big, span=config.span,
             bin_triangles=config.bin_triangles,
-            discs_only=config.discs_only, interpret=interpret,
+            discs_only=config.discs_only,
+            allow_exit=config.allow_exit,
+            cap_rows10=config.cap_rows10,
+            starts_method=config.starts_method, interpret=interpret,
             return_diag=True)
         return depth, index, diag["big_overflow"]
     if backend == "pallas5":

@@ -83,13 +83,33 @@ ROW_F = 16
 PACK = 128 // ROW_F  # 8 entries per 128-lane row
 ROW_F_DISC = 8  # discs_only rows: [px, py, z, r^2, idf, 0, 0, 0]
 PACK_DISC = 128 // ROW_F_DISC
+# cap_rows10: tri-less exit-less capsule rows, 12 per 128-lane row
+# (lanes 120-127 pad).  The 10 floats are exactly the capsule eval's
+# operands: [x0, y0, z0, r0, sdx, sdy, sdz, sdr, il2, idf] — no zlb
+# (exit off), no tri plane (triangles ride the big list).
+ROW_F_CAP = 10
+PACK_CAP = 128 // ROW_F_CAP  # 12 (the division floors; 8 slop lanes)
 ZQ = 8  # z-bucket bits in the int32 key (256 buckets)
 DEFAULT_CHUNK_ROWS = 256
 
 
+def _key_layout(num_tiles, span, with_z):
+    """(dtype, shift) of the v6 sort key — shared by _bin_csr6 and the
+    range-starts bounds so they can never disagree.  with_z packs the
+    exit's z-bucket into the low ZQ bits (int32); exit-off walks need
+    no z, and the bare (anchor, class) ordinal fits int16 at 1080p
+    grids (<= 32642 values) — i16-key unstable sorts run ~1.5x the i32
+    rate (KERNEL_NOTES: v3's measured int16-key lever)."""
+    if with_z:
+        return np.int32, ZQ
+    k2 = span * span
+    fits16 = num_tiles * k2 + 2 <= np.iinfo(np.int16).max
+    return (np.int16 if fits16 else np.int32), 0
+
+
 def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
               max_big=DEFAULT_MAX_BIG, bin_triangles=False,
-              discs_only=False, span=2):
+              discs_only=False, span=2, with_z=True):
     """Per-prim (anchor, class, z-bucket) int32 keys + UNSTABLE sort.
 
     ``span``: prims whose bbox covers <= span x span tiles are binned
@@ -104,6 +124,12 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     the sorted tail (NO scatter);
     zmeta = f32 [zmin, s, thr_scale] over the binned prims' zlb exactly
     as pallas_csr4._bin_csr4 (the kernel's exit math is shared).
+
+    ``with_z=False`` (exit-off walks): keys drop the z-bucket bits and
+    the whole O(P) zlb pass — bare (anchor, class) ordinals in the
+    _key_layout dtype (int16 when the grid fits), zmeta zeros.  Winners
+    are unaffected: z-buckets only order entries WITHIN a range, the
+    per-pair (depth, id) tie-break makes every walk order-independent.
     """
     p = prims.count
     xmin, xmax = prims.bbox[:, 0], prims.bbox[:, 1]
@@ -144,22 +170,28 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     # scale; "every scatter is a sort in disguise", KERNEL_NOTES r3).
     # Big order is arbitrary (unstable sort) — exact under the per-pair
     # (depth, id) tie-break.
-    sent_big = np.int32(num_tiles * span * span) << ZQ
-    sent_invalid = sent_big + np.int32(1 << ZQ)
+    kdtype, shift = _key_layout(num_tiles, span, with_z)
+    sent_big = kdtype((num_tiles * span * span) << shift)
+    sent_invalid = kdtype(sent_big + (1 << shift))
 
-    nb = np.float32(1 << ZQ)
-    zlb = _z_lower_bound(prims, with_triangles=bin_triangles)
-    zmin = jnp.min(jnp.where(is_small, zlb, INF))
-    zmax = jnp.max(jnp.where(is_small, zlb, -INF))
-    rngz = zmax - zmin
-    s = jnp.where(rngz > 0, nb / rngz, 0.0)
-    qz = jnp.clip(jnp.floor((zlb - zmin) * s), 0.0, nb - 1).astype(jnp.int32)
-    thr_scale = jnp.where(s > 0, np.float32(1.0 - 1e-6) / s, 0.0)
-    zmeta = jnp.stack([jnp.where(jnp.isfinite(zmin), zmin, 0.0),
-                       s, thr_scale])
+    if with_z:
+        nb = np.float32(1 << ZQ)
+        zlb = _z_lower_bound(prims, with_triangles=bin_triangles)
+        zmin = jnp.min(jnp.where(is_small, zlb, INF))
+        zmax = jnp.max(jnp.where(is_small, zlb, -INF))
+        rngz = zmax - zmin
+        s = jnp.where(rngz > 0, nb / rngz, 0.0)
+        qz = jnp.clip(jnp.floor((zlb - zmin) * s),
+                      0.0, nb - 1).astype(jnp.int32)
+        thr_scale = jnp.where(s > 0, np.float32(1.0 - 1e-6) / s, 0.0)
+        zmeta = jnp.stack([jnp.where(jnp.isfinite(zmin), zmin, 0.0),
+                           s, thr_scale])
+        base = ((anchor * (span * span) + cls) << ZQ) | qz
+    else:
+        zmeta = jnp.zeros((3,), jnp.float32)
+        base = anchor * (span * span) + cls
 
-    key = jnp.where(is_small,
-                    ((anchor * (span * span) + cls) << ZQ) | qz,
+    key = jnp.where(is_small, base.astype(kdtype),
                     jnp.where(is_big, sent_big, sent_invalid))
     sorted_keys, sorted_prims = jax.lax.sort(
         (key, jnp.asarray(prim_id)), num_keys=1, is_stable=False)
@@ -213,6 +245,49 @@ def _make_row_body8(scr, slot, nchains, qx, qy):
             dx = qx - px
             dy = qy - py
             cov = dx * dx + dy * dy <= r2
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[2 * ch] = jnp.where(better, z, d0)
+            out[2 * ch + 1] = jnp.where(better, idf, di)
+        return tuple(out)
+
+    return row_body
+
+
+def _make_row_body10(scr, slot, nchains, qx, qy):
+    """fori_loop body over one 10-float CAPSULE-row scratch slab:
+    [x0, y0, z0, r0, sdx, sdy, sdz, sdr, il2, idf] x 12 per 128-lane
+    row (lanes 120-127 are zero pad).  The narrow cap_rows10 mode:
+    identical f32 expression order to _make_row_body16's capsule
+    branch, so winners are bit-identical — usable exactly when the
+    binned stream is tri-less (triangles ride the big list) and the
+    depth exit is off (no zlb lane).  A zero row is inert: rad = 0 and
+    every tile pixel has qx, qy >= 0.5, so cov is false everywhere —
+    the same stranger/pad argument as the 8/16-float bodies."""
+
+    def row_body(br, c2):
+        out = list(c2)
+        for u in range(PACK_CAP):
+            lane = u * ROW_F_CAP
+            x0 = scr[slot, br, lane]
+            y0 = scr[slot, br, lane + 1]
+            z0 = scr[slot, br, lane + 2]
+            r0 = scr[slot, br, lane + 3]
+            sdx = scr[slot, br, lane + 4]
+            sdy = scr[slot, br, lane + 5]
+            sdz = scr[slot, br, lane + 6]
+            sdr = scr[slot, br, lane + 7]
+            il2 = scr[slot, br, lane + 8]
+            idf = scr[slot, br, lane + 9]
+            ch = u % nchains
+            d0, di = out[2 * ch], out[2 * ch + 1]
+            dx = qx - x0
+            dy = qy - y0
+            t = jnp.clip((dx * sdx + dy * sdy) * il2, 0.0, 1.0)
+            cx = dx - t * sdx
+            cy = dy - t * sdy
+            rad = r0 + sdr * t
+            z = z0 + sdz * t
+            cov = cx * cx + cy * cy <= rad * rad
             better = cov & ((z < d0) | ((z == d0) & (idf < di)))
             out[2 * ch] = jnp.where(better, z, d0)
             out[2 * ch + 1] = jnp.where(better, idf, di)
@@ -327,6 +402,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
     assert chunk_rows % pack == 0
     assert big_chunk % PACK == 0
     assert not (fused_uv and allow_exit)
+    assert not (allow_exit and row_f == ROW_F_CAP)  # no zlb lane
     assert tiles_per_program == 1 or not allow_exit
 
     def kernel(starts_ref,  # scalar prefetch: (k2*T+2,) i32; [-1] = big n
@@ -574,10 +650,12 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         def make_body_fn(slot):
             if fused_uv:
                 return _make_row_body8_uv(scratch, slot, unroll, qx, qy)
-            return (_make_row_body16(scratch, slot, unroll,
-                                     with_triangles, qx, qy)
-                    if row_f == ROW_F else
-                    _make_row_body8(scratch, slot, unroll, qx, qy))
+            if row_f == ROW_F:
+                return _make_row_body16(scratch, slot, unroll,
+                                        with_triangles, qx, qy)
+            if row_f == ROW_F_CAP:
+                return _make_row_body10(scratch, slot, unroll, qx, qy)
+            return _make_row_body8(scratch, slot, unroll, qx, qy)
 
         if not allow_exit:
             # Straight-line schedule: fori over the flat chunk list with
@@ -707,7 +785,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
                   discs_only=False, allow_exit=None, span=2,
                   dma_slots=2, fused_uv=False, tiles_per_program=1,
-                  starts_method="scan"):
+                  starts_method="scan", cap_rows10=False):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners); ``table16``
@@ -723,14 +801,25 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             "fused_uv requires a RESIDENT big list (max_big <= "
             f"{DEFAULT_BIG_CHUNK - 1}): its (u, v) carry has no "
             "streamed-big variant")
+    if cap_rows10 and discs_only:
+        raise ValueError("cap_rows10 is the generic-soup narrow-row "
+                         "mode — discs_only already rides 8-float rows")
+    if cap_rows10 and bin_triangles:
+        raise ValueError("cap_rows10 rows have no triangle lanes — "
+                         "triangles must ride the big list "
+                         "(bin_triangles=False)")
     if allow_exit is None:
         # Measured policy (benchmarks/kernel6_sweep.py): the per-range
         # exit WINS 13% on the deep-run trail scene but LOSES ~1 ms on
         # shallow disc runs (the jump's prefetch drain/restart outweighs
         # the skipped chunks) — auto: on for generic span=2, off for
         # discs and for span=4 (whose exit would need 100 single-class
-        # segments per tile; unsupported).
-        allow_exit = (not discs_only) and span == 2
+        # segments per tile; unsupported).  cap_rows10 rows carry no
+        # zlb lane, so the narrow mode forces the exit off.
+        allow_exit = (not discs_only) and span == 2 and not cap_rows10
+    elif allow_exit and cap_rows10:
+        raise ValueError("cap_rows10 rows carry no zlb lane — "
+                         "allow_exit must be off")
     elif allow_exit and fused_uv:
         raise ValueError("fused_uv carries (u, v) through the stride-2 "
                          "exit merge — allow_exit must be off")
@@ -756,17 +845,21 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     k2 = span * span
-    if (num_tiles * k2 + 2) << ZQ >= (1 << 31):
+    if (num_tiles * k2 + 2) << (ZQ if allow_exit else 0) >= (1 << 31):
         raise ValueError("tile grid too large for the int32 v6 key")
 
+    # Exit-off walks need no z-buckets in the keys (_bin_csr6 with_z
+    # docstring): smaller/int16 sort keys and no O(P) zlb pass.
     sorted_keys, sorted_prims, big_ids, big_count, zmeta = _bin_csr6(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
         max_big=max_big, bin_triangles=bin_triangles,
-        discs_only=discs_only, span=span)
+        discs_only=discs_only, span=span, with_z=allow_exit)
 
     # (anchor, class) boundaries: B[j] = first sorted position with
     # anchor*k2+cls >= j.  B[k2*T] = number of binned prims.
-    bounds = (np.arange(num_tiles * k2 + 1, dtype=np.int32) << ZQ)
+    kdtype, kshift = _key_layout(num_tiles, span, allow_exit)
+    bounds = (np.arange(num_tiles * k2 + 1,
+                        dtype=np.int64) << kshift).astype(kdtype)
     # method: integer searchsorted is method-invariant (side='left'),
     # so this is a pure perf knob — 'scan' costs ~320 ns/bound (8k-32k
     # bounds), 'sort' one extra (P+B) merge-sort (benchmarks/
@@ -788,8 +881,14 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                 big_overflow=jnp.maximum(big_count - big_ids.shape[0], 0))
 
     p = prims.count
-    row_f = ROW_F_DISC if discs_only else ROW_F
+    row_f = (ROW_F_DISC if discs_only
+             else ROW_F_CAP if cap_rows10 else ROW_F)
     pack = 128 // row_f
+    if chunk_rows % pack:
+        # pack=12 (cap_rows10) does not divide the power-of-two
+        # defaults — round the chunk DOWN to a pack multiple (252 for
+        # 256; a pure DMA-granularity change, winners unaffected).
+        chunk_rows = max(pack, chunk_rows // pack * pack)
     p_pad = -(-(p + chunk_rows + pack) // chunk_rows) * chunk_rows
 
     big_chunk = DEFAULT_BIG_CHUNK
@@ -817,6 +916,25 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         # Only the big list needs 16-float rows here: build them at the
         # big ids directly instead of materializing the whole P x 16
         # table (a ~P*64 B write per frame saved; bit-equal rows).
+        table16 = None
+        big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
+                                       big_ids_p,
+                                       bin_triangles=bin_triangles)
+    elif cap_rows10:
+        # Narrow 10-float capsule rows: the tri-less exit-less soup
+        # fast path (see _make_row_body10).  40 B gathers instead of
+        # 64 B at equal row count, and the (P+1, 16) table16
+        # materialization disappears (big rows are built at the big
+        # ids, as in discs_only).  The 8 slop lanes per 128-lane HBM
+        # row are zero (inert).
+        table10 = jnp.concatenate([
+            prims.params[:, 0:9],
+            jnp.arange(p, dtype=jnp.float32)[:, None],
+        ], axis=1)
+        table10 = jnp.where(prims.valid[:, None], table10, 0.0)
+        table10 = jnp.pad(table10, ((0, 1), (0, 0)))
+        rows = table10[prims_p].reshape(p_pad // pack, pack * ROW_F_CAP)
+        rows = jnp.pad(rows, ((0, 0), (0, 128 - pack * ROW_F_CAP)))
         table16 = None
         big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
                                        big_ids_p,
@@ -937,7 +1055,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           allow_exit=None, span: int = 2,
                           dma_slots: int = 2,
                           tiles_per_program: int = 1,
-                          starts_method: str = "scan"):
+                          starts_method: str = "scan",
+                          cap_rows10: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -946,7 +1065,11 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
     precondition: nothing is ever truncated except big-list overflow
     (check diag/bin_diagnostics6).  ``discs_only`` narrows binned rows
     to 8 floats (capsules AND triangles ride the big list) — the disc-
-    cloud fast path, ~40% cheaper row gathers.
+    cloud fast path, ~40% cheaper row gathers.  ``cap_rows10`` narrows
+    the GENERIC soup's binned rows to 10 floats (12 per 128-lane row;
+    requires bin_triangles=False and forces the depth exit off) — same
+    winners, ~37% fewer row-gather/DMA bytes and no (P+1, 16) table
+    materialization.
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
@@ -956,7 +1079,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         bin_triangles=bin_triangles, discs_only=discs_only,
         allow_exit=allow_exit, span=span, dma_slots=dma_slots,
         tiles_per_program=tiles_per_program,
-        starts_method=starts_method)
+        starts_method=starts_method, cap_rows10=cap_rows10)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -975,7 +1098,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        allow_exit=None, span: int = 2,
                        dma_slots: int = 2,
                        tiles_per_program: int = 1,
-                       starts_method: str = "scan"):
+                       starts_method: str = "scan",
+                       cap_rows10: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -1000,7 +1124,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         allow_exit=False if fused else allow_exit, span=span,
         dma_slots=dma_slots, fused_uv=fused,
         tiles_per_program=tiles_per_program,
-        starts_method=starts_method)
+        starts_method=starts_method, cap_rows10=cap_rows10)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

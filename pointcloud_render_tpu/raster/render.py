@@ -69,6 +69,10 @@ class RasterConfig:
     chunk_rows: Optional[int] = None
     allow_exit: Optional[bool] = None
     starts_method: str = "scan"
+    # pallas6 narrow 10-float capsule rows for tri-less generic soups
+    # (12 rows per 128-lane VREG; forces the depth exit off; requires
+    # bin_triangles=False).  Same winners, ~37% fewer row bytes.
+    cap_rows10: bool = False
     # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
     unroll: int = 4
     # pallas: static cap on the sorted-entry row gather.  None = exact;
@@ -182,9 +186,12 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             max_big=config.max_big, span=config.span,
             dma_slots=config.dma_slots,
             tiles_per_program=(config.tiles_per_program
-                               if config.discs_only or config.span != 2
+                               if (config.discs_only or config.span != 2
+                                   or config.cap_rows10
+                                   or config.allow_exit is False)
                                else 1),
             allow_exit=config.allow_exit,
+            cap_rows10=config.cap_rows10,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
                else {"chunk_rows": config.chunk_rows}),
@@ -239,9 +246,12 @@ def render(prims: ScreenPrimitives, camera,
             # span=2 scenes default to the (measured-faster) exit-on
             # walk, so the knob applies where the exit is off by policy.
             tiles_per_program=(config.tiles_per_program
-                               if config.discs_only or config.span != 2
+                               if (config.discs_only or config.span != 2
+                                   or config.cap_rows10
+                                   or config.allow_exit is False)
                                else 1),
             allow_exit=config.allow_exit,
+            cap_rows10=config.cap_rows10,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
                else {"chunk_rows": config.chunk_rows}),

@@ -325,6 +325,68 @@ class TestPallasCsr6:
                                       np.asarray(fb4.rgb))
         assert int(np.asarray(diag6["big_overflow"])) == 0
 
+    def test_cap_rows10_matches_oracle_both_spans(self):
+        """Narrow 10-float capsule rows (12 per 128-lane row, exit off,
+        tri-less binned stream): winners bit-identical to the oracle at
+        both spans — the eval reads the same 10 operands in the same
+        f32 expression order as the 16-float rows."""
+        soup = _mixed_soup(make_camera(), n=300, trails=40, seed=17)
+        _assert_matches_oracle(soup, cap_rows10=True)
+        _assert_matches_oracle(soup, cap_rows10=True, span=4)
+
+    def test_cap_rows10_knob_matrix_bit_identical(self):
+        """tpp / dma ring / chunk rounding (256 -> 252) on the cap10
+        walk: pure perf levers, winners unchanged."""
+        soup = _mixed_soup(make_camera(), n=300, trails=40, seed=19)
+        base = rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                     interpret=True)
+        hit = np.isfinite(np.asarray(base[0]))
+        for kw in (dict(tiles_per_program=4),
+                   dict(dma_slots=4, chunk_rows=96),
+                   dict(span=4, tiles_per_program=2)):
+            d, i = rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                         interpret=True, **kw)
+            np.testing.assert_array_equal(np.asarray(i),
+                                          np.asarray(base[1]))
+            # Depth at FMA-contraction tolerance: different compiles
+            # may fuse z0 + sdz*t differently (suite convention).
+            np.testing.assert_allclose(np.asarray(d)[hit],
+                                       np.asarray(base[0])[hit],
+                                       rtol=2e-6)
+
+    def test_exit_off_i16_keys_match_exit_on(self):
+        """Exit-off binning drops the z-bucket bits (int16 keys when
+        the grid fits, no zlb pass) — winners must match the exit-on
+        int32-key walk and the oracle (z order within a range is
+        irrelevant under the per-pair tie-break)."""
+        from pointcloud_render_tpu.raster.pallas_csr6 import _key_layout
+
+        assert _key_layout(2040, 2, False) == (np.int16, 0)
+        assert _key_layout(2040, 4, False) == (np.int16, 0)
+        assert _key_layout(2040, 2, True)[0] == np.int32
+        # 16k tiles x 4 classes overflows int16 -> unshifted int32.
+        assert _key_layout(16384, 2, False) == (np.int32, 0)
+        soup = _mixed_soup(make_camera(), n=300, trails=40, seed=29)
+        d_on, i_on = rasterize_pallas_csr6(soup, W, H, allow_exit=True,
+                                           interpret=True)
+        d_off, i_off = rasterize_pallas_csr6(soup, W, H, allow_exit=False,
+                                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_off), np.asarray(i_on))
+        _assert_matches_oracle(soup, allow_exit=False,
+                               starts_method="sort")
+
+    def test_cap_rows10_rejects_incompatible_modes(self):
+        soup = _mixed_soup(make_camera(), n=50, trails=5)
+        with pytest.raises(ValueError, match="discs_only"):
+            rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                  discs_only=True, interpret=True)
+        with pytest.raises(ValueError, match="triangle"):
+            rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                  bin_triangles=True, interpret=True)
+        with pytest.raises(ValueError, match="allow_exit"):
+            rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                  allow_exit=True, interpret=True)
+
     def test_render_config_tunable_knobs_bit_identical(self):
         """The sweep-tunable RasterConfig knobs (chunk_rows, allow_exit,
         starts_method — filled from tuned_defaults.json by bench.py) are
@@ -341,6 +403,9 @@ class TestPallasCsr6:
                     RasterConfig(backend="pallas6", allow_exit=True),
                     RasterConfig(backend="pallas6", allow_exit=False),
                     RasterConfig(backend="pallas6", starts_method="sort"),
+                    RasterConfig(backend="pallas6", cap_rows10=True),
+                    RasterConfig(backend="pallas6", cap_rows10=True,
+                                 tiles_per_program=2),
                     RasterConfig(backend="pallas6", chunk_rows=512,
                                  allow_exit=False, starts_method="sort",
                                  dma_slots=4)):

@@ -24,7 +24,8 @@ def _bench_args(**kw):
     ns = types.SimpleNamespace(
         tiles_per_program=None, dma_slots=None, chunk_rows=None,
         unroll=None, allow_exit=None, starts_method=None,
-        no_uniform_look=False, trail_span=None, trail_segments=None)
+        no_uniform_look=False, trail_span=None, trail_segments=None,
+        trail_cap10=None)
     ns.__dict__.update(kw)
     return ns
 
@@ -61,7 +62,7 @@ class TestBenchApplyTuned:
                      "allow_exit": False, "uniform_look": False,
                      "unroll": 2},
             "trail": {"span": "4", "segments": 4,
-                      "starts_method": "sort"}})
+                      "starts_method": "sort", "cap_rows10": True}})
         ns = _bench_args()
         bench._apply_tuned(ns)
         assert ns.tiles_per_program == 4 and ns.dma_slots == 4
@@ -69,6 +70,7 @@ class TestBenchApplyTuned:
         assert ns.no_uniform_look is True
         assert ns.trail_span == "4" and ns.trail_segments == 4
         assert ns.trail_starts_method == "sort"
+        assert ns.trail_cap10 == "on"
 
     def test_explicit_flags_win(self, monkeypatch, tmp_path):
         import bench
@@ -94,6 +96,7 @@ class TestBenchApplyTuned:
         assert ns.allow_exit == "auto" and ns.starts_method == "scan"
         assert ns.trail_span == "auto" and ns.trail_segments is None
         assert ns.trail_starts_method == "scan"
+        assert ns.trail_cap10 == "off"
 
 
 def _raster_rec(ms, label="r", **kw):
@@ -169,6 +172,21 @@ class TestPickTuned:
             '{"metric": "m", "trail_fps_1000k_points": 3.4}\n')
         trail, _ = pick_tuned.pick_trail([], log)
         assert trail == {"span": "4", "segments": None}
+
+    def test_trail_cap10_from_sweep_records(self):
+        import pick_tuned
+
+        recs = [_raster_rec(300.0, span=4, scene="trail"),
+                _raster_rec(260.0, span=4, scene="trail",
+                            cap_rows10=True)]
+        trail, note = pick_tuned.pick_trail(recs, "")
+        assert trail["cap_rows10"] is True
+        # ...and within noise it stays off.
+        recs2 = [_raster_rec(300.0, span=4, scene="trail"),
+                 _raster_rec(299.0, span=4, scene="trail",
+                             cap_rows10=True)]
+        trail2, _ = pick_tuned.pick_trail(recs2, "")
+        assert not (trail2 or {}).get("cap_rows10")
 
     def test_trail_keeps_auto_within_noise(self):
         import pick_tuned

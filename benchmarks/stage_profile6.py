@@ -161,12 +161,47 @@ def main():
         return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
                 + jnp.sum(rgb[::8, ::8]))
 
+    # Standalone shade-stage split (NOT cumulative): what the 'shade'
+    # delta is made of, to size a possible three-tone/no-preshade path
+    # (preshade rgb is O(P) math; table8 is a P x 32 B repack; the
+    # rest of the delta is the 2M-pixel winner gather + epilogue).
+    from pointcloud_render_tpu.raster.pallas_csr3 import _preshade
+
+    def stage_preshade(p, v):
+        soup, cam = make(p, v)
+        srgb, sflag = _preshade(soup, cam, ShadingConfig())
+        return srgb[0, 0] + sflag[0] + soup.params[0, 0]
+
+    def stage_table8(p, v):
+        soup, cam = make(p, v)
+        srgb, sflag = _preshade(soup, cam, ShadingConfig())
+        table8 = jnp.pad(jnp.concatenate([
+            soup.params[:, 0:2], srgb, sflag[:, None],
+            jnp.zeros((soup.count, 2), jnp.float32)], axis=1),
+            ((0, 1), (0, 0)))
+        return table8.sum()
+
     t1 = timed("build (soup construction)", stage_build, pos, vel)
     t2 = timed("+ bin (keys + 1-slot sort)", stage_bin, pos, vel)
     t3 = timed("+ starts (searchsorted 4T+1)", stage_starts, pos, vel)
     t4 = timed("+ per-prim row gather", stage_rows, pos, vel)
     t5 = timed("+ CSR v6 kernel", stage_raster, pos, vel)
     t6 = timed("+ by-id shade (full frame)", stage_shade, pos, vel)
+    timed("standalone: build + preshade", stage_preshade, pos, vel)
+    timed("standalone: build + preshade + table8", stage_table8,
+          pos, vel)
+    if not discs_only:
+        # The narrow-row mode at the same scene (raster-only A/B; the
+        # rows stage difference shows in kernel6_sweep's CAP10 lines).
+        def stage_raster_cap10(p, v):
+            soup, _ = make(p, v)
+            d, i = pallas_csr6.rasterize_pallas_csr6(
+                soup, W, H, unroll=args.unroll, max_big=max_big,
+                cap_rows10=True)
+            return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+
+        timed("standalone: full raster CAP10", stage_raster_cap10,
+              pos, vel)
     print(f"\ndeltas: bin={1e3 * (t2 - t1):.1f} "
           f"starts={1e3 * (t3 - t2):.1f} rows={1e3 * (t4 - t3):.1f} "
           f"kernel={1e3 * (t5 - t4):.1f} shade={1e3 * (t6 - t5):.1f} "

@@ -100,6 +100,8 @@ def _apply_tuned(args):
     args.trail_starts_method = trail.get("starts_method", "scan")
     c10 = _t.fill(args.trail_cap10, trail, "cap_rows10", "off")
     args.trail_cap10 = {True: "on", False: "off"}.get(c10, c10)
+    t3 = _t.fill(args.trail_three_tone, trail, "three_tone", "off")
+    args.trail_three_tone = {True: "on", False: "off"}.get(t3, t3)
     if t:
         print(f"# tuned defaults applied ({_t.TUNED_PATH}): "
               f"{t.get('note', '')}", file=sys.stderr)
@@ -597,12 +599,35 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
         print(f"# {preset_name} big counts {bigs} max_big {max_big} "
               f"span {span}",
               file=sys.stderr)
+    three_tone = None
+    if getattr(args, "trail_three_tone", "off") == "on":
+        # Per-kind representative prim ids (the soup layout is static
+        # across frames): one tiny compiled dispatch, scene-exact even
+        # when near-clipping splits the ground quad.
+        from pointcloud_render_tpu.raster.primitives import (  # noqa: PLC0415
+            KIND_CAPSULE,
+            KIND_DISC,
+            KIND_TRIANGLE,
+        )
+
+        def reps_fn(fi):
+            s, _ = soup(fi)
+            return jnp.stack([jnp.argmax(s.kind == k) for k in
+                              (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE)])
+
+        rc = aot.compile_const_free(reps_fn, jnp.int32(int(frames[0])))
+        three_tone = tuple(int(v) for v in
+                           np.asarray(rc(jnp.int32(int(frames[0])))))
+        if args.verbose:
+            print(f"# {preset_name} three-tone reps {three_tone}",
+                  file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span,
                           starts_method=getattr(args, "trail_starts_method",
                                                 "scan"),
                           cap_rows10=getattr(args, "trail_cap10",
-                                             "off") == "on")
+                                             "off") == "on",
+                          three_tone=three_tone)
 
     def episode(positions, velocities):
         def body(acc, fi):
@@ -710,6 +735,11 @@ def main():
     ap.add_argument("--trail-cap10", default=None, choices=("on", "off"),
                     help="v6 narrow 10-float capsule rows for the trail "
                          "metric (exit-off tri-less soups; default "
+                         "tuned|off until measured on chip)")
+    ap.add_argument("--trail-three-tone", default=None,
+                    choices=("on", "off"),
+                    help="per-kind-constant shade for the trail metric "
+                         "(skips the O(P) preshade pass; default "
                          "tuned|off until measured on chip)")
     ap.add_argument("--deadline", type=int,
                     default=int(os.environ.get("BENCH_DEADLINE_S", 2400)),

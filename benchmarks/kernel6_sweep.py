@@ -201,6 +201,50 @@ def main():
               knobs=sknobs(True, 4))
         timed("shaded mb=256 FUSED uv unroll=2", shaded(True, 2),
               pos, vel, knobs=sknobs(True, 2))
+    else:
+        # Full shaded TRAIL frame: the O(P) preshade + 32 B table vs
+        # the THREE-TONE 16 B table (no preshade; per-kind colors from
+        # representative prims), each with/without the narrow rows.
+        from pointcloud_render_tpu.raster.primitives import (
+            KIND_CAPSULE,
+            KIND_DISC,
+            KIND_TRIANGLE,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+        from pointcloud_render_tpu.utils import aot as _aot
+
+        def reps_fn(p, v):
+            soup, _ = make(p, v)
+            return jnp.stack([jnp.argmax(soup.kind == k) for k in
+                              (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE)])
+
+        reps = tuple(int(x) for x in np.asarray(
+            _aot.compile_const_free(reps_fn, pos, vel)(pos, vel)))
+        print(f"three-tone reps {reps}", flush=True)
+
+        def shaded_t(three, cap10, span=4):
+            def f(p, v):
+                soup, cam = make(p, v)
+                rgb, d, i = pallas_csr6.render_shaded_csr6(
+                    soup, cam, ShadingConfig(), max_big=max_big,
+                    span=span, allow_exit=False, cap_rows10=cap10,
+                    three_tone=reps if three else None)
+                return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+                        + jnp.sum(rgb[::8, ::8]))
+
+            return f
+
+        def tknobs(three, cap10):
+            return dict(kind="shaded", scene=args.scene, span=4,
+                        three_tone=three, cap_rows10=cap10,
+                        max_big=max_big)
+
+        timed("shaded span=4 preshade by-id", shaded_t(False, False),
+              pos, vel, knobs=tknobs(False, False))
+        timed("shaded span=4 THREE-TONE", shaded_t(True, False),
+              pos, vel, knobs=tknobs(True, False))
+        timed("shaded span=4 CAP10 + THREE-TONE", shaded_t(True, True),
+              pos, vel, knobs=tknobs(True, True))
 
 
 if __name__ == "__main__":

@@ -111,7 +111,9 @@ def pick_trail(records, log_text):
              "bench trail span2 A/B": {"span": "2"},
              "bench trail span4 A/B": {"span": "4"},
              "bench trail segments=4 A/B": {"segments": 4},
-             "bench trail cap10 A/B": {"cap_rows10": True}}
+             "bench trail cap10 A/B": {"cap_rows10": True},
+             "bench trail 3tone A/B": {"cap_rows10": True,
+                                       "three_tone": True}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     if cand:
@@ -139,6 +141,15 @@ def pick_trail(records, log_text):
         trail["starts_method"] = "sort"
         notes.append(f"trail starts=sort {b_sort['ms']:.2f} vs "
                      f"scan {b_scan['ms']:.2f} ms")
+    # three_tone (no-preshade shade) from the trail shaded A/B records.
+    sh = [r for r in records if r.get("kind") == "shaded"
+          and r.get("scene") == "trail"]
+    s_pre = _best([r for r in sh if not r.get("three_tone")])
+    s_3 = _best([r for r in sh if r.get("three_tone")])
+    if s_pre and s_3 and s_3["ms"] < s_pre["ms"] * 0.985:
+        trail["three_tone"] = True
+        notes.append(f"trail three-tone {s_3['ms']:.2f} vs "
+                     f"{s_pre['ms']:.2f} ms")
     # cap_rows10 from the sweep's same-span raster A/B (unless the
     # bench-line A/B above already decided it).
     if "cap_rows10" not in trail:

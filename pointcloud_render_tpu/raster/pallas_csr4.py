@@ -677,7 +677,7 @@ def rasterize_pallas_csr4(prims, width: int, height: int, tile_h: int = 32,
 
 
 def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag,
-                 uniform_look=None):
+                 uniform_look=None, three_tone=None):
     """Per-pixel winner-id shade epilogue -> (rgb, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -689,6 +689,17 @@ def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag,
     [x0, y0, flag, 0] with the two colors injected as constants
     (bit-identical exactly when the scene's colors really are these
     two constants; lambert mode only — the pallas_csr3 option, ported).
+
+    ``three_tone``: optional (disc_rep, capsule_rep, tri_rep) prim ids
+    for PER-KIND-CONSTANT scenes (the trail/droplet presets: gray
+    lambert discs + one flat trail color + the ground).  Skips the
+    whole O(P) ``_preshade`` rgb pass — the three colors are derived
+    IN-GRAPH from the representative prims by _preshade's exact
+    formulas (so they are bit-identical whenever every prim of a kind
+    really shares its rep's color, and every triangle its rep's
+    normal) — and the per-pixel gather narrows to 4 floats
+    [x0, y0, flag, is_capsule].  Lambert mode only; callers pass
+    shade_rgb/shade_flag = zeros (kernel-inert; nothing reads them).
     """
     width, height = camera.width, camera.height
     hit = jnp.isfinite(depth)
@@ -706,6 +717,38 @@ def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag,
         nz = -jnp.sqrt(w2)
         ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
         return shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
+
+    if three_tone is not None and shading.mode != "flat":
+        d_rep, c_rep, t_rep = (int(r) for r in three_tone)
+        # The three colors, by _preshade's exact formulas on the
+        # representative prims (same inputs -> same f32 results).
+        uc = prims.color[d_rep]  # raw disc color; lit applied per pixel
+        ut = jnp.clip(prims.color[c_rep]
+                      * jnp.float32(shading.trail_boost), 0.0, 1.0)
+        m = camera.world_to_camera_matrix()
+        l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
+        ndotl_g = (prims.normal[t_rep, 0] * l_cam[0]
+                   + prims.normal[t_rep, 1] * l_cam[1]
+                   + prims.normal[t_rep, 2] * l_cam[2])
+        lit_g = shading.ambient + shading.diffuse * jnp.maximum(ndotl_g,
+                                                                0.0)
+        ug = jnp.clip(prims.color[t_rep] * lit_g, 0.0, 1.0)
+        # flag exactly as _preshade: inv_r for discs, -1 preshaded.
+        is_disc_p = prims.kind == KIND_DISC
+        inv_r_p = 1.0 / jnp.maximum(prims.params[:, 3], 1e-6)
+        flag_p = jnp.where(is_disc_p, inv_r_p, -1.0)
+        is_cap = (prims.kind == KIND_CAPSULE).astype(jnp.float32)
+        table4 = jnp.pad(jnp.concatenate([
+            prims.params[:, 0:2], flag_p[:, None], is_cap[:, None],
+        ], axis=1), ((0, 1), (0, 0)))
+        a = table4[safe]  # (H, W, 4)
+        flag = a[..., 2]
+        lit = lambert(a[..., 0], a[..., 1], flag)
+        rgb = jnp.where((flag > 0)[..., None], uc * lit[..., None],
+                        jnp.where((a[..., 3] > 0)[..., None], ut, ug))
+        bg = np.asarray(shading.background, np.float32)
+        rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
+        return rgb, index
 
     if uniform_look is not None and shading.mode != "flat":
         table4 = jnp.pad(jnp.concatenate([

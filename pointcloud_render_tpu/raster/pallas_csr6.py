@@ -1099,7 +1099,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        dma_slots: int = 2,
                        tiles_per_program: int = 1,
                        starts_method: str = "scan",
-                       cap_rows10: bool = False):
+                       cap_rows10: bool = False,
+                       three_tone=None):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -1109,11 +1110,27 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
     winner's lambert (u, v) through the merge and the epilogue is pure
     per-pixel math with NO gather and NO per-frame table repack (the
     reason pallas3's gather-based uniform_look lost its measured A/B).
+
+    ``three_tone``: (disc_rep, capsule_rep, tri_rep) prim ids for
+    PER-KIND-CONSTANT generic soups (trail/droplet presets) — skips
+    the O(P) _preshade rgb pass and narrows the shade table to 4
+    floats (see pallas_csr4._shade_by_id).  Lambert mode only;
+    mutually exclusive with uniform_look.
     """
     from pointcloud_render_tpu.raster import pallas_csr4 as _v4
 
+    if three_tone is not None and uniform_look is not None:
+        raise ValueError("three_tone and uniform_look are exclusive")
     width, height = camera.width, camera.height
-    shade_rgb, shade_flag = _preshade(prims, camera, shading)
+    three = three_tone is not None and shading.mode != "flat"
+    if three:
+        # Nothing reads shade_rgb/flag in the non-fused kernels (the
+        # table16 mid lanes are kernel-inert for capsules/discs and
+        # triangles take theirs from params) — zeros skip the pass.
+        shade_rgb = jnp.zeros((prims.count, 3), jnp.float32)
+        shade_flag = jnp.zeros((prims.count,), jnp.float32)
+    else:
+        shade_rgb, shade_flag = _preshade(prims, camera, shading)
     fused = (uniform_look is not None and discs_only
              and shading.mode != "flat" and allow_exit is not True
              and max_big + 1 <= DEFAULT_BIG_CHUNK)
@@ -1131,7 +1148,9 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
     else:
         rgb, index = _v4._shade_by_id(prims, camera, shading, depth, idf,
                                       shade_rgb, shade_flag,
-                                      uniform_look=uniform_look)
+                                      uniform_look=uniform_look,
+                                      three_tone=three_tone if three
+                                      else None)
     if return_diag:
         return rgb, depth, index, diag
     return rgb, depth, index

@@ -88,6 +88,11 @@ class RasterConfig:
     # floats (see pallas_csr3.render_shaded_csr3; bit-identical only
     # when the scene's colors really are these two constants).
     uniform_look: Optional[tuple] = None
+    # pallas6 per-kind-constant shade: (disc_rep, capsule_rep, tri_rep)
+    # prim ids — skips the O(P) preshade rgb pass for trail/droplet
+    # soups whose colors are constant per kind (pallas_csr4._shade_by_id
+    # derives the three tones from the reps in-graph, bit-identically).
+    three_tone: Optional[tuple] = None
 
 
 @jax.tree_util.register_dataclass
@@ -240,7 +245,8 @@ def render(prims: ScreenPrimitives, camera,
             unroll=config.unroll,
             bin_triangles=config.bin_triangles,
             discs_only=config.discs_only, max_big=config.max_big,
-            uniform_look=config.uniform_look, span=config.span,
+            uniform_look=config.uniform_look,
+            three_tone=config.three_tone, span=config.span,
             dma_slots=config.dma_slots,
             # Grid fusion rides the exit-off fori walk only; generic
             # span=2 scenes default to the (measured-faster) exit-on

@@ -375,6 +375,45 @@ class TestPallasCsr6:
         _assert_matches_oracle(soup, allow_exit=False,
                                starts_method="sort")
 
+    def test_three_tone_shade_bit_equal(self):
+        """three_tone (per-kind-constant shade, no O(P) preshade pass)
+        reproduces the preshade-table path bit-for-bit on a soup whose
+        colors are constant per kind — the trail/droplet preset shape.
+        Reps are derived from the soup's kinds (near-clipping splits
+        the ground quad, so indices are not hardcoded)."""
+        from pointcloud_render_tpu.raster.primitives import (
+            KIND_CAPSULE,
+            KIND_DISC,
+            KIND_TRIANGLE,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        soup = _mixed_soup(cam, n=250, trails=35, seed=37)
+        kind = np.asarray(soup.kind)
+        reps = tuple(int(np.argmax(kind == k)) for k in
+                     (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE))
+        cfg = ShadingConfig()
+        rgb_a, d_a, i_a = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             allow_exit=False)
+        rgb_b, d_b, i_b = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             cap_rows10=True,
+                                             three_tone=reps)
+        np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_a))
+        np.testing.assert_array_equal(np.asarray(rgb_b),
+                                      np.asarray(rgb_a))
+
+    def test_three_tone_excludes_uniform_look(self):
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        soup = _mixed_soup(make_camera(), n=50, trails=5)
+        with pytest.raises(ValueError, match="exclusive"):
+            render_shaded_csr6(soup, make_camera(), ShadingConfig(),
+                               interpret=True, three_tone=(0, 1, 2),
+                               uniform_look=((0.3,) * 3, (1.0,) * 3))
+
     def test_cap_rows10_rejects_incompatible_modes(self):
         soup = _mixed_soup(make_camera(), n=50, trails=5)
         with pytest.raises(ValueError, match="discs_only"):

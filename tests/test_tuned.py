@@ -25,7 +25,7 @@ def _bench_args(**kw):
         tiles_per_program=None, dma_slots=None, chunk_rows=None,
         unroll=None, allow_exit=None, starts_method=None,
         no_uniform_look=False, trail_span=None, trail_segments=None,
-        trail_cap10=None)
+        trail_cap10=None, trail_three_tone=None)
     ns.__dict__.update(kw)
     return ns
 
@@ -62,7 +62,8 @@ class TestBenchApplyTuned:
                      "allow_exit": False, "uniform_look": False,
                      "unroll": 2},
             "trail": {"span": "4", "segments": 4,
-                      "starts_method": "sort", "cap_rows10": True}})
+                      "starts_method": "sort", "cap_rows10": True,
+                      "three_tone": True}})
         ns = _bench_args()
         bench._apply_tuned(ns)
         assert ns.tiles_per_program == 4 and ns.dma_slots == 4
@@ -71,6 +72,7 @@ class TestBenchApplyTuned:
         assert ns.trail_span == "4" and ns.trail_segments == 4
         assert ns.trail_starts_method == "sort"
         assert ns.trail_cap10 == "on"
+        assert ns.trail_three_tone == "on"
 
     def test_explicit_flags_win(self, monkeypatch, tmp_path):
         import bench
@@ -97,6 +99,7 @@ class TestBenchApplyTuned:
         assert ns.trail_span == "auto" and ns.trail_segments is None
         assert ns.trail_starts_method == "scan"
         assert ns.trail_cap10 == "off"
+        assert ns.trail_three_tone == "off"
 
 
 def _raster_rec(ms, label="r", **kw):
@@ -187,6 +190,21 @@ class TestPickTuned:
                              cap_rows10=True)]
         trail2, _ = pick_tuned.pick_trail(recs2, "")
         assert not (trail2 or {}).get("cap_rows10")
+
+    def test_trail_three_tone_from_shaded_records(self):
+        import pick_tuned
+
+        def _sh(ms, three):
+            return dict(label="s", kind="shaded", scene="trail", span=4,
+                        three_tone=three, cap_rows10=False,
+                        max_big=20480, ms=ms)
+
+        trail, _ = pick_tuned.pick_trail([_sh(330.0, False),
+                                          _sh(300.0, True)], "")
+        assert trail["three_tone"] is True
+        trail2, _ = pick_tuned.pick_trail([_sh(330.0, False),
+                                           _sh(329.0, True)], "")
+        assert not (trail2 or {}).get("three_tone")
 
     def test_trail_keeps_auto_within_noise(self):
         import pick_tuned

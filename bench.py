@@ -41,6 +41,16 @@ import traceback
 import numpy as np
 
 TARGET_FPS = 500.0  # BASELINE.md north star
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "results", "last_bench.json")
+
+
+def _last_good():
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001 — absent/corrupt file = no context
+        return None
 
 
 def _emit(metric, value, vs=None, **extra):
@@ -49,6 +59,21 @@ def _emit(metric, value, vs=None, **extra):
            "vs_baseline": round(float(vs if vs is not None
                                       else value / TARGET_FPS), 4)}
     rec.update(extra)
+    if "error" not in rec and rec["value"] > 0:
+        # Persist the last REAL-chip success so a later run that dies on
+        # a wedged tunnel can attach it (honestly labelled) for context.
+        try:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                os.makedirs(os.path.dirname(LAST_GOOD_PATH), exist_ok=True)
+                with open(LAST_GOOD_PATH, "w") as f:
+                    json.dump({"ts": time.time(),
+                               "utc": time.strftime(
+                                   "%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+                               "record": rec}, f)
+        except Exception:  # noqa: BLE001 — persistence is best-effort
+            pass
     print(json.dumps(rec))
 
 
@@ -62,9 +87,13 @@ def _arm_deadline(args, seconds):
     remedy (CLAUDE.md tunnel discipline: kill by PID past ~15 min)."""
 
     def fire():
+        extra = {}
+        lg = _last_good()
+        if lg is not None:
+            extra["last_known_good"] = lg
         _emit(f"1080p_fps_{args.points // 1000}k_points", 0.0, vs=0.0,
               error=f"deadline: no result within {seconds}s "
-                    "(wedged device claim?)")
+                    "(wedged device claim?)", **extra)
         sys.stdout.flush()
         os._exit(0)
 
@@ -758,8 +787,12 @@ def main():
             timer.cancel()
     except BaseException as e:  # noqa: BLE001 — the JSON line must ALWAYS print
         traceback.print_exc()
+        extra = {}
+        lg = _last_good()
+        if lg is not None:
+            extra["last_known_good"] = lg
         _emit(f"1080p_fps_{args.points // 1000}k_points", 0.0, vs=0.0,
-              error=f"{type(e).__name__}: {str(e)[:300]}")
+              error=f"{type(e).__name__}: {str(e)[:300]}", **extra)
         sys.exit(0)
 
 

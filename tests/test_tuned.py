@@ -217,3 +217,36 @@ class TestPickTuned:
             '{"metric": "m", "trail_fps_1000k_points": 3.02}\n')
         trail, note = pick_tuned.pick_trail([], log)
         assert trail is None and "auto" in note
+
+
+class TestLastKnownGood:
+    """The artifact-of-record contract: a run that dies on a wedged
+    tunnel attaches the last REAL-chip success (clearly labelled) so the
+    error record is not a context-free 0.0; CPU runs never persist."""
+
+    def test_error_record_attaches_last_good(self, monkeypatch, tmp_path,
+                                             capsys):
+        import bench
+
+        p = tmp_path / "last_bench.json"
+        p.write_text(json.dumps({"ts": 1.0, "utc": "x",
+                                 "record": {"metric": "m",
+                                            "value": 38.3}}))
+        monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(p))
+        lg = bench._last_good()
+        assert lg["record"]["value"] == 38.3
+        bench._emit("m", 0.0, vs=0.0, error="boom", last_known_good=lg)
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["error"] == "boom"
+        assert rec["last_known_good"]["record"]["value"] == 38.3
+
+    def test_cpu_success_does_not_persist(self, monkeypatch, tmp_path,
+                                          capsys):
+        import bench
+
+        p = tmp_path / "last_bench.json"
+        monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(p))
+        bench._emit("m", 5.0)
+        capsys.readouterr()
+        assert not p.exists()
+        assert bench._last_good() is None

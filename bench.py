@@ -59,6 +59,10 @@ def _emit(metric, value, vs=None, **extra):
            "vs_baseline": round(float(vs if vs is not None
                                       else value / TARGET_FPS), 4)}
     rec.update(extra)
+    if "error" in rec and "last_known_good" not in rec:
+        lg = _last_good()
+        if lg is not None:
+            rec["last_known_good"] = lg
     if "error" not in rec and rec["value"] > 0:
         # Persist the last REAL-chip success so a later run that dies on
         # a wedged tunnel can attach it (honestly labelled) for context.
@@ -87,13 +91,9 @@ def _arm_deadline(args, seconds):
     remedy (CLAUDE.md tunnel discipline: kill by PID past ~15 min)."""
 
     def fire():
-        extra = {}
-        lg = _last_good()
-        if lg is not None:
-            extra["last_known_good"] = lg
         _emit(f"1080p_fps_{args.points // 1000}k_points", 0.0, vs=0.0,
               error=f"deadline: no result within {seconds}s "
-                    "(wedged device claim?)", **extra)
+                    "(wedged device claim?)")
         sys.stdout.flush()
         os._exit(0)
 
@@ -526,7 +526,12 @@ def _bench_trail_scene(args, positions):
     a driver-visible number for the reference's primary workload)."""
     return _bench_soup_scene(args, positions, "traj_ball", "capsule",
                              args.trail_frames,
-                             trail_segments=args.trail_segments)
+                             trail_segments=args.trail_segments,
+                             cap10=getattr(args, "trail_cap10",
+                                           "off") == "on",
+                             three_tone_on=getattr(args,
+                                                   "trail_three_tone",
+                                                   "off") == "on")
 
 
 def _bench_droplet_scene(args, positions):
@@ -540,12 +545,15 @@ def _bench_droplet_scene(args, positions):
 
 
 def _bench_soup_scene(args, positions, preset_name, droplet_lod,
-                      n_frames, trail_segments=None):
+                      n_frames, trail_segments=None, cap10=False,
+                      three_tone_on=False):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
     (span auto-selected) and certified per frame by the scan-carried
-    overflow diag."""
+    overflow diag.  cap10/three_tone are passed EXPLICITLY by the
+    caller: the tuned trail knobs apply to the trail metric only — the
+    droplet metric was never A/B'd under them."""
     import jax
     import jax.numpy as jnp
 
@@ -629,24 +637,23 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
               f"span {span}",
               file=sys.stderr)
     three_tone = None
-    if getattr(args, "trail_three_tone", "off") == "on":
-        # Per-kind representative prim ids (the soup layout is static
-        # across frames): one tiny compiled dispatch, scene-exact even
-        # when near-clipping splits the ground quad.
-        from pointcloud_render_tpu.raster.primitives import (  # noqa: PLC0415
-            KIND_CAPSULE,
-            KIND_DISC,
-            KIND_TRIANGLE,
-        )
-
+    if three_tone_on:
+        # Per-kind representative prim ids + the device-side exactness
+        # certificate (per-kind-constant colors, shared tri normal).
+        # One tiny compiled dispatch; the soup layout is static across
+        # frames.  A failed certificate falls back to the preshade
+        # path — a tuned knob may cost milliseconds, never correctness.
         def reps_fn(fi):
             s, _ = soup(fi)
-            return jnp.stack([jnp.argmax(s.kind == k) for k in
-                              (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE)])
+            return pallas_csr6.derive_three_tone(s)
 
         rc = aot.compile_const_free(reps_fn, jnp.int32(int(frames[0])))
-        three_tone = tuple(int(v) for v in
-                           np.asarray(rc(jnp.int32(int(frames[0])))))
+        reps, ok = rc(jnp.int32(int(frames[0])))
+        if bool(np.asarray(ok)):
+            three_tone = tuple(int(v) for v in np.asarray(reps))
+        else:
+            print(f"# {preset_name} NOT per-kind-constant — "
+                  "three_tone disabled for this scene", file=sys.stderr)
         if args.verbose:
             print(f"# {preset_name} three-tone reps {three_tone}",
                   file=sys.stderr)
@@ -654,8 +661,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                           max_big=max_big, span=span,
                           starts_method=getattr(args, "trail_starts_method",
                                                 "scan"),
-                          cap_rows10=getattr(args, "trail_cap10",
-                                             "off") == "on",
+                          cap_rows10=cap10,
                           three_tone=three_tone)
 
     def episode(positions, velocities):
@@ -787,12 +793,8 @@ def main():
             timer.cancel()
     except BaseException as e:  # noqa: BLE001 — the JSON line must ALWAYS print
         traceback.print_exc()
-        extra = {}
-        lg = _last_good()
-        if lg is not None:
-            extra["last_known_good"] = lg
         _emit(f"1080p_fps_{args.points // 1000}k_points", 0.0, vs=0.0,
-              error=f"{type(e).__name__}: {str(e)[:300]}", **extra)
+              error=f"{type(e).__name__}: {str(e)[:300]}")
         sys.exit(0)
 
 

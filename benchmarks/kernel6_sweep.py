@@ -205,21 +205,16 @@ def main():
         # Full shaded TRAIL frame: the O(P) preshade + 32 B table vs
         # the THREE-TONE 16 B table (no preshade; per-kind colors from
         # representative prims), each with/without the narrow rows.
-        from pointcloud_render_tpu.raster.primitives import (
-            KIND_CAPSULE,
-            KIND_DISC,
-            KIND_TRIANGLE,
-        )
         from pointcloud_render_tpu.shading.shade import ShadingConfig
         from pointcloud_render_tpu.utils import aot as _aot
 
         def reps_fn(p, v):
             soup, _ = make(p, v)
-            return jnp.stack([jnp.argmax(soup.kind == k) for k in
-                              (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE)])
+            return pallas_csr6.derive_three_tone(soup)
 
-        reps = tuple(int(x) for x in np.asarray(
-            _aot.compile_const_free(reps_fn, pos, vel)(pos, vel)))
+        reps_d, ok = _aot.compile_const_free(reps_fn, pos, vel)(pos, vel)
+        assert bool(np.asarray(ok)), "scene not per-kind-constant"
+        reps = tuple(int(x) for x in np.asarray(reps_d))
         print(f"three-tone reps {reps}", flush=True)
 
         def shaded_t(three, cap10, span=4):

@@ -11,9 +11,10 @@ explicitly.  A flagless driver run therefore times the winners without
 anyone editing defaults by hand.
 
 Every knob is exactness-neutral (the interpret-mode knob-matrix tests
-pin bit-identical winners across all values), so the worst a bad pick
-can do is cost milliseconds — and the queue re-runs bench.py after this
-script as confirmation.
+pin bit-identical winners across all values; three_tone verifies its
+per-kind-constant precondition device-side in bench.py and falls back
+otherwise), so the worst a bad pick can do is cost milliseconds — and
+the queue re-runs bench.py after this script as confirmation.
 
 Run: python benchmarks/pick_tuned.py [--log /tmp/tpu_batch.log] [--dry]
 """
@@ -116,6 +117,13 @@ def pick_trail(records, log_text):
                                        "three_tone": True}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
+    # Knobs with END-TO-END bench-line evidence (including a negative
+    # "within noise" verdict) must not be re-decided by the raster-only
+    # sweep fallbacks below.
+    decided = set()
+    if "bench verbose (HEADLINE)" in sections:
+        for lab in sections:
+            decided |= set(flags.get(lab, ()))
     if cand:
         cand.sort(key=lambda c: -c[0])
         best_fps, best_flags, _ = cand[0]
@@ -141,18 +149,22 @@ def pick_trail(records, log_text):
         trail["starts_method"] = "sort"
         notes.append(f"trail starts=sort {b_sort['ms']:.2f} vs "
                      f"scan {b_scan['ms']:.2f} ms")
-    # three_tone (no-preshade shade) from the trail shaded A/B records.
-    sh = [r for r in records if r.get("kind") == "shaded"
-          and r.get("scene") == "trail"]
-    s_pre = _best([r for r in sh if not r.get("three_tone")])
-    s_3 = _best([r for r in sh if r.get("three_tone")])
-    if s_pre and s_3 and s_3["ms"] < s_pre["ms"] * 0.985:
-        trail["three_tone"] = True
-        notes.append(f"trail three-tone {s_3['ms']:.2f} vs "
-                     f"{s_pre['ms']:.2f} ms")
-    # cap_rows10 from the sweep's same-span raster A/B (unless the
-    # bench-line A/B above already decided it).
-    if "cap_rows10" not in trail:
+    # three_tone (no-preshade shade) from the trail shaded A/B records —
+    # compared at MATCHING cap_rows10 so a cap10-only win cannot be
+    # credited to three_tone; skipped when the bench-line A/B already
+    # ruled end to end.
+    if "three_tone" not in decided:
+        sh = [r for r in records if r.get("kind") == "shaded"
+              and r.get("scene") == "trail" and not r.get("cap_rows10")]
+        s_pre = _best([r for r in sh if not r.get("three_tone")])
+        s_3 = _best([r for r in sh if r.get("three_tone")])
+        if s_pre and s_3 and s_3["ms"] < s_pre["ms"] * 0.985:
+            trail["three_tone"] = True
+            notes.append(f"trail three-tone {s_3['ms']:.2f} vs "
+                         f"{s_pre['ms']:.2f} ms")
+    # cap_rows10 from the sweep's same-span raster A/B — only when the
+    # bench-line A/B produced NO end-to-end verdict on it at all.
+    if "cap_rows10" not in trail and "cap_rows10" not in decided:
         c_on = _best([r for r in sm if r.get("cap_rows10")])
         c_off = _best([r for r in sm if not r.get("cap_rows10")])
         if c_on and c_off and c_on["ms"] < c_off["ms"] * 0.985:

@@ -1086,6 +1086,36 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
     return depth, index
 
 
+def derive_three_tone(prims):
+    """Representative prim ids per kind + the exactness certificate for
+    the ``three_tone`` shade (pallas_csr4._shade_by_id).
+
+    Returns ``(reps, ok)`` — ``reps`` int32[3] = (disc, capsule,
+    triangle) representative ids (argmax over each kind mask; 0 and
+    inert when a kind is absent) and ``ok`` a scalar bool that is True
+    iff every prim of a kind shares its representative's color AND
+    every triangle shares its representative's normal — exactly the
+    precondition under which the three-tone shade reproduces the
+    per-prim ``_preshade`` table bit-for-bit.  Pure jittable function
+    of the soup; callers must fall back to the preshade path when
+    ``ok`` is False (bench.py does, so the tuned-file contract — knobs
+    can only cost milliseconds, never correctness — holds even for
+    scenes that stop being per-kind-constant).
+    """
+    reps = []
+    ok = jnp.bool_(True)
+    for k in (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE):
+        mask = prims.kind == k
+        rep = jnp.argmax(mask)
+        reps.append(rep)
+        same = prims.color == prims.color[rep]
+        ok = ok & jnp.all(jnp.where(mask[:, None], same, True))
+    tri = prims.kind == KIND_TRIANGLE
+    same_n = prims.normal == prims.normal[reps[2]]
+    ok = ok & jnp.all(jnp.where(tri[:, None], same_n, True))
+    return jnp.stack(reps).astype(jnp.int32), ok
+
+
 def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        tile_w: int = 32, unroll: int = 4,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,

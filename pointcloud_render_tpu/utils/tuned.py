@@ -21,7 +21,12 @@ File shape (all keys optional; absent file = builtin defaults)::
 
 Every knob is a pure performance lever — all values render bit-identical
 images (the interpret-mode knob-matrix tests pin this), so a stale or
-hand-edited file can only cost milliseconds, never correctness.
+hand-edited file can only cost milliseconds, never correctness.  The one
+conditionally-exact knob, ``trail.three_tone``, keeps that contract
+operationally: bench.py re-derives the representative prims per scene
+and verifies the per-kind-constant precondition DEVICE-SIDE
+(pallas_csr6.derive_three_tone) before applying it, falling back to the
+always-exact preshade path otherwise.
 """
 from __future__ import annotations
 

@@ -379,20 +379,18 @@ class TestPallasCsr6:
         """three_tone (per-kind-constant shade, no O(P) preshade pass)
         reproduces the preshade-table path bit-for-bit on a soup whose
         colors are constant per kind — the trail/droplet preset shape.
-        Reps are derived from the soup's kinds (near-clipping splits
-        the ground quad, so indices are not hardcoded)."""
-        from pointcloud_render_tpu.raster.primitives import (
-            KIND_CAPSULE,
-            KIND_DISC,
-            KIND_TRIANGLE,
+        Reps come from derive_three_tone (the shared bench helper),
+        whose certificate must hold on this soup."""
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            derive_three_tone,
         )
         from pointcloud_render_tpu.shading.shade import ShadingConfig
 
         cam = make_camera()
         soup = _mixed_soup(cam, n=250, trails=35, seed=37)
-        kind = np.asarray(soup.kind)
-        reps = tuple(int(np.argmax(kind == k)) for k in
-                     (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE))
+        reps_d, ok = derive_three_tone(soup)
+        assert bool(np.asarray(ok))
+        reps = tuple(int(v) for v in np.asarray(reps_d))
         cfg = ShadingConfig()
         rgb_a, d_a, i_a = render_shaded_csr6(soup, cam, cfg,
                                              interpret=True,
@@ -404,6 +402,29 @@ class TestPallasCsr6:
         np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_a))
         np.testing.assert_array_equal(np.asarray(rgb_b),
                                       np.asarray(rgb_a))
+
+    def test_derive_three_tone_rejects_varied_colors(self):
+        """The device-side certificate is what keeps three_tone inside
+        the tuned-file contract: a soup whose disc colors are NOT all
+        equal must come back ok=False (bench then falls back to the
+        always-exact preshade path)."""
+        import dataclasses
+
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            derive_three_tone,
+        )
+        from pointcloud_render_tpu.raster.primitives import KIND_DISC
+
+        soup = _mixed_soup(make_camera(), n=50, trails=5)
+        _, ok = derive_three_tone(soup)
+        assert bool(np.asarray(ok))
+        colors = np.asarray(soup.color).copy()
+        kind = np.asarray(soup.kind)
+        last_disc = int(np.where(kind == KIND_DISC)[0][-1])
+        colors[last_disc] = [0.9, 0.1, 0.1]
+        varied = dataclasses.replace(soup, color=jnp.asarray(colors))
+        _, ok2 = derive_three_tone(varied)
+        assert not bool(np.asarray(ok2))
 
     def test_three_tone_excludes_uniform_look(self):
         from pointcloud_render_tpu.shading.shade import ShadingConfig

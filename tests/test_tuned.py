@@ -233,9 +233,9 @@ class TestLastKnownGood:
                                  "record": {"metric": "m",
                                             "value": 38.3}}))
         monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(p))
-        lg = bench._last_good()
-        assert lg["record"]["value"] == 38.3
-        bench._emit("m", 0.0, vs=0.0, error="boom", last_known_good=lg)
+        assert bench._last_good()["record"]["value"] == 38.3
+        # _emit attaches it automatically on ANY error record.
+        bench._emit("m", 0.0, vs=0.0, error="boom")
         rec = json.loads(capsys.readouterr().out.strip())
         assert rec["error"] == "boom"
         assert rec["last_known_good"]["record"]["value"] == 38.3
@@ -250,3 +250,54 @@ class TestLastKnownGood:
         capsys.readouterr()
         assert not p.exists()
         assert bench._last_good() is None
+
+
+class TestPickTunedGuards:
+    """The two review-caught decision hazards: a cap10-only win must not
+    be credited to three_tone, and a negative end-to-end bench verdict
+    must not be overridden by raster-only sweep evidence."""
+
+    def test_three_tone_not_credited_for_cap10_win(self):
+        import pick_tuned
+
+        def _sh(ms, three, cap10):
+            return dict(label="s", kind="shaded", scene="trail", span=4,
+                        three_tone=three, cap_rows10=cap10,
+                        max_big=20480, ms=ms)
+
+        # three_tone alone shows no win; only the cap10 combo is fast.
+        recs = [_sh(330.0, False, False), _sh(329.5, True, False),
+                _sh(295.0, True, True)]
+        trail, _ = pick_tuned.pick_trail(recs, "")
+        assert not (trail or {}).get("three_tone")
+
+    def test_negative_bench_verdict_blocks_sweep_fallback(self):
+        import pick_tuned
+
+        log = (
+            "=== bench verbose (HEADLINE) Tue Aug 18 13:00:00 UTC 2026"
+            " ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.0}\n'
+            "=== bench trail cap10 A/B Tue Aug 18 14:00:00 UTC 2026"
+            " ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.01}\n'
+            "=== bench trail 3tone A/B Tue Aug 18 15:00:00 UTC 2026"
+            " ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.02}\n')
+
+        def _r(ms, cap10):
+            return dict(label="r", kind="raster", scene="trail", span=4,
+                        starts_method="scan", cap_rows10=cap10, ms=ms)
+
+        def _sh(ms, three):
+            return dict(label="s", kind="shaded", scene="trail", span=4,
+                        three_tone=three, cap_rows10=False, ms=ms)
+
+        # Raster-only sweep says cap10/three_tone win big, but the
+        # end-to-end bench lines said "within noise" — keep auto.
+        recs = [_r(260.0, False), _r(240.0, True),
+                _sh(330.0, False), _sh(300.0, True)]
+        trail, note = pick_tuned.pick_trail(recs, log)
+        assert not (trail or {}).get("cap_rows10")
+        assert not (trail or {}).get("three_tone")
+        assert "keeping auto" in note

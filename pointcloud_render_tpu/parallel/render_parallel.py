@@ -239,7 +239,9 @@ def _rasterize_shard(prims, camera, config):
 
         depth, index, diag = pallas_csr4.rasterize_pallas_csr4(
             prims, camera.width, camera.height, unroll=config.unroll,
-            entry_capacity=config.entry_capacity, interpret=interpret,
+            entry_capacity=config.entry_capacity,
+            max_big=config.max_big,
+            bin_triangles=config.bin_triangles, interpret=interpret,
             return_diag=True)
         return depth, index, diag["big_overflow"]
     if backend == "pallas6":
@@ -263,8 +265,9 @@ def _rasterize_shard(prims, camera, config):
 
         depth, index, diag = pallas_csr5.rasterize_pallas_csr5(
             prims, camera.width, camera.height,
-            entry_capacity=config.entry_capacity, interpret=interpret,
-            return_diag=True)
+            entry_capacity=config.entry_capacity,
+            max_big=config.max_big,
+            interpret=interpret, return_diag=True)
         return depth, index, diag["big_overflow"]
     depth, index = xla_tiled.rasterize_tiled(
         prims, camera.width, camera.height,

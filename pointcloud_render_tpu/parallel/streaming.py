@@ -34,7 +34,11 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from pointcloud_render_tpu.raster import pallas_csr4, xla_tiled
-from pointcloud_render_tpu.raster.primitives import KIND_DISC, discs_from_points
+from pointcloud_render_tpu.raster.primitives import (
+    KIND_DISC,
+    KIND_TRIANGLE,
+    discs_from_points,
+)
 from pointcloud_render_tpu.shading.shade import ShadingConfig, shade_winner_attrs
 from pointcloud_render_tpu.utils import aot
 
@@ -66,7 +70,8 @@ class StreamingRasterizer:
                  backend: Optional[str] = None,
                  color=(0.3, 0.3, 0.3), mesh=None,
                  entry_capacity: Optional[int] = None,
-                 soup_fn=None, shading: ShadingConfig = ShadingConfig()):
+                 soup_fn=None, shading: ShadingConfig = ShadingConfig(),
+                 max_big: int = 1024):
         self.camera = camera
         self.chunk_points = int(chunk_points)
         self.radius = float(radius_world)
@@ -77,6 +82,10 @@ class StreamingRasterizer:
         self.entry_capacity = entry_capacity
         self.soup_fn = soup_fn
         self.shading = shading
+        # Big-list capacity for the pallas kernels: the overflow
+        # RuntimeError tells the user to raise this knob, so it must
+        # exist (wide prims past it are DROPPED, loudly).
+        self.max_big = int(max_big)
         self._step = None
         self._max_entries = 0
 
@@ -102,6 +111,7 @@ class StreamingRasterizer:
 
             d, i, diag = pallas_csr6.rasterize_pallas_csr6(
                 prims, cam.width, cam.height, unroll=4,
+                max_big=self.max_big,
                 interpret=jax.default_backend() != "tpu",
                 return_diag=True)
             tc = jnp.int32(0)  # nothing capacity-capped in v6
@@ -115,6 +125,7 @@ class StreamingRasterizer:
             d, i, diag = pallas_csr4.rasterize_pallas_csr4(
                 prims, cam.width, cam.height, unroll=4,
                 entry_capacity=self.entry_capacity,
+                max_big=self.max_big,
                 interpret=jax.default_backend() != "tpu",
                 return_diag=True)
             tc = diag["true_entries"]
@@ -124,11 +135,28 @@ class StreamingRasterizer:
             tc = ovf = jnp.int32(0)
         # Fused winner-attribute gather: (px, py, rflag, rgb) per hit
         # pixel; rflag = projected radius for discs, -1 for capsules
-        # (shade_winner_attrs applies the trail boost there).
-        rflag = jnp.where(prims.kind == KIND_DISC,
-                          prims.params[:, 3], -1.0)
+        # (shade_winner_attrs applies the trail boost there), 0 for
+        # triangles whose face-normal Lambert is PRE-LIT into rgb here
+        # (shade_framebuffer's exact formula — a soup_fn that streams
+        # ground triangles shades identically to the monolithic render
+        # instead of taking the capsule boost).
+        m = cam.world_to_camera_matrix()
+        l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
+        ndotl_tri = (prims.normal[:, 0] * l_cam[0]
+                     + prims.normal[:, 1] * l_cam[1]
+                     + prims.normal[:, 2] * l_cam[2])
+        lit_tri = (self.shading.ambient
+                   + self.shading.diffuse * jnp.maximum(ndotl_tri, 0.0))
+        is_tri = prims.kind == KIND_TRIANGLE
+        rflag = jnp.where(prims.kind == KIND_DISC, prims.params[:, 3],
+                          jnp.where(is_tri, 0.0, -1.0))
+        if self.shading.mode == "flat":
+            rgb = prims.color  # flat mode never lights anything
+        else:
+            rgb = jnp.where(is_tri[:, None],
+                            prims.color * lit_tri[:, None], prims.color)
         table = jnp.concatenate([
-            prims.params[:, 0:2], rflag[:, None], prims.color], axis=1)
+            prims.params[:, 0:2], rflag[:, None], rgb], axis=1)
         attr = table[jnp.maximum(i, 0)]  # (H, W, 6)
         return d, i, attr, tc, ovf
 
@@ -276,7 +304,8 @@ class StreamingRasterizer:
 
         ONE shader for every path: shading.shade.shade_winner_attrs —
         the same sphere-Lambert as the monolithic render, with capsule
-        winners (attr rflag <= 0) taking the reference trail boost."""
+        winners (attr rflag < 0) taking the reference trail boost and
+        triangle winners (rflag == 0) pre-lit at table build."""
         hit = index >= 0
         if not shaded:
             bg = np.ones(3, np.float32)

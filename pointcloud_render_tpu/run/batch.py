@@ -103,7 +103,13 @@ def run_batch(preset: ScenePreset, input_folder: Optional[str] = None,
                 if hs:
                     history = np.stack([h[:, :3] for h in hs])
             with stage(rec, "load"):
-                pcl = pipeline.load_and_prepare(path)
+                # History presets already loaded+prepared every frame in
+                # the preload pass — reuse it instead of paying the disk
+                # IO and float64 standardize twice per frame.
+                pcl = (all_frames.get(fi)
+                       if all_frames is not None else None)
+                if pcl is None:
+                    pcl = pipeline.load_and_prepare(path)
             rec.points = int(pcl.shape[0])
             with stage(rec, "render"):
                 fb = pipeline.render_array(pcl, fi, history)
@@ -113,18 +119,9 @@ def run_batch(preset: ScenePreset, input_folder: Optional[str] = None,
 
                 _jax.block_until_ready((fb.rgb, fb.depth, fb.index))
             with stage(rec, "save"):
-                import os as _os
-
-                from pointcloud_render_tpu.io import png as _png
-
-                stem = _os.path.splitext(_os.path.basename(path))[0]
-                name = preset.output_name(fi, stem)
-                out_path = _os.path.join(output_folder, f"{name}.png")
-                _png.write_png(out_path, np.asarray(fb.rgb))
-                if write_depth:
-                    np.save(_os.path.join(output_folder,
-                                          f"{name}_depth.npy"),
-                            np.asarray(fb.depth))
+                out_path = pipeline.save_outputs(fb, path, fi,
+                                                 output_folder,
+                                                 write_depth)
             manifest.mark(fi, out_path)
         except Exception as e:  # noqa: BLE001 — reference: print and continue
             rec.status = "error"

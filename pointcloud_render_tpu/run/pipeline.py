@@ -94,6 +94,7 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
             # (primitives._near_clip_triangles); both blocks are row-major
             # per point, so the layout records them as two entries.
             per_point.append(("split2", tris.count // (2 * n)))
+        else:
             # Capsule LOD: head sphere + tapering tail along the rotated
             # -z axis (column 2 of R gives R @ (0,0,-1) = tail direction).
             tail_dir = -rotations[:, :3, 2]
@@ -222,9 +223,6 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
             # and scale the diffuse term where occluded.  Uses the
             # UNFUSED raster+shade path (the fused kernels shade
             # in-kernel without the shadow term).
-            from pointcloud_render_tpu.raster.render import (  # noqa: PLC0415
-                rasterize,
-            )
             from pointcloud_render_tpu.shading.shade import (  # noqa: PLC0415
                 shade_framebuffer,
             )
@@ -241,17 +239,23 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
                 history if with_history else None,
                 rotations if with_rotations else None,
                 droplet_lod=droplet_lod)
+            # Shadow-map depth is a LOOK approximation (off by default;
+            # its capped tiled raster can drop occluders = missing
+            # shadow, never a wrong winner).  The CAMERA raster keeps
+            # the real per-frame certificate: render() returns the
+            # backend diag, and only the rgb is re-shaded with the
+            # shadow factor (review r3: this branch used to hardcode a
+            # zero diag, making the certificate vacuous under shadows).
             sdepth = render_shadow_depth(prims_light, light_cam)
-            depth, index = rasterize(prims, camera.width, camera.height,
-                                     raster_config)
+            fb0, diag = render(prims, camera, raster_config,
+                               return_diag=True)
+            depth, index = fb0.depth, fb0.index
             sf = shadow_factor(camera, depth, index, light_cam, sdepth,
                                bias=shading.shadow_bias,
                                min_light=shading.shadow_min_light)
             rgb = shade_framebuffer(prims, camera, depth, index, shading,
                                     shadow=sf)
             fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
-            diag = dict(true_entries=jnp.int32(0),
-                        big_overflow=jnp.int32(0))
         else:
             # Per-frame device-side exactness certificate (ADVICE r2):
             # the caller checks it on EVERY rendered frame — a later
@@ -400,10 +404,19 @@ class FramePipeline:
         else:
             pcl = self.load_and_prepare(file_path)
             fb = self.render_array(pcl, frame_index, history)
+        return self.save_outputs(
+            fb, file_path, frame_index,
+            output_folder or self.preset.output_folder, write_depth)
 
+    def save_outputs(self, fb, file_path: str, frame_index: int,
+                     folder: str, write_depth: bool = False) -> str:
+        """Write the frame's PNG (+ optional depth dump) under the
+        reference naming contract (preset.output_name: frame_{idx:04d}
+        _b0 rename past 199, else the input stem).  The ONE place that
+        computes output names — run_batch's manifest resume matches by
+        this basename, so batch and pipeline must never diverge."""
         stem = os.path.splitext(os.path.basename(file_path))[0]
         name = self.preset.output_name(frame_index, stem)
-        folder = output_folder or self.preset.output_folder
         os.makedirs(folder, exist_ok=True)
         out_path = os.path.join(folder, f"{name}.png")
         png.write_png(out_path, np.asarray(fb.rgb))

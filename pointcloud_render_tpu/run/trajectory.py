@@ -80,8 +80,9 @@ class TrajectoryScanRenderer:
         lod = self.droplet_lod
         with_history = preset.trail == "history"
 
-        def chunk_fn(positions, velocities, frame_ids, history):
-            def step(carry, fi):
+        def chunk_fn(positions, velocities, frame_ids, real_mask, history):
+            def step(carry, x):
+                fi, real = x
                 pos, vel, hist, tc_max, ovf_max = carry
                 origin = camera_origin_jax(preset.camera_preset, fi,
                                            preset.total_frames)
@@ -90,23 +91,35 @@ class TrajectoryScanRenderer:
                     target=np.asarray(TARGETS[preset.camera_preset],
                                       np.float32),
                     fov_x_degrees=preset.fov_x_degrees)
-                prims = build_primitives(
-                    preset, camera, pos, vel, fi,
-                    hist if with_history else None, None,
-                    droplet_lod=lod)
                 if motion:
-                    # Recolor the splats by speed (first primitive block
-                    # after the 4 clipped ground triangles).
+                    prims, layout = build_primitives(
+                        preset, camera, pos, vel, fi,
+                        hist if with_history else None, None,
+                        droplet_lod=lod, return_layout=True)
+                    # Recolor the splats by speed: the first per-point
+                    # block of the soup layout (head discs for droplet
+                    # capsule LOD, discs for spheres) — NOT a hardcoded
+                    # offset, which silently miscolors if the ground's
+                    # near-clip row count ever changes.
+                    off = 0
+                    for count, per in layout:
+                        if per == 1:
+                            break
+                        off += count
+                    else:
+                        raise ValueError(
+                            "motion_color needs a per-point splat block "
+                            f"(layout {layout}) — mesh LOD unsupported")
                     colors = dynamics.motion_colors(vel)
-                    n = pos.shape[0]
-                    prims = jax.tree_util.tree_map(lambda x: x, prims)
-                    prims = prims.__class__(
-                        kind=prims.kind,
-                        params=prims.params,
+                    prims = _dc.replace(
+                        prims,
                         color=jax.lax.dynamic_update_slice_in_dim(
-                            prims.color, colors, 4, axis=0),
-                        valid=prims.valid, bbox=prims.bbox,
-                        normal=prims.normal)
+                            prims.color, colors, off, axis=0))
+                else:
+                    prims = build_primitives(
+                        preset, camera, pos, vel, fi,
+                        hist if with_history else None, None,
+                        droplet_lod=lod)
                 # Device-side exactness certificate, carried as a running
                 # max over EVERY frame of the chunk (not just probed
                 # samples — closes the probe-gap silent-truncation hole;
@@ -117,10 +130,21 @@ class TrajectoryScanRenderer:
                 ovf2 = jnp.maximum(ovf_max, diag["big_overflow"])
                 # Rolling history: push the CURRENT positions (the frame
                 # just rendered used only prior frames, reference
-                # traj_renderer.py:754-761 semantics).
-                new_hist = jnp.concatenate([hist[1:], pos[None]], axis=0) \
-                    if with_history else hist
-                new_pos = dynamics.advect(pos, vel, dt) if dt else pos
+                # traj_renderer.py:754-761 semantics).  Chunk-padding
+                # steps (real == False) replay the last frame id with the
+                # state FROZEN: advecting/pushing through them would hand
+                # back positions and history over-advected by the pad
+                # length.
+                if with_history:
+                    pushed = jnp.concatenate([hist[1:], pos[None]], axis=0)
+                    new_hist = jnp.where(real, pushed, hist)
+                else:
+                    new_hist = hist
+                if dt:
+                    new_pos = jnp.where(real,
+                                        dynamics.advect(pos, vel, dt), pos)
+                else:
+                    new_pos = pos
                 return (new_pos, vel, new_hist, tc2, ovf2), \
                     srgb_encode_u8(fb.rgb)
 
@@ -128,7 +152,7 @@ class TrajectoryScanRenderer:
                 step,
                 (positions, velocities, history, jnp.int32(0),
                  jnp.int32(0)),
-                frame_ids)
+                (frame_ids, real_mask))
             return frames, pos_out, hist_out, tc_max, ovf_max
 
         return chunk_fn
@@ -153,10 +177,16 @@ class TrajectoryScanRenderer:
             IMAGE_WIDTH,
         )
 
+        from pointcloud_render_tpu.geometry.trails import HISTORY_WINDOW
+
         preset = self.preset
         ids = sorted(frame_indices)
+        if not ids:
+            return
         samples = {ids[0], ids[len(ids) // 4], ids[len(ids) // 2],
                    ids[3 * len(ids) // 4], ids[-1]}
+        with_history = preset.trail == "history"
+        dt = self.dt
 
         def probe(fi, p, v):
             camera = Camera(
@@ -165,7 +195,19 @@ class TrajectoryScanRenderer:
                 target=np.asarray(TARGETS[preset.camera_preset],
                                   np.float32),
                 fov_x_degrees=preset.fov_x_degrees)
-            prims = build_primitives(preset, camera, p, v, fi,
+            hist = None
+            if with_history:
+                # The render's rolling buffer holds the previous WINDOW
+                # frames; under linear advection frame j's positions are
+                # exactly p - v*dt*(fi - j) (clamped at frame 0, where
+                # the buffer is prefilled with the initial cloud), so
+                # the probe sees the REAL trail capsules instead of a
+                # trail-less soup that undersizes max_big.
+                offs = jnp.arange(HISTORY_WINDOW, 0, -1, dtype=jnp.float32)
+                j = jnp.maximum(fi.astype(jnp.float32) - offs, 0.0)
+                back = (dt * (fi.astype(jnp.float32) - j))[:, None, None]
+                hist = p[None] - v[None] * back
+            prims = build_primitives(preset, camera, p, v, fi, hist,
                                      droplet_lod=self.droplet_lod)
             mesh_lod = (preset.splat != "sphere"
                         and self.droplet_lod == "mesh")
@@ -210,12 +252,13 @@ class TrajectoryScanRenderer:
             chunk_ids = ids[lo:lo + fpc]
             pad = fpc - len(chunk_ids)
             fi = jnp.asarray(chunk_ids + [chunk_ids[-1]] * pad, jnp.int32)
+            real = jnp.asarray([True] * len(chunk_ids) + [False] * pad)
             if self._compiled is None:
                 self._compiled = aot.compile_const_free(
                     self._make_chunk_fn(), positions, velocities, fi,
-                    history)
+                    real, history)
             frames, positions, history, tc_max, ovf_max = self._compiled(
-                positions, velocities, fi, history)
+                positions, velocities, fi, real, history)
             self._certify_chunk(int(np.asarray(tc_max)),
                                 int(np.asarray(ovf_max)), chunk_ids)
             frames = np.asarray(frames)

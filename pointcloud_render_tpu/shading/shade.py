@@ -60,10 +60,13 @@ def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
     their merges instead of re-gathering from a soup; this is the same
     sphere-normal Lambert as :func:`shade_framebuffer`'s disc branch,
     evaluated from those buffers.  ``rflag``: projected disc radius in
-    px (> 0), or <= 0 for capsule winners, which take the flat
+    px (> 0); < 0 for capsule winners, which take the flat
     ``trail_boost`` (reference trail specular, traj_ball_renderer.py:
-    179-182).  One shader for every path — keep formulas in lockstep
-    with shade_framebuffer.
+    179-182); == 0 for PRE-LIT winners (triangles: the caller bakes
+    ``color * (ambient + diffuse*max(n.l, 0))`` into rgb at table
+    build — same formula as shade_framebuffer's triangle branch, so
+    the result stays bit-identical).  One shader for every path — keep
+    formulas in lockstep with shade_framebuffer.
     """
     h, w = hit.shape
     if config.mode == "flat":
@@ -80,7 +83,8 @@ def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
         nz = -jnp.sqrt(w2)
         ndotl = u * l_cam[0] + v * l_cam[1] + nz * l_cam[2]
         lit = config.ambient + config.diffuse * jnp.maximum(ndotl, 0.0)
-        lit = jnp.where(rflag > 0, lit, config.trail_boost)
+        lit = jnp.where(rflag > 0, lit,
+                        jnp.where(rflag < 0, config.trail_boost, 1.0))
         out = rgb * lit[..., None]
     bg = np.asarray(config.background, np.float32)
     return jnp.clip(jnp.where(hit[..., None], out, bg), 0.0, 1.0)

@@ -54,6 +54,25 @@ class TestStreaming:
         assert idx.max() < 300  # padding sentinels never win
         assert (idx >= 0).any()
 
+    def test_max_big_knob_clears_overflow(self):
+        """The big-list overflow RuntimeError tells the user to raise
+        max_big — so the knob must exist on StreamingRasterizer and
+        actually reach the kernel (review r3: it didn't)."""
+        import pytest
+
+        cam = make_camera()
+        rng = np.random.default_rng(6)
+        n = 1400  # > the 1024 default big list, all wide discs
+        pos = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+        sr = StreamingRasterizer(cam, chunk_points=n, radius_world=0.5,
+                                 backend="pallas")
+        with pytest.raises(RuntimeError, match="max_big"):
+            sr.rasterize([pos])
+        sr2 = StreamingRasterizer(cam, chunk_points=n, radius_world=0.5,
+                                  backend="pallas", max_big=2048)
+        d, i = sr2.rasterize([pos])
+        assert (np.asarray(i) >= 0).any()
+
     def test_pallas_backend_capacity_assertion(self):
         """The pallas streaming path (v4 kernel) must match tiled
         winner-exactly AND
@@ -140,6 +159,65 @@ class TestStreaming:
                                    np.broadcast_to(want, rgb[cap_px].shape),
                                    atol=1e-6)
         assert shade_winner_attrs is not None
+
+    def test_streamed_ground_triangles_shade_lambert(self):
+        """A soup_fn that streams the ground (triangles) must shade
+        triangle winners with face-normal Lambert like the monolithic
+        shade_framebuffer — NOT the flat capsule trail boost (review
+        r3: rflag used to lump every non-disc kind into the capsule
+        branch)."""
+        from pointcloud_render_tpu.raster.pallas_csr4 import (
+            rasterize_pallas_csr4,
+        )
+        from pointcloud_render_tpu.raster.primitives import (
+            KIND_TRIANGLE,
+            ScreenPrimitives,
+        )
+        from pointcloud_render_tpu.raster.render import ground_plane
+        from pointcloud_render_tpu.shading.shade import (
+            ShadingConfig,
+            shade_framebuffer,
+        )
+
+        cam = make_camera()
+        rng = np.random.default_rng(5)
+        n = 256
+        pos = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+
+        def soup_fn(p, colors):
+            discs = discs_from_points(
+                p, cam, jnp.full((p.shape[0],), 0.02, jnp.float32), colors)
+            return ScreenPrimitives.concatenate(
+                [ground_plane(cam, 10.0, (0.0, 0.0, -0.5)), discs])
+
+        # Dim lighting so the ground does not clip to white — lambert
+        # (~0.5x) and the old boost bug (1.5x) must be distinguishable.
+        cfg = ShadingConfig(ambient=0.2, diffuse=0.3)
+        sr = StreamingRasterizer(cam, chunk_points=n, radius_world=0.02,
+                                 backend="pallas", soup_fn=soup_fn,
+                                 shading=cfg)
+        d, i, attrs = sr.rasterize(
+            [(pos, np.broadcast_to(sr.color, (n, 3)))], return_attrs=True)
+        rgb = np.asarray(sr.resolve_rgb(d, i, attrs))
+
+        soup = soup_fn(jnp.asarray(pos),
+                       jnp.broadcast_to(sr.color, (n, 3)))
+        d1, i1 = rasterize_pallas_csr4(soup, W, H, interpret=True)
+        rgb1 = np.asarray(shade_framebuffer(soup, cam, d1, i1, cfg))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+        idx = np.asarray(i)
+        tri_px = np.zeros(idx.shape, bool)
+        tri_px[idx >= 0] = (np.asarray(soup.kind)[idx[idx >= 0]]
+                            == KIND_TRIANGLE)
+        assert tri_px.any(), "no ground pixels in view"
+        # Triangle pixels: bit-equal to the monolithic Lambert, and NOT
+        # the boosted flat color the old code produced.
+        np.testing.assert_array_equal(rgb[tri_px], rgb1[tri_px])
+        boosted = np.clip(np.asarray(soup.color)[0] * cfg.trail_boost,
+                          0, 1)
+        assert not np.allclose(rgb[tri_px], boosted, atol=1e-3)
+        # Disc-rim sqrt amplifies 1-ulp FMA differences (see above).
+        np.testing.assert_allclose(rgb, rgb1, atol=5e-4)
 
     def test_streamed_rgb_matches_monolithic_shaded(self):
         """Per-point colors + winner attrs streamed in chunks == the
@@ -483,6 +561,36 @@ class TestTrajectoryScan:
 
         r0, r3 = centroid_row(frames[0]), centroid_row(frames[3])
         assert r0 > 0 and r3 > 0 and r3 < r0
+
+    def test_chunk_padding_freezes_state(self, monkeypatch):
+        """Padded scan steps (len(frames) % frames_per_chunk != 0)
+        replay the last frame id with the carry FROZEN: the returned
+        positions, the rolling trail history, and therefore the
+        rendered frames must be identical whatever the chunk size
+        (review r3: padding used to keep advecting, over-advancing the
+        returned cloud by pad*dt and corrupting the next chunk's
+        history)."""
+        import dataclasses
+
+        self._small(monkeypatch)
+        rng = np.random.default_rng(7)
+        pos = rng.uniform(-0.3, 0.3, (8, 3)).astype(np.float32)
+        vel = (rng.normal(size=(8, 3)) * 0.5).astype(np.float32)
+        preset = dataclasses.replace(PRESETS["traj"], trail_radius=0.01)
+
+        def run(fpc):
+            tr = TrajectoryScanRenderer(
+                preset, RasterConfig(backend="tiled", max_per_tile=256),
+                dt=0.05, frames_per_chunk=fpc, droplet_lod="capsule")
+            return tr.render_frames(pos, vel, list(range(7)))
+
+        f3, p3 = run(3)   # 7 % 3 -> last chunk pads 2 steps
+        f7, p7 = run(7)   # exact multiple
+        np.testing.assert_allclose(np.asarray(p3), pos + vel * (0.05 * 7),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(p3), np.asarray(p7))
+        for a, b in zip(f3, f7):
+            np.testing.assert_array_equal(a, b)
 
     def test_capacity_violation_is_loud(self, monkeypatch):
         """An UNPROBED frame that exceeds the fixed entry capacity must

@@ -339,3 +339,29 @@ def test_pod_mesh_layout():
 
     with pytest.raises(ValueError):
         make_pod_mesh(points_per_host_axis=3)  # doesn't divide 8
+
+
+def test_shard_dispatch_honors_max_big():
+    """The sharded pallas dispatch must forward config.max_big — the
+    documented overflow remedy is 'raise max_big and rerun', which was
+    a no-op when the kernel always ran at its default (review r3)."""
+    from pointcloud_render_tpu.parallel.render_parallel import (
+        _rasterize_shard,
+    )
+
+    cam = make_camera()
+    rng = np.random.default_rng(11)
+    n = 1400  # > the 1024 default big list
+    pos = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    # Huge discs: every one exceeds the 2x2-tile span -> all big-listed.
+    prims = discs_from_points(
+        pos, cam, np.full((n,), 0.2, np.float32),
+        np.array([0.3, 0.3, 0.3], np.float32))
+
+    for backend in ("pallas4", "pallas6"):
+        small = RasterConfig(backend=backend, max_big=256)
+        big = RasterConfig(backend=backend, max_big=2048)
+        *_, ovf_small = _rasterize_shard(prims, cam, small)
+        *_, ovf_big = _rasterize_shard(prims, cam, big)
+        assert int(ovf_small) > 0, backend
+        assert int(ovf_big) == 0, backend

@@ -159,6 +159,55 @@ def test_droplet_mesh_lod(tmp_path, small_camera):
     assert sink.summary()["frames_ok"] == 1
 
 
+def test_droplet_capsule_lod_emits_splats(small_camera):
+    """Regression: the default capsule LOD must emit the head disc +
+    tapered tail capsule per point (a lost `else:` once put that block
+    inside the mesh branch, making every droplet invisible), and mesh
+    LOD must NOT additionally stack the capsule splats over the mesh."""
+    import jax.numpy as jnp
+
+    from pointcloud_render_tpu.raster.primitives import (
+        KIND_CAPSULE,
+        KIND_DISC,
+    )
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.scene.camera import Camera
+
+    rng = np.random.default_rng(3)
+    n = 30
+    pos = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    vel = (rng.normal(size=(n, 3)) * 0.5).astype(np.float32)
+    preset = PRESETS["traj_vel"]
+    cam = Camera(origin=jnp.asarray([2.0, 2.0, 2.0]),
+                 target=jnp.asarray([0.0, 0.0, -0.05]))
+
+    soup, layout = build_primitives(preset, cam, pos, vel, 50,
+                                    droplet_lod="capsule",
+                                    return_layout=True)
+    # ground + head discs + tail capsules + velocity trails.
+    assert [p[1] for p in layout] == [0, 1, 1, 8]
+    g = layout[0][0]
+    kind = np.asarray(soup.kind)
+    assert (kind[g:g + n] == KIND_DISC).all()
+    assert (kind[g + n:g + 2 * n] == KIND_CAPSULE).all()
+    # ...and the splats are actually visible: some pixel's winner id
+    # falls in the head-disc/tail-capsule range.
+    from pointcloud_render_tpu.raster.render import RasterConfig, render
+
+    fb = render(soup, cam, RasterConfig(backend="tiled",
+                                        max_per_tile=256))
+    idx = np.asarray(fb.index)
+    assert ((idx >= g) & (idx < g + 2 * n)).any()
+
+    _, mesh_layout = build_primitives(preset, cam, pos, vel, 50,
+                                      droplet_lod="mesh",
+                                      return_layout=True)
+    # ground + two near-clip triangle blocks + velocity trails; NO
+    # capsule-splat parts stacked on top.
+    assert len(mesh_layout) == 4
+    assert [p[1] for p in mesh_layout[-1:]] == [8]
+
+
 def test_manifest_corruption_recovers(tmp_path):
     out = str(tmp_path)
     with open(os.path.join(out, "manifest.json"), "w") as f:

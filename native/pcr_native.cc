@@ -30,6 +30,7 @@ struct Property {
   int size = 0;       // bytes for scalar; 0 for list
   bool is_float = false;
   bool is_double = false;
+  bool is_signed = false;  // signed integer type (sign-extend on read)
   bool is_list = false;
   int list_index_size = 0;
   int list_value_size = 0;
@@ -55,6 +56,11 @@ int type_size(const std::string& t) {
       t == "float" || t == "float32") return 4;
   if (t == "double" || t == "float64") return 8;
   return -1;
+}
+
+bool type_signed(const std::string& t) {
+  return t == "char" || t == "int8" || t == "short" || t == "int16" ||
+         t == "int" || t == "int32";
 }
 
 bool parse_header(const std::string& text, Header* h) {
@@ -102,6 +108,7 @@ bool parse_header(const std::string& text, Header* h) {
         if (p.size < 0) return false;
         p.is_float = (tok[1] == "float" || tok[1] == "float32");
         p.is_double = (tok[1] == "double" || tok[1] == "float64");
+        p.is_signed = type_signed(tok[1]);
         p.name = tok[2];
       } else {
         return false;
@@ -124,6 +131,29 @@ bool read_file(const char* path, std::string* out) {
   return got == (size_t)size;
 }
 
+// Reads only as much of the file as the header needs (vertex_count is
+// called once per frame load just to size the output buffer — reading a
+// 24 MB binary body to answer it halves the native loader's win).
+bool read_header_text(const char* path, std::string* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  const size_t kChunk = 16384;
+  out->clear();
+  for (;;) {
+    // parse_header needs the newline AFTER end_header too.
+    size_t eh = out->find("end_header");
+    if (eh != std::string::npos &&
+        out->find('\n', eh) != std::string::npos) break;
+    size_t at = out->size();
+    out->resize(at + kChunk);
+    size_t got = fread(&(*out)[at], 1, kChunk, f);
+    out->resize(at + got);
+    if (got == 0) break;  // EOF: let parse_header report the malformed file
+  }
+  fclose(f);
+  return !out->empty();
+}
+
 // Reads a scalar at `ptr` with the given size/float flags (little-endian
 // host assumed; big-endian PLY is byte-swapped).
 double read_scalar(const unsigned char* ptr, const Property& p, bool be) {
@@ -139,8 +169,15 @@ double read_scalar(const unsigned char* ptr, const Property& p, bool be) {
   if (p.is_float) { float v; memcpy(&v, buf, 4); return v; }
   if (p.is_double) { double v; memcpy(&v, buf, 8); return v; }
   // Integers: reference treats coordinates as numbers regardless of type.
+  // memcpy into a zero-initialized word zero-extends (correct for the
+  // unsigned types); signed types must SIGN-extend or negative values
+  // decode as huge positives.
   long long v = 0;
   memcpy(&v, buf, p.size);
+  if (p.is_signed && p.size < 8) {
+    long long sign_bit = 1LL << (p.size * 8 - 1);
+    v = (v ^ sign_bit) - sign_bit;
+  }
   return (double)v;
 }
 
@@ -201,20 +238,44 @@ int parse_ply(const char* path, bool positions_only, Parsed* out) {
   out->data.resize((size_t)vtx->count * ncols);
 
   if (h.ascii) {
-    // Tokenize the whole body; assumes vertex is the first element with
-    // scalar-only properties (the reference writer's layout).
+    // Tokenwise body walk.  Vertex rows must be scalar-only (a list
+    // property would misalign the fixed cols[] indices -> fall back to
+    // the NumPy parser, like the binary path's -3).
+    for (const auto& p : vtx->props)
+      if (p.is_list) return -3;
     const char* s = blob.data() + h.header_bytes;
     const char* end = blob.data() + blob.size();
+    auto next_tok = [&](double* val) -> bool {
+      while (s < end && isspace((unsigned char)*s)) s++;
+      if (s >= end) return false;
+      char* next = nullptr;
+      double v = strtod(s, &next);
+      if (next == s) return false;
+      s = next;
+      if (val) *val = v;
+      return true;
+    };
+    // Skip any elements that precede 'vertex' (spec-legal ordering);
+    // list properties skip their count + that many values.
+    for (const auto& el : h.elements) {
+      if (&el == vtx) break;
+      for (long long r = 0; r < el.count; r++) {
+        for (const auto& p : el.props) {
+          if (p.is_list) {
+            double k = 0;
+            if (!next_tok(&k) || k < 0) return -6;
+            for (long long t = 0; t < (long long)k; t++)
+              if (!next_tok(nullptr)) return -6;
+          } else if (!next_tok(nullptr)) {
+            return -6;
+          }
+        }
+      }
+    }
     std::vector<double> row(vtx->props.size());
     for (long long r = 0; r < vtx->count; r++) {
-      for (size_t c = 0; c < vtx->props.size(); c++) {
-        while (s < end && isspace((unsigned char)*s)) s++;
-        if (s >= end) return -6;
-        char* next = nullptr;
-        row[c] = strtod(s, &next);
-        if (next == s) return -6;
-        s = next;
-      }
+      for (size_t c = 0; c < vtx->props.size(); c++)
+        if (!next_tok(&row[c])) return -6;
       for (int c = 0; c < ncols; c++)
         out->data[(size_t)r * ncols + c] = (float)row[cols[c]];
     }
@@ -263,10 +324,10 @@ void chunk(std::string* out, const char* tag, const std::string& payload) {
 
 extern "C" {
 
-// Returns vertex count, or <0 on error.
+// Returns vertex count, or <0 on error.  Header-only read.
 long long pcr_ply_vertex_count(const char* path) {
   std::string blob;
-  if (!read_file(path, &blob)) return -1;
+  if (!read_header_text(path, &blob)) return -1;
   Header h;
   if (!parse_header(blob, &h)) return -2;
   for (const auto& el : h.elements)

@@ -22,11 +22,15 @@ from pointcloud_render_tpu.run.pipeline import FramePipeline
 
 
 def parse_frames(spec: str, default):
+    """'': the preset's frames; 'lo:hi' a range with either bound
+    optional ('100:' = from 100 to the preset's last frame); 'a,b,c'
+    an explicit list."""
     if not spec:
         return default
     if ":" in spec:
         lo, hi = spec.split(":")
-        return range(int(lo or 0), int(hi))
+        end = int(hi) if hi else max(default) + 1
+        return range(int(lo or 0), end)
     return [int(x) for x in spec.split(",")]
 
 

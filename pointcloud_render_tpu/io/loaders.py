@@ -44,8 +44,11 @@ def load_point_cloud(file_path: str, positions_only: bool = False) -> np.ndarray
         data = _load_ply(file_path, positions_only=positions_only)
     else:
         raise ValueError("Unsupported file format.")
-    if positions_only and data.ndim == 2 and data.shape[1] >= 3:
-        return data[:, :3]
+    if positions_only and data.ndim >= 2 and data.shape[-1] >= 3:
+        # Trim the channel axis for flat (N, C) AND stacked (F, N, C)
+        # layouts — a stacked example-preset .npy must not smuggle
+        # velocity channels past the flag.
+        return data[..., :3]
     return data
 
 

@@ -96,7 +96,9 @@ def read_ply(path) -> Dict[str, Dict[str, np.ndarray]]:
                 pos += count * n_props
                 flat = flat.reshape(count, n_props)
                 out[name] = {
-                    p: flat[:, i].astype(_PLY_TO_NUMPY[_np_name(d)])
+                    # d is already a numpy short code ('f4', 'i2', ...)
+                    # straight from _parse_header's _PLY_TO_NUMPY lookup.
+                    p: flat[:, i].astype(d)
                     for i, (p, d) in enumerate(props)
                 }
         return out
@@ -135,11 +137,6 @@ def read_ply(path) -> Dict[str, Dict[str, np.ndarray]]:
             offset = stream.tell()
             out[name] = {"_rows": rows, "_props": [p for p, _ in props]}
     return out
-
-
-def _np_name(d):
-    # Already a numpy short code from _PLY_TO_NUMPY.
-    return {v: k for k, v in _PLY_TO_NUMPY.items()}.get(d, "float")
 
 
 def write_ply(path, positions, velocities=None, normals=None, binary=True):

@@ -166,7 +166,13 @@ class Camera:
         """
         right, cam_up, forward = look_at_axes(self.origin, self.target, self.up)
         rot = jnp.stack([right, cam_up, forward])  # (3, 3), rows are axes
-        trans = -rot @ jnp.asarray(self.origin, jnp.float32)
+        # Explicit muladds, NOT `-rot @ origin`: a traced (3,3)@(3,)
+        # dot routes through the TPU MXU at bf16 operand precision,
+        # perturbing the translation (and every projected pixel) vs the
+        # float32 NumPy oracle — the same reason project.py avoids
+        # matmuls (CLAUDE.md bit-exactness convention).
+        o = jnp.asarray(self.origin, jnp.float32)
+        trans = -(rot[:, 0] * o[0] + rot[:, 1] * o[1] + rot[:, 2] * o[2])
         return jnp.concatenate([rot, trans[:, None]], axis=1)
 
     @staticmethod

@@ -48,6 +48,11 @@ class CameraPath:
             raise ValueError("need at least one waypoint")
         if len(self.segment_frames) != max(len(self.waypoints) - 1, 0):
             raise ValueError("segment_frames must have len(waypoints) - 1")
+        if any(nf <= 0 for nf in self.segment_frames):
+            # A zero segment divides by zero on the host path and emits
+            # NaN origins on the traced path — reject up front.
+            raise ValueError(f"segment_frames must be positive, got "
+                             f"{self.segment_frames}")
 
     @property
     def total_frames(self) -> int:

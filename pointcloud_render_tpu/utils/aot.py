@@ -18,14 +18,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-try:
-    from jax.extend import core as jex_core
-
-    _eval_jaxpr = jex_core.jaxpr_as_fun  # type: ignore[attr-defined]
-except Exception:  # pragma: no cover
-    _eval_jaxpr = None
-
 from jax import core as jax_core
 
 

@@ -745,6 +745,13 @@ class TestCameraPath:
         assert cam.width == 128
         np.testing.assert_allclose(np.asarray(cam.origin), (2, 2, 2))
 
+    def test_zero_segment_rejected(self):
+        from pointcloud_render_tpu.scene.camera_path import CameraPath
+
+        with pytest.raises(ValueError, match="positive"):
+            CameraPath(waypoints=((0, 0, 0), (1, 1, 1), (2, 2, 2)),
+                       segment_frames=(0, 20))
+
 
 class TestVideoAndObj:
     def test_gif_roundtrip(self, tmp_path):

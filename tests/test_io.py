@@ -56,6 +56,17 @@ class TestPly:
         data = loaders.load_point_cloud(path, positions_only=True)
         assert data.shape == (20, 3)
 
+    def test_positions_only_trims_stacked_npy(self, tmp_path):
+        """A stacked (F, N, 6) .npy must also drop velocity channels
+        under positions_only (review r3: only 2-D arrays were trimmed,
+        so the example preset gained velocities from stacks)."""
+        arr = RNG.normal(size=(4, 20, 6)).astype(np.float32)
+        path = str(tmp_path / "stack.npy")
+        np.save(path, arr)
+        data = loaders.load_point_cloud(path, positions_only=True)
+        assert data.shape == (4, 20, 3)
+        np.testing.assert_array_equal(data, arr[..., :3])
+
 
 class TestNpyNpz:
     def test_npy(self, tmp_path):

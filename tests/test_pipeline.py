@@ -421,3 +421,15 @@ def test_trail_segments_knob(small_camera):
     for bad in (0, 21):
         with pytest.raises(ValueError):
             build_primitives(preset, cam, pos, vel, fi, trail_segments=bad)
+
+
+def test_parse_frames_open_range():
+    """'100:' means from 100 to the preset's last frame; '' the preset
+    default; 'a,b' a list (review r3: an empty high bound crashed)."""
+    from pointcloud_render_tpu.cli.main import parse_frames
+
+    assert list(parse_frames("2:5", [0, 1])) == [2, 3, 4]
+    assert list(parse_frames("198:", range(200))) == [198, 199]
+    assert list(parse_frames(":3", [7])) == [0, 1, 2]
+    assert parse_frames("", [7, 8]) == [7, 8]
+    assert parse_frames("4,9", [0]) == [4, 9]

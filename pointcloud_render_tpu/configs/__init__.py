@@ -47,12 +47,19 @@ class ScenePreset:
     trail_color: Tuple[float, float, float] = TRAIL_COLOR
     trail_radius: float = TRAIL_RADIUS
     history_window: int = 20  # traj_renderer.py:755
+    # Frames past this index reuse its file (the traj family's fade
+    # frames 200-219 reload frame_0199, traj_ball_renderer.py:434-439).
+    # None = every frame has its own file (the example preset renders
+    # pts_0..pts_661 with NO clamp, example_renderer.py:209-211 — a
+    # total_frames>200 heuristic wrongly caught it).
+    reuse_frame_after: Optional[int] = 199
 
     def frame_file(self, frame_index: int) -> str:
-        """Frame-file name for an index (frames past 199 reuse frame 199,
-        reference: traj_ball_renderer.py:434-439)."""
+        """Frame-file name for an index (see reuse_frame_after)."""
         if "{n" in self.file_pattern:
-            n = min(frame_index, 199) if self.total_frames > 200 else frame_index
+            n = frame_index
+            if self.reuse_frame_after is not None:
+                n = min(n, self.reuse_frame_after)
             return self.file_pattern.format(n=n)
         return self.file_pattern
 
@@ -83,6 +90,7 @@ EXAMPLE = ScenePreset(
     total_frames=662,
     positions_only=True,
     iterate_stack=True,
+    reuse_frame_after=None,  # every pts_i.ply is its own frame
 )
 
 TRAJ = ScenePreset(

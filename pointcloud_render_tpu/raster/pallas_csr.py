@@ -325,17 +325,23 @@ def rasterize_pallas_csr(prims, width: int, height: int, tile_h: int = 8,
 
 def bin_diagnostics(prims, width: int, height: int, tile_h: int = 8,
                     tile_w: int = 128, max_tiles_per_prim: int = 8,
-                    max_big: int = 256, no_triangles: bool = False):
+                    max_big: int = 256, no_triangles: bool = False,
+                    discs_only: bool = False):
     """Big-list overflow count for a scene/config (0 = every primitive is
     rasterized exactly; >0 = raise max_big or max_tiles_per_prim).  The
     per-tile lists are capacity-free, so the big list is the only way a
-    primitive can be dropped on this backend."""
+    primitive can be dropped on this backend.  The no_triangles/
+    discs_only flags must MIRROR the render config being certified
+    (discs_only big-lists every capsule — probing without it
+    under-counts)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     _, _, big_list, big_count, _ = _bin_csr(
         prims, width, height, tile_h, tile_w, max_tiles_per_prim, max_big,
-        num_tiles, tiles_x, tiles_y, force_tri_big=no_triangles)
+        num_tiles, tiles_x, tiles_y,
+        force_tri_big=no_triangles or discs_only,
+        force_capsule_big=discs_only)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 

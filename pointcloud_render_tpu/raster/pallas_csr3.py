@@ -154,10 +154,17 @@ def _bin_csr_2x2(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     # ascends in (z-bucket, primitive id) with no repeated ids.
     flat_key = jnp.stack(keys, axis=1).reshape(-1)
     flat_prims = jnp.broadcast_to(prim_id[:, None], (p, 4)).reshape(-1)
-    k16, sorted_prims = jax.lax.sort(
-        (flat_key.astype(jnp.int16), flat_prims), num_keys=1,
-        is_stable=True)
-    sorted_keys = k16.astype(jnp.int32)
+    # int16 keys only when the sentinel fits (the tiles.py guard):
+    # >32767-tile grids (>8K renders at 32x32 blocks) silently wrap
+    # int16 and interleave sentinel/real keys.
+    if ((num_tiles + 1) << zq_bits) <= 32767:
+        k16, sorted_prims = jax.lax.sort(
+            (flat_key.astype(jnp.int16), flat_prims), num_keys=1,
+            is_stable=True)
+        sorted_keys = k16.astype(jnp.int32)
+    else:
+        sorted_keys, sorted_prims = jax.lax.sort(
+            (flat_key, flat_prims), num_keys=1, is_stable=True)
 
     big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
     big_idx = jnp.where(is_big & (big_rank < max_big), big_rank, max_big)
@@ -569,8 +576,9 @@ def _raster_core(prims, width, height, tile_h, tile_w, unroll,
 
     depth = assemble(depth_t)
     ent = assemble(ent_t)
+    big_overflow = jnp.maximum(big_count - big_list.shape[0], 0)
     return depth[:height, :width], ent[:height, :width], rows_flat, \
-        sorted_prims, big_list, e_pad, true_count
+        sorted_prims, big_list, e_pad, true_count, big_overflow
 
 
 def _resolve_ids(ent, depth, sorted_prims, big_list):
@@ -608,7 +616,7 @@ def rasterize_pallas_csr3(prims, width: int, height: int, tile_h: int = 32,
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
-    depth, ent, _, sorted_prims, big_list, _, true_count = _raster_core(
+    depth, ent, _, sorted_prims, big_list, _, true_count, _ = _raster_core(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, interpret, zeros3, zerosf, (0.0, 0.0, 0.0))
     index = _resolve_ids(ent, depth, sorted_prims, big_list)
@@ -622,7 +630,8 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
                        entry_capacity=None,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
                        uniform_look=None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       return_diag: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -644,7 +653,8 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
     """
     width, height = camera.width, camera.height
     shade_rgb, shade_flag = _preshade(prims, camera, shading)
-    depth, ent, rows_flat, sorted_prims, big_list, e_pad, _tc = _raster_core(
+    (depth, ent, rows_flat, sorted_prims, big_list, e_pad, _tc,
+     _ovf) = _raster_core(
         prims, width, height, tile_h, tile_w, unroll, entry_capacity,
         chunk_rows, interpret, shade_rgb, shade_flag, shading.background)
 
@@ -692,4 +702,11 @@ def render_shaded_csr3(prims, camera, shading, tile_h: int = 32,
     bg = np.asarray(shading.background, np.float32)
     hit = jnp.isfinite(depth)
     rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
-    return rgb, depth, _resolve_ids(ent, depth, sorted_prims, big_list)
+    index = _resolve_ids(ent, depth, sorted_prims, big_list)
+    if return_diag:
+        # The frame's OWN binning already produced both certificates —
+        # re-running true_entry_count3/bin_diagnostics3 would pay two
+        # extra O(4P log 4P) sorts per frame.
+        return rgb, depth, index, dict(true_entries=_tc,
+                                       big_overflow=_ovf)
+    return rgb, depth, index

@@ -156,10 +156,17 @@ def _bin_csr4(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
                               sent))
     flat_key = jnp.stack(keys, axis=1).reshape(-1)
     flat_prims = jnp.broadcast_to(prim_id[:, None], (p, 4)).reshape(-1)
-    k16, sorted_prims = jax.lax.sort(
-        (flat_key.astype(jnp.int16), flat_prims), num_keys=1,
-        is_stable=False)
-    sorted_keys = k16.astype(jnp.int32)
+    # int16 keys only when the sentinel fits (the tiles.py guard):
+    # >32767-tile grids (>8K renders at 32x32 blocks) silently wrap
+    # int16 and interleave sentinel/real keys.
+    if ((num_tiles + 1) << zq_bits) <= 32767:
+        k16, sorted_prims = jax.lax.sort(
+            (flat_key.astype(jnp.int16), flat_prims), num_keys=1,
+            is_stable=False)
+        sorted_keys = k16.astype(jnp.int32)
+    else:
+        sorted_keys, sorted_prims = jax.lax.sort(
+            (flat_key, flat_prims), num_keys=1, is_stable=False)
 
     big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
     big_idx = jnp.where(is_big & (big_rank < max_big), big_rank, max_big)

@@ -212,14 +212,21 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
 
 def bin_diagnostics6(prims, width: int, height: int, tile_h: int = 32,
                      tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG,
-                     bin_triangles: bool = False, span: int = 2):
-    """Big-list overflow count under the v6 binning (0 = exact)."""
+                     bin_triangles: bool = False, span: int = 2,
+                     discs_only: bool = False):
+    """Big-list overflow count under the v6 binning (0 = exact).
+
+    ``discs_only``/``bin_triangles``/``span`` must MIRROR the render
+    config being certified — discs_only forces every capsule onto the
+    big list, so probing without it under-counts and can certify a
+    truncating run as exact."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     _, _, big_list, big_count, _ = _bin_csr6(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big, bin_triangles=bin_triangles, span=span)
+        max_big=max_big, bin_triangles=bin_triangles, span=span,
+        discs_only=discs_only)
     return jnp.maximum(big_count - big_list.shape[0], 0)
 
 
@@ -830,6 +837,12 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             "tile ((span*(span+1)/2)**2)")
     if tiles_per_program < 1:
         raise ValueError("tiles_per_program must be >= 1")
+    if dma_slots < 2:
+        raise ValueError(
+            "dma_slots must be >= 2: the exit-off walk prefetches chunk "
+            "ci + n_slots - 1 from chunk ci's body (plus the cross-tile "
+            "chunk-0 prefetch), so a single slot would double-start the "
+            "same DMA/semaphore and race its own wait")
     if tiles_per_program > 1 and allow_exit:
         raise ValueError(
             "tiles_per_program > 1 fuses tiles on the straight-line "

@@ -109,6 +109,19 @@ def _resolve_backend(name: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "tiled"
 
 
+
+def _v6_tiles_per_program(config) -> int:
+    """Grid fusion rides the exit-off fori walk only: generic span=2
+    scenes default to the (measured-faster) exit-on walk, so the knob
+    applies exactly where the exit is off by policy.  ONE place for the
+    policy — rasterize() and render() forward the same value (a knob
+    that flips the exit policy, as cap_rows10 did, is added here once).
+    """
+    if (config.discs_only or config.span != 2 or config.cap_rows10
+            or config.allow_exit is False):
+        return config.tiles_per_program
+    return 1
+
 def rasterize(prims: ScreenPrimitives, width: int, height: int,
               config: Optional[RasterConfig] = None):
     """Run the configured backend -> (depth, index) buffers."""
@@ -190,11 +203,8 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             discs_only=config.discs_only,
             max_big=config.max_big, span=config.span,
             dma_slots=config.dma_slots,
-            tiles_per_program=(config.tiles_per_program
-                               if (config.discs_only or config.span != 2
-                                   or config.cap_rows10
-                                   or config.allow_exit is False)
-                               else 1),
+            tiles_per_program=_v6_tiles_per_program(config),
+
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
             starts_method=config.starts_method,
@@ -251,11 +261,8 @@ def render(prims: ScreenPrimitives, camera,
             # Grid fusion rides the exit-off fori walk only; generic
             # span=2 scenes default to the (measured-faster) exit-on
             # walk, so the knob applies where the exit is off by policy.
-            tiles_per_program=(config.tiles_per_program
-                               if (config.discs_only or config.span != 2
-                                   or config.cap_rows10
-                                   or config.allow_exit is False)
-                               else 1),
+            tiles_per_program=_v6_tiles_per_program(config),
+
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
             starts_method=config.starts_method,
@@ -280,28 +287,61 @@ def render(prims: ScreenPrimitives, camera,
         # the index image is still produced, lazily).
         from pointcloud_render_tpu.raster import pallas_csr3  # noqa: PLC0415
 
-        rgb, depth, index = pallas_csr3.render_shaded_csr3(
+        out = pallas_csr3.render_shaded_csr3(
             prims, camera, config.shading,
             unroll=config.unroll, entry_capacity=config.entry_capacity,
             uniform_look=config.uniform_look,
-            interpret=jax.default_backend() != "tpu")
-        fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
+            interpret=jax.default_backend() != "tpu",
+            return_diag=return_diag)
         if return_diag:
-            from pointcloud_render_tpu.raster import pallas_csr3 as _v3
-
-            diag = dict(
-                true_entries=_v3.true_entry_count3(
-                    prims, camera.width, camera.height),
-                big_overflow=_v3.bin_diagnostics3(
-                    prims, camera.width, camera.height))
-            return fb, diag
-        return fb
+            rgb, depth, index, diag = out
+            return FrameBuffers(rgb=rgb, depth=depth, index=index), diag
+        rgb, depth, index = out
+        return FrameBuffers(rgb=rgb, depth=depth, index=index)
     depth, index = rasterize(prims, camera.width, camera.height, config)
     rgb = shade_framebuffer(prims, camera, depth, index, config.shading)
     fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
     if return_diag:
-        return fb, dict(true_entries=jnp.int32(0),
+        # A zero diag must mean "cannot truncate", not "didn't look":
+        # the tiled backend's max_per_tile and v2's entry_capacity/big
+        # list DO drop primitives, so their certificates are computed
+        # here (cpu/bruteforce are genuinely exact).
+        if backend == "tiled":
+            from pointcloud_render_tpu.raster.tiles import (  # noqa: PLC0415
+                tile_overflow,
+            )
+
+            diag = dict(
+                true_entries=jnp.int32(0),
+                big_overflow=tile_overflow(
+                    prims, camera.width, camera.height,
+                    tile_h=config.tile_h, tile_w=config.tile_w,
+                    max_per_tile=config.max_per_tile))
+        elif backend == "pallas":
+            from pointcloud_render_tpu.raster import (  # noqa: PLC0415
+                pallas_csr as _v2,
+            )
+            from pointcloud_render_tpu.raster import (  # noqa: PLC0415
+                pallas_csr2 as _v2k,
+            )
+
+            diag = dict(
+                true_entries=_v2k.true_entry_count(
+                    prims, camera.width, camera.height,
+                    tile_h=config.tile_h, tile_w=config.tile_w,
+                    max_tiles_per_prim=config.max_tiles_per_prim,
+                    no_triangles=config.no_triangles or config.discs_only),
+                big_overflow=_v2.bin_diagnostics(
+                    prims, camera.width, camera.height,
+                    tile_h=config.tile_h, tile_w=config.tile_w,
+                    max_tiles_per_prim=config.max_tiles_per_prim,
+                    max_big=1024,  # rasterize_pallas_csr2's default
+                    no_triangles=config.no_triangles,
+                    discs_only=config.discs_only))
+        else:
+            diag = dict(true_entries=jnp.int32(0),
                         big_overflow=jnp.int32(0))
+        return fb, diag
     return fb
 
 

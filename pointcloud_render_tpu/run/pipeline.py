@@ -364,20 +364,49 @@ class FramePipeline:
         else:
             history = jnp.zeros((0, positions.shape[0], 3), jnp.float32)
 
-        fb, tc, ovf = _render_step(
-            self.preset, self.raster_config, self.droplet_lod,
-            has_vel, with_history, with_rotations, self.film,
-            positions, velocities, jnp.int32(frame_index), history, rotations)
-        # Per-frame certificate (ADVICE r2): the device-side diag rides
-        # the frame fetch — overflow/capacity violations fail LOUDLY on
-        # the exact frame instead of a first-frame probe's guess.
-        ovf = int(np.asarray(ovf))
-        if ovf > 0:
+        import dataclasses as _dc
+
+        for _attempt in range(5):
+            fb, tc, ovf = _render_step(
+                self.preset, self.raster_config, self.droplet_lod,
+                has_vel, with_history, with_rotations, self.film,
+                positions, velocities, jnp.int32(frame_index), history,
+                rotations)
+            # Per-frame certificate (ADVICE r2): the device-side diag
+            # rides the frame fetch — overflow/capacity violations fail
+            # on the exact frame instead of a first-frame probe's guess.
+            ovf = int(np.asarray(ovf))
+            if ovf == 0:
+                break
+            # Self-heal instead of asking the user to turn the knob the
+            # error names: quadruple the overflowing capacity (tiled's
+            # per-tile table or the pallas big list) and re-dispatch —
+            # a recompile per doubling, only on scenes that outgrow the
+            # default, and exactness is certified on the retry too.
+            from pointcloud_render_tpu.raster.render import (  # noqa: PLC0415
+                _resolve_backend,
+            )
+
+            backend = _resolve_backend(self.raster_config.backend)
+            if backend == "tiled":
+                new = self.raster_config.max_per_tile * 4
+                self.raster_config = _dc.replace(self.raster_config,
+                                                 max_per_tile=new)
+                what = f"max_per_tile -> {new}"
+            else:
+                new = max(self.raster_config.max_big * 4,
+                          self.raster_config.max_big + ovf)
+                self.raster_config = _dc.replace(self.raster_config,
+                                                 max_big=new)
+                what = f"max_big -> {new}"
+            print(f"Frame {frame_index}: overflow ({ovf} primitives); "
+                  f"retrying with {what}")
+        else:
             raise RuntimeError(
-                f"big-list overflow ({ovf} primitives) at frame "
-                f"{frame_index} — the render dropped them. Raise "
-                f"max_big, or span=4 (pallas6) if the overflow is "
-                f"long trail segments.")
+                f"overflow ({ovf} primitives) at frame {frame_index} "
+                f"after capacity retries — the render dropped them. "
+                f"Reduce primitive screen extents, or span=4 (pallas6) "
+                f"if the overflow is long trail segments.")
         cap = self.raster_config.entry_capacity
         if cap is not None:
             tc = int(np.asarray(tc))

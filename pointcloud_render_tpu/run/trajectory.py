@@ -279,7 +279,7 @@ class TrajectoryScanRenderer:
                 f"re-render with entry_capacity >= {tc_max}.")
         if ovf_max > 0:
             raise RuntimeError(
-                f"big-list overflow ({ovf_max} primitives) in frames "
+                f"overflow ({ovf_max} primitives) in frames "
                 f"{chunk_ids[0]}..{chunk_ids[-1]} — the render dropped "
-                f"them. Raise max_big or reduce primitive screen "
-                f"extents.")
+                f"them. Raise max_big (pallas big list) or max_per_tile "
+                f"(tiled backend), or reduce primitive screen extents.")

@@ -696,3 +696,66 @@ class TestCombinedKnobs:
         hit = np.asarray(i1) >= 0
         np.testing.assert_allclose(np.asarray(d)[hit],
                                    np.asarray(d1)[hit], rtol=2e-5)
+
+
+def test_bin_diagnostics6_mirrors_discs_only():
+    """The overflow certificate must count under the SAME binnable set
+    as the render it certifies: discs_only forces every capsule onto
+    the big list, so probing without the flag under-counts and can
+    certify a truncating run as exact (review r3)."""
+    cam = make_camera()
+    soup = _mixed_soup(cam, n=60, trails=40, seed=9)
+    # Capsule-heavy soup, tiny big list: binned-capsule probing sees
+    # little overflow, the discs_only probe must see a lot.
+    base = int(np.asarray(bin_diagnostics6(soup, W, H, max_big=4)))
+    forced = int(np.asarray(bin_diagnostics6(soup, W, H, max_big=4,
+                                             discs_only=True)))
+    assert forced > base
+
+    from pointcloud_render_tpu.raster.pallas_csr import bin_diagnostics
+
+    base2 = int(np.asarray(bin_diagnostics(soup, W, H, max_big=4)))
+    forced2 = int(np.asarray(bin_diagnostics(soup, W, H, max_big=4,
+                                             discs_only=True)))
+    assert forced2 > base2
+
+
+def test_huge_tile_grid_keys_fall_back_to_int32():
+    """>32767-tile grids overflow int16 sort keys; v3/v4 must fall back
+    to int32 like tiles.py/v2/v6 instead of silently wrapping (review
+    r3).  Exercised via the binning functions directly with an inflated
+    tile grid — the kernel contract only needs ascending keys with the
+    sentinel region last."""
+    from pointcloud_render_tpu.raster.pallas_csr3 import (
+        _bin_csr_2x2,
+        _zq_bits,
+    )
+    from pointcloud_render_tpu.raster.pallas_csr4 import _bin_csr4
+
+    # Discs anchored near the bottom-right of a 250x160 = 40000-tile
+    # grid (tile ids far past 32767).
+    px = np.array([250.0 * 32 - 40, 250.0 * 32 - 400], np.float32)
+    py = np.array([160.0 * 32 - 40, 160.0 * 32 - 200], np.float32)
+    soup = _screen_discs(px, py, np.array([1.0, 2.0]),
+                         np.array([5.0, 5.0]))
+    nt, tx, ty = 250 * 160, 250, 160
+    for bin_fn in (lambda s: _bin_csr_2x2(s, 32, 32, nt, tx, ty),
+                   lambda s: _bin_csr4(s, 32, 32, nt, tx, ty)):
+        keys, prims_s, *_ = bin_fn(soup)
+        k = np.asarray(keys)
+        assert k.dtype == np.int32
+        assert (np.diff(k) >= 0).all()
+        sent = nt << _zq_bits(nt)
+        binned = k[k < sent]
+        assert binned.size == 2  # both discs really binned, keys valid
+        assert (binned >= 0).all()
+
+
+def test_dma_slots_one_rejected():
+    """dma_slots=1 would double-start chunk 0's DMA into the same slot/
+    semaphore (the prefetch starts chunk ci+n_slots-1 from chunk ci's
+    body) — must be a loud ValueError, not a stale-data race."""
+    soup = _mixed_soup(make_camera(), n=40, trails=4)
+    with pytest.raises(ValueError, match="dma_slots"):
+        rasterize_pallas_csr6(soup, W, H, interpret=True, dma_slots=1,
+                              allow_exit=False)

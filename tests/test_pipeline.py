@@ -35,14 +35,17 @@ def synth_trajectory(folder, pattern, frames, n=N_POINTS, with_velocity=True,
     return pos, vel
 
 
-def small_pipeline(preset, droplet_lod="capsule"):
+def small_pipeline(preset, droplet_lod="capsule", max_per_tile=256):
     # Tiny film for test speed; backend tiled (the production XLA path).
+    # Mesh-LOD droplet tests need a real per-tile capacity: 640 tris per
+    # droplet on a 192x108 film overflows 256/tile, and the per-frame
+    # certificate (correctly) refuses to return the truncated image.
     import dataclasses
 
     from pointcloud_render_tpu.run import pipeline as pl
 
     return pl.FramePipeline(
-        preset, RasterConfig(backend="tiled", max_per_tile=256),
+        preset, RasterConfig(backend="tiled", max_per_tile=max_per_tile),
         droplet_lod=droplet_lod)
 
 
@@ -154,7 +157,8 @@ def test_droplet_mesh_lod(tmp_path, small_camera):
     synth_trajectory(inp, preset.file_pattern, [50], n=20)
     sink = run_batch(preset, input_folder=inp, output_folder=out,
                      frames=[50],
-                     pipeline=small_pipeline(preset, droplet_lod="mesh"),
+                     pipeline=small_pipeline(preset, droplet_lod="mesh",
+                                             max_per_tile=8192),
                      sink=MetricsSink(quiet=True))
     assert sink.summary()["frames_ok"] == 1
 
@@ -356,7 +360,8 @@ def test_droplet_without_velocity_uses_seeded_random_rotations(
     inp, out = str(tmp_path / "in"), str(tmp_path / "out")
     synth_trajectory(inp, preset.file_pattern, [0], n=25, with_velocity=False)
     sink = run_batch(preset, input_folder=inp, output_folder=out, frames=[0],
-                     pipeline=small_pipeline(preset, droplet_lod="mesh"),
+                     pipeline=small_pipeline(preset, droplet_lod="mesh",
+                                             max_per_tile=8192),
                      sink=MetricsSink(quiet=True))
     assert sink.summary()["frames_ok"] == 1
     assert os.path.exists(os.path.join(out, "frame_0000_b0.png"))
@@ -433,3 +438,34 @@ def test_parse_frames_open_range():
     assert list(parse_frames(":3", [7])) == [0, 1, 2]
     assert parse_frames("", [7, 8]) == [7, 8]
     assert parse_frames("4,9", [0]) == [4, 9]
+
+
+def test_frame_file_clamp_is_traj_family_only():
+    """The fade-frame file reuse (>199 -> frame_0199) belongs to the
+    traj family; the example preset renders pts_0..pts_661 each from
+    its OWN file (reference example_renderer.py:209-211 — review r3: a
+    total_frames>200 heuristic clamped 462 example frames to
+    pts_199.ply)."""
+    ex, tb = PRESETS["example"], PRESETS["traj_ball"]
+    assert ex.frame_file(0) == "pts_0.ply"
+    assert ex.frame_file(450) == "pts_450.ply"
+    assert ex.frame_file(661) == "pts_661.ply"
+    assert tb.frame_file(199) == "frame_0199_b0.ply"
+    assert tb.frame_file(219) == "frame_0199_b0.ply"
+    assert PRESETS["traj_b1"].frame_file(219) == "frame_0199_b1.ply"
+
+
+def test_pipeline_self_heals_capacity_overflow(tmp_path, small_camera):
+    """A default-config scene whose primitives overflow the tiled
+    per-tile table must render exactly via automatic capacity retries —
+    not fail (and certainly not silently truncate, the pre-r3 behavior
+    the per-frame certificate now prevents)."""
+    preset = PRESETS["traj_ball"]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_trajectory(inp, preset.file_pattern, [199], n=120)
+    pipe = small_pipeline(preset, max_per_tile=64)  # guaranteed overflow
+    sink = run_batch(preset, input_folder=inp, output_folder=out,
+                     frames=[199], pipeline=pipe,
+                     sink=MetricsSink(quiet=True))
+    assert sink.summary()["frames_ok"] == 1
+    assert pipe.raster_config.max_per_tile > 16  # capacity was raised

@@ -371,11 +371,21 @@ def run_bench(args):
         from pointcloud_render_tpu.raster import pallas_csr2
 
         cam0 = make_camera(jnp.int32(0))
-        ecs = [int(np.asarray(pallas_csr2.true_entry_count(
-            soup(make_camera(jnp.int32(f)), positions, radii),
-            cam0.width, cam0.height,
-            max_tiles_per_prim=args.max_tiles_per_prim, no_triangles=True)))
-            for f in probe_frames]
+
+        def probe2(fi):
+            # Compiled const-free like every other dispatch (CLAUDE.md:
+            # eager per-op dispatch pays ~25 ms tunnel RTT each and
+            # re-exposes the buffer-loss hazard once compiled programs
+            # coexist).
+            return pallas_csr2.true_entry_count(
+                soup(make_camera(fi), positions, radii),
+                cam0.width, cam0.height,
+                max_tiles_per_prim=args.max_tiles_per_prim,
+                no_triangles=True)
+
+        probe2_c = aot.compile_const_free(probe2, jnp.int32(0))
+        ecs = [int(np.asarray(probe2_c(jnp.int32(f))))
+               for f in probe_frames]
         entry_capacity = ((int(max(ecs) * 1.15) + 127) // 128) * 128
         if args.verbose:
             print(f"# true entries over trajectory {ecs}, "
@@ -531,7 +541,10 @@ def _bench_trail_scene(args, positions):
                                            "off") == "on",
                              three_tone_on=getattr(args,
                                                    "trail_three_tone",
-                                                   "off") == "on")
+                                                   "off") == "on",
+                             span_arg=args.trail_span or "auto",
+                             starts_method=getattr(
+                                 args, "trail_starts_method", "scan"))
 
 
 def _bench_droplet_scene(args, positions):
@@ -546,7 +559,8 @@ def _bench_droplet_scene(args, positions):
 
 def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                       n_frames, trail_segments=None, cap10=False,
-                      three_tone_on=False):
+                      three_tone_on=False, span_arg="auto",
+                      starts_method="scan"):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
@@ -603,8 +617,9 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
     # frames pay; the scan's diag certificate re-checks every frame).
     from pointcloud_render_tpu.raster import pallas_csr6
 
-    probe_frames = (frames[0], frames[len(frames) // 2], frames[-2],
-                    frames[-1])
+    probe_frames = tuple(dict.fromkeys(
+        [frames[0], frames[len(frames) // 2]]
+        + ([frames[-2]] if len(frames) >= 2 else []) + [frames[-1]]))
 
     def probe(fi):
         # bin_diagnostics6 returns overflow past max_big; max_big=0
@@ -619,14 +634,14 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
               for f in probe_frames]
     bigs2 = [c[0] for c in counts]
     bigs4 = [c[1] for c in counts]
-    if args.trail_span == "auto":
+    if span_arg == "auto":
         # Fade-frame trail segments flood the span-2 big list (14k at
         # 1M pts, frame 219): each big prim is evaluated at EVERY tile,
         # so past ~2k the span-4 binning (16 classes, +0.4% slots, one
         # 16x-larger searchsorted) wins.
         span = 4 if max(bigs2) > 2048 else 2
     else:
-        span = int(args.trail_span)
+        span = int(span_arg)
     bigs = bigs4 if span == 4 else bigs2
     # max_big 384 -> big_pad 512 = one chunk = the RESIDENT SMEM big
     # list (no per-tile big DMA); bigger lists round up to 256s.
@@ -659,8 +674,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                   file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span,
-                          starts_method=getattr(args, "trail_starts_method",
-                                                "scan"),
+                          starts_method=starts_method,
                           cap_rows10=cap10,
                           three_tone=three_tone)
 

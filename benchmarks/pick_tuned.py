@@ -24,6 +24,11 @@ import os
 import re
 import sys
 
+# The queue log's step-header format — ONE definition (queue_summary.py
+# imports it; a header tweak must not silently desynchronize the two
+# parsers).
+SECTION_RE = re.compile(r"=== (.+?) \w{3} \w{3} .*===")
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(ROOT, "benchmarks", "results")
 OUT = os.path.join(ROOT, "tuned_defaults.json")
@@ -39,11 +44,23 @@ RASTER_KEYS = ("tiles_per_program", "dma_slots", "chunk_rows", "unroll",
 
 
 def _read_jsonl(path):
+    """Per-line tolerant: a sweep killed mid-append (wedged-tunnel PID
+    kill) leaves one truncated line — losing ONLY that line, not the
+    whole file (which would also delete the previous good tuned file)."""
+    out = []
     try:
         with open(path) as f:
-            return [json.loads(line) for line in f if line.strip()]
-    except (OSError, ValueError):
-        return []
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    print(f"# skipping corrupt line in {path}",
+                          file=sys.stderr)
+    except OSError:
+        pass
+    return out
 
 
 def _best(records):
@@ -62,8 +79,10 @@ def pick_disc(records):
     f_best = _best([r for r in shaded if r.get("uniform_look")])
     g_best = _best([r for r in shaded if not r.get("uniform_look")])
     # How much the fused (u, v) epilogue saves over the generic by-id
-    # gather (exit-off only: fused forces the exit off).
-    shade_delta = ((g_best["ms"] - f_best["ms"])
+    # gather (exit-off only: fused forces the exit off).  Clamped at 0:
+    # a SLOWER fused shade won't be chosen below, so it must not also
+    # hand the exit-on raster an unearned head start.
+    shade_delta = (max(0.0, g_best["ms"] - f_best["ms"])
                    if f_best and g_best else 0.0)
     if b_on and b_off and b_on["ms"] < b_off["ms"] - shade_delta:
         chosen, fused = b_on, False
@@ -80,6 +99,15 @@ def pick_disc(records):
             if all(r.get(k) == v for k, v in BUILTIN.items())
             and r.get("max_big", 0) <= 511]
     if base and chosen["ms"] > base[0]["ms"] * 0.985:
+        # Raster knobs within noise — but the fused-vs-generic SHADE
+        # verdict is independent evidence: if the generic by-id gather
+        # measurably beats the fused uv shade, record uniform_look=False
+        # alone (the builtin bench default is fused).
+        if f_best and g_best and g_best["ms"] < f_best["ms"] * 0.985:
+            return ({"uniform_look": False},
+                    (f"disc raster within noise; shade A/B: generic "
+                     f"{g_best['ms']:.2f} beats fused {f_best['ms']:.2f} "
+                     f"ms — uniform_look off"))
         return None, (f"best {chosen['ms']:.2f} ms within 1.5% of builtin "
                       f"{base[0]['ms']:.2f} ms — keeping builtins")
     return disc, (f"disc: {chosen['label']} @ {chosen['ms']:.2f} ms, "
@@ -96,7 +124,7 @@ def pick_trail(records, log_text):
     sections = {}
     label = None
     for line in log_text.splitlines():
-        m = re.match(r"=== (.+?) \w{3} \w{3} .*===", line)
+        m = SECTION_RE.match(line)
         if m:
             label = m.group(1).strip()
             continue
@@ -141,6 +169,13 @@ def pick_trail(records, log_text):
     span_val = 4 if trail.get("span", "auto") in ("auto", "4") else 2
     sm = [r for r in records if r.get("kind") == "raster"
           and r.get("span") == span_val]
+    # Compare at ONE max_big: the sweep also emits a resident-SMEM
+    # (mb=384) line that is inherently faster — mixing it into the
+    # baselines would make every knob A/B fight an unfair opponent.
+    mbs = [r.get("max_big") for r in sm if r.get("max_big")]
+    if mbs:
+        mb_main = max(set(mbs), key=mbs.count)
+        sm = [r for r in sm if r.get("max_big") == mb_main]
     b_scan = _best([r for r in sm if r.get("starts_method") == "scan"
                     and not r.get("cap_rows10")])
     b_sort = _best([r for r in sm if r.get("starts_method") == "sort"

@@ -13,6 +13,8 @@ import json
 import os
 import re
 
+import pick_tuned
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(ROOT, "benchmarks", "results")
 
@@ -32,7 +34,7 @@ def main():
     print("== bench JSON lines by step ==")
     label = "(pre-queue)"
     for line in log.splitlines():
-        m = re.match(r"=== (.+?) \w{3} \w{3} .*===", line)
+        m = pick_tuned.SECTION_RE.match(line)
         if m:
             label = m.group(1).strip()
         elif line.startswith("{") and '"metric"' in line:

@@ -301,3 +301,62 @@ class TestPickTunedGuards:
         assert not (trail or {}).get("cap_rows10")
         assert not (trail or {}).get("three_tone")
         assert "keeping auto" in note
+
+
+class TestPickTunedReviewGuards2:
+    """Round-3 second review pass: decision hazards in the unattended
+    distillation chain."""
+
+    def test_negative_shade_delta_cannot_flip_exit_on(self):
+        import pick_tuned
+
+        # Fused shade LOSES by 2 ms; exit-on raster is slower than
+        # exit-off — exit-on must NOT win via the negative delta.
+        disc, _ = pick_tuned.pick_disc([
+            _raster_rec(16.0, label="builtin"),
+            _raster_rec(14.0, label="off", dma_slots=4),
+            _raster_rec(15.5, label="on", allow_exit=True, max_big=1024),
+            _shaded_rec(24.0, False),
+            _shaded_rec(26.0, True),
+        ])
+        assert disc["allow_exit"] is False
+        assert disc["uniform_look"] is False
+
+    def test_corrupt_jsonl_line_loses_only_that_line(self, tmp_path):
+        import pick_tuned
+
+        p = tmp_path / "sweep.jsonl"
+        p.write_text(json.dumps(_raster_rec(16.0)) + "\n"
+                     + json.dumps(_raster_rec(15.0)) + "\n"
+                     + '{"label": "trunca')  # killed mid-append
+        recs = pick_tuned._read_jsonl(str(p))
+        assert len(recs) == 2
+
+    def test_shade_verdict_survives_raster_noise(self):
+        import pick_tuned
+
+        # Raster within noise of builtin, but the generic shade clearly
+        # beats fused: uniform_look=False must still be distilled.
+        disc, note = pick_tuned.pick_disc([
+            _raster_rec(16.0, label="builtin"),
+            _raster_rec(15.95, label="tpp4", tiles_per_program=4),
+            _shaded_rec(24.0, False),
+            _shaded_rec(26.0, True),
+        ])
+        assert disc == {"uniform_look": False}
+
+    def test_span4_pool_filters_mixed_max_big(self):
+        import pick_tuned
+
+        # The mb=384 resident line is inherently faster; starts=sort at
+        # the REAL mb=20480 beats scan at mb=20480 but not the mb=384
+        # line — it must still be picked (same-mb comparison).
+        def _r(ms, sm, mb):
+            return dict(label="r", kind="raster", scene="trail", span=4,
+                        starts_method=sm, cap_rows10=False, max_big=mb,
+                        ms=ms)
+
+        recs = [_r(200.0, "scan", 384), _r(260.0, "scan", 20480),
+                _r(240.0, "sort", 20480), _r(239.0, "sort", 20480)]
+        trail, _ = pick_tuned.pick_trail(recs, "")
+        assert trail["starts_method"] == "sort"

@@ -31,5 +31,13 @@ _so = os.path.join(_repo, "native", "libpcr_native.so")
 if not os.path.exists(_so):
     import subprocess
 
-    subprocess.run(["make", "-C", os.path.join(_repo, "native")],
-                   capture_output=True, timeout=120, check=False)
+    _mk = subprocess.run(["make", "-C", os.path.join(_repo, "native")],
+                         capture_output=True, timeout=120, check=False)
+    if _mk.returncode != 0 and not os.path.exists(_so):
+        # Don't let a broken native build silently downgrade 9 tests
+        # to skips — surface it at collection time.
+        import warnings
+
+        warnings.warn(
+            "native build FAILED — test_native.py will be skipped:\n"
+            + _mk.stderr.decode()[-800:], stacklevel=1)

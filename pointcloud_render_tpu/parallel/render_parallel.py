@@ -35,8 +35,8 @@ Two levels of API:
 Capacity: the full-scene paths dispatch on ``config.backend`` — the
 capacity-capped tiled backend (default) or the capacity-free Pallas
 kernels (``pallas6`` anchor-sorted — the TPU production default — or
-``pallas4`` for splat/trail mixes, ``pallas5`` for Morton-
-ordered clouds; see ``_rasterize_shard``).  Every entry point returns the
+``pallas4`` for splat/trail mixes; see ``_rasterize_shard``).  Every
+entry point returns the
 binning OVERFLOW count (psum over shards; 0 = every primitive rasterized
 exactly — for Pallas backends this is the big-list drop count).  Callers
 must treat overflow > 0 as a failed render — raise ``max_per_tile`` /
@@ -259,15 +259,6 @@ def _rasterize_shard(prims, camera, config):
             cap_rows10=config.cap_rows10,
             starts_method=config.starts_method, interpret=interpret,
             return_diag=True)
-        return depth, index, diag["big_overflow"]
-    if backend == "pallas5":
-        from pointcloud_render_tpu.raster import pallas_csr5
-
-        depth, index, diag = pallas_csr5.rasterize_pallas_csr5(
-            prims, camera.width, camera.height,
-            entry_capacity=config.entry_capacity,
-            max_big=config.max_big,
-            interpret=interpret, return_diag=True)
         return depth, index, diag["big_overflow"]
     depth, index = xla_tiled.rasterize_tiled(
         prims, camera.width, camera.height,

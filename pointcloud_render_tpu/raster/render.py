@@ -4,9 +4,15 @@ Backend dispatch:
   "bruteforce" — chunked all-prims x all-pixels XLA scan (exact, any size,
                  O(P*H*W); the correctness baseline);
   "tiled"      — binned XLA gather rasterizer (exact, scales to ~100k prims);
-  "pallas"     — tiled Pallas TPU kernel (the fast path);
+  "pallas"     — v2 tiled Pallas TPU kernel (compat; superseded by v6);
+  "pallas3/4/6"— the binned Pallas generations (v6 = anchor-sorted, the
+                 fast path; see docs/KERNEL_NOTES.md);
   "cpu"        — NumPy oracle (host, slow; ground truth);
-  "auto"       — pallas on TPU, tiled elsewhere.
+  "auto"       — pallas6 on TPU, tiled elsewhere.
+
+Retired from dispatch (kept as modules for tests/KERNEL_NOTES lessons):
+pallas_csr (v1, superseded twice) and pallas_csr5 (chunk binning — a
+measured negative result on per-prim scenes; KERNEL_NOTES "ROUND 3").
 """
 
 from __future__ import annotations
@@ -106,7 +112,10 @@ class FrameBuffers:
 def _resolve_backend(name: str) -> str:
     if name != "auto":
         return name
-    return "pallas" if jax.default_backend() == "tpu" else "tiled"
+    # "auto" means the FAST path: v6 anchor-sorted binning, matching the
+    # pipeline's policy (run/pipeline._make_step).  v2 stays reachable by
+    # name ("pallas") for compatibility.
+    return "pallas6" if jax.default_backend() == "tpu" else "tiled"
 
 
 
@@ -178,18 +187,6 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             bin_triangles=config.bin_triangles,
             max_big=config.max_big,
             interpret=jax.default_backend() != "tpu")
-    if backend == "pallas5":
-        # Chunk-binned path for Morton-ordered clouds (scene/spatial):
-        # 16-prim superrow binning kills the per-prim sort/gather cost;
-        # unsorted clouds degrade to the big list (loud on overflow).
-        from pointcloud_render_tpu.raster import pallas_csr5  # noqa: PLC0415
-
-        return pallas_csr5.rasterize_pallas_csr5(
-            prims, width, height,
-            unroll=config.unroll,
-            entry_capacity=config.entry_capacity,
-            max_big=config.max_big,
-            interpret=jax.default_backend() != "tpu")
     if backend == "pallas6":
         # Anchor-sorted binning: one sort slot per prim + 5-range CSR.
         # Same contract/eval as pallas4 with a 4x smaller sort and NO
@@ -210,15 +207,6 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
                else {"chunk_rows": config.chunk_rows}),
-            interpret=jax.default_backend() != "tpu")
-    if backend == "pallas_v1":
-        from pointcloud_render_tpu.raster import pallas_csr  # noqa: PLC0415
-
-        return pallas_csr.rasterize_pallas_csr(
-            prims, width, height,
-            tile_h=config.tile_h, tile_w=config.tile_w,
-            max_tiles_per_prim=config.max_tiles_per_prim,
-            no_triangles=config.no_triangles,
             interpret=jax.default_backend() != "tpu")
     raise ValueError(f"unknown backend {backend!r}")
 
@@ -268,16 +256,6 @@ def render(prims: ScreenPrimitives, camera,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
                else {"chunk_rows": config.chunk_rows}),
-            interpret=jax.default_backend() != "tpu", return_diag=True)
-        fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
-        return (fb, diag) if return_diag else fb
-    if backend == "pallas5":
-        from pointcloud_render_tpu.raster import pallas_csr5  # noqa: PLC0415
-
-        rgb, depth, index, diag = pallas_csr5.render_shaded_csr5(
-            prims, camera, config.shading,
-            unroll=config.unroll, entry_capacity=config.entry_capacity,
-            max_big=config.max_big,
             interpret=jax.default_backend() != "tpu", return_diag=True)
         fb = FrameBuffers(rgb=rgb, depth=depth, index=index)
         return (fb, diag) if return_diag else fb

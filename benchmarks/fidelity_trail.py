@@ -1,0 +1,78 @@
+"""Certify the trail_segments GEOMETRY knob's winner-flip rate.
+
+``trail_segments`` is the one tuned knob that changes geometry (coarser
+capsule chord/z interpolation vs the reference's 21-point polyline —
+run/pipeline.build_primitives docstring).  The tuned-defaults contract
+is "knobs cost milliseconds, never correctness", so pick_tuned refuses
+to flip production to a segment count unless this certificate says its
+measured per-trail-pixel flip rate is under BOUND (VERDICT r3 item 3).
+
+Writes benchmarks/results/fidelity_trail_segments.json:
+  {"bound": ..., "scene": {...}, "rates": {"4": {...}, "8": {...}}}
+where each rate record is utils.fidelity.trail_segments_flip_rate's
+output (frame_rate = flips/all pixels, trail_rate = flips/trail pixels —
+the density-invariant number the bound applies to).
+
+Run (CPU is fine — the tiled backend is exact everywhere):
+  python benchmarks/fidelity_trail.py [--segments 4,8] [--points 1500]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Acceptance bound on the per-trail-pixel winner-flip rate.  Measured:
+# 1.1e-4 at CI scale (1500 pts / 480x270) and ~2.4e-3 at the 4x-denser
+# certificate scene — for segments 4 AND 8 ALIKE (2.46e-3 vs 2.32e-3:
+# the production default of 8 is already this far from the 21-point
+# polyline, so dropping to 4 adds ~1e-4).  0.5% = 2x the densest
+# measured rate: loose enough to absorb scene noise, tight enough that
+# a knob that actually broke geometry (rates in the percents) is
+# refused.
+BOUND = 5e-3
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results",
+                   "fidelity_trail_segments.json")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--segments", default="4,8")
+    ap.add_argument("--points", type=int, default=1500)
+    ap.add_argument("--frames", default="60,120,199")
+    args = ap.parse_args()
+
+    import jax
+
+    # Exactness work, not perf work — never claim the TPU tunnel.
+    # (Set BEFORE any device op; probing default_backend() first would
+    # itself initialize — and claim — the tunneled chip.)
+    jax.config.update("jax_platforms", "cpu")
+
+    from pointcloud_render_tpu.utils.fidelity import trail_segments_flip_rate
+
+    frames = tuple(int(f) for f in args.frames.split(","))
+    rates = {}
+    for segs in (int(s) for s in args.segments.split(",")):
+        r = trail_segments_flip_rate(segs, n_points=args.points,
+                                     frames=frames)
+        rates[str(segs)] = r
+        status = "OK" if r["trail_rate"] <= BOUND else "OVER BOUND"
+        print(f"segments={segs} trail_rate={r['trail_rate']:.2e} "
+              f"frame_rate={r['frame_rate']:.2e}  [{status}]", flush=True)
+
+    record = {"bound": BOUND,
+              "scene": {"preset": "traj_ball", "points": args.points,
+                        "frames": list(frames), "film": [480, 270],
+                        "reference_segments": 20},
+              "rates": rates}
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

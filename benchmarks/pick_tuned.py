@@ -42,6 +42,42 @@ BUILTIN = dict(chunk_rows=256, allow_exit=False, unroll=4, dma_slots=2,
 RASTER_KEYS = ("tiles_per_program", "dma_slots", "chunk_rows", "unroll",
                "allow_exit", "starts_method")
 
+# Knobs that change GEOMETRY, not just milliseconds.  The tuner may only
+# select them when a fidelity certificate bounds their winner-flip rate
+# (benchmarks/fidelity_trail.py; VERDICT r3 item 3) — everything else in
+# tuned_defaults.json is exactness-neutral by construction.
+GEOMETRY_KNOBS = ("segments",)
+FIDELITY_CERT = os.path.join(RESULTS, "fidelity_trail_segments.json")
+
+
+def certify_geometry(trail):
+    """Drop uncertified geometry knobs from a trail pick, in place.
+
+    Returns a note string.  A ``segments`` pick survives only when the
+    fidelity certificate has a measured rate for that exact count and it
+    is within the recorded bound; the certified rate is copied into the
+    tuned file (``segments_flip_rate``) so the bound travels with the
+    knob."""
+    if trail.get("segments") is None:
+        trail.pop("segments", None)
+        return ""
+    try:
+        with open(FIDELITY_CERT) as f:
+            cert = json.load(f)
+        rec = cert["rates"][str(trail["segments"])]
+        bound = float(cert["bound"])
+    except (OSError, KeyError, ValueError, TypeError):
+        segs = trail.pop("segments")
+        return (f"REFUSED segments={segs}: no fidelity certificate "
+                f"({FIDELITY_CERT}) — run benchmarks/fidelity_trail.py")
+    if rec["trail_rate"] > bound:
+        segs = trail.pop("segments")
+        return (f"REFUSED segments={segs}: flip rate "
+                f"{rec['trail_rate']:.2e} over bound {bound:.0e}")
+    trail["segments_flip_rate"] = rec["trail_rate"]
+    return (f"segments={trail['segments']} certified "
+            f"(flip {rec['trail_rate']:.2e} <= {bound:.0e})")
+
 
 def _read_jsonl(path):
     """Per-line tolerant: a sweep killed mid-append (wedged-tunnel PID
@@ -224,6 +260,12 @@ def main():
 
     disc, dnote = pick_disc(disc_recs)
     trail, tnote = pick_trail(trail_recs, log_text)
+    if trail:
+        gnote = certify_geometry(trail)
+        if gnote:
+            tnote = f"{tnote}; {gnote}"
+        if not trail:
+            trail = None
     print(f"# {dnote}", file=sys.stderr)
     print(f"# {tnote}", file=sys.stderr)
     if disc is None and trail is None:

@@ -25,6 +25,7 @@ use all chips (VERDICT r1 item 6).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Iterable, Optional
 
@@ -64,6 +65,22 @@ class StreamingRasterizer:
         per-chunk builder for NON-disc streamed scenes (e.g. discs +
         velocity-trail capsules); defaults to disc splats.  Chunks in
         ``rasterize`` may then be (positions, colors, *extras) tuples.
+        With a ``mesh``, soup_fn must return ``(prims, layout)`` where
+        layout is the part layout ``[(rows, rows_per_point), ...]`` —
+        exactly what ``run.pipeline.build_primitives(...,
+        return_layout=True)`` returns — so each shard's primitive rows
+        map to their ids in the full-chunk soup (the same static layout
+        walk as parallel.render_parallel._scene_shard_frame).  Fixed
+        furniture parts (rows_per_point == 0, e.g. the ground) are
+        rendered by shard 0 of the FIRST chunk only, keeping ids unique.
+
+    Exactness with soup_fn + mesh: a single-chunk stream is bit-exact
+    (ids included) vs the monolithic render of the same soup.  Across
+    multiple chunks the soup parts interleave per chunk, so equal-depth
+    ties BETWEEN different parts resolve in (chunk, part, point) order
+    instead of the monolithic (part, point) order — surfaces and depths
+    are still exact; only the tie order of cross-part coincident
+    primitives can differ.
     """
 
     def __init__(self, camera, chunk_points: int, radius_world: float,
@@ -92,17 +109,40 @@ class StreamingRasterizer:
     # -- device step ---------------------------------------------------------
 
     def _build_soup(self, chunk, colors, extras):
+        """-> (prims, layout); layout is None for bare-prims soup_fns
+        (single-device only — the mesh path needs the part layout)."""
         if self.soup_fn is not None:
-            return self.soup_fn(chunk, colors, *extras)
+            out = self.soup_fn(chunk, colors, *extras)
+            if isinstance(out, tuple):
+                return out
+            return out, None
         cam = self.camera
-        return discs_from_points(
+        prims = discs_from_points(
             chunk, cam, jnp.full((chunk.shape[0],), self.radius, jnp.float32),
             colors)
+        return prims, [(chunk.shape[0], 1)]
 
-    def _raster_local(self, chunk, colors, extras):
-        """One device's (or the whole chip's) rasterization of a chunk."""
+    def _raster_local(self, chunk, colors, extras, first=None):
+        """One device's (or the whole chip's) rasterization of a chunk.
+
+        ``first`` (traced bool): this caller renders the soup's fixed
+        furniture parts (rows_per_point == 0).  Replicated furniture must
+        win exactly once across chunks x shards, so every other caller
+        masks it invalid — ids stay unique and the merged result matches
+        the monolithic soup, where furniture appears once.
+        """
         cam = self.camera
-        prims = self._build_soup(chunk, colors, extras)
+        prims, layout = self._build_soup(chunk, colors, extras)
+        if first is not None and layout is not None:
+            fixed = np.zeros(prims.count, bool)
+            loc = 0
+            for rows, c in layout:
+                if (c[1] if isinstance(c, tuple) else c) == 0:
+                    fixed[loc:loc + rows] = True
+                loc += rows
+            if fixed.any():
+                prims = dataclasses.replace(
+                    prims, valid=prims.valid & (jnp.asarray(~fixed) | first))
         if self.backend == "pallas6":
             # Anchor-sorted v6: same contract as v4 with NO entry
             # capacity to probe — the only certificate left is the
@@ -158,7 +198,7 @@ class StreamingRasterizer:
         table = jnp.concatenate([
             prims.params[:, 0:2], rflag[:, None], rgb], axis=1)
         attr = table[jnp.maximum(i, 0)]  # (H, W, 6)
-        return d, i, attr, tc, ovf
+        return d, i, attr, tc, ovf, layout
 
     def _merge(self, d, gi, attr, depth, index, attrs):
         take = (d < depth) | ((d == depth) & (gi < index))
@@ -168,7 +208,8 @@ class StreamingRasterizer:
 
     def _make_step(self):
         def step_single(chunk, colors, extras, offset, depth, index, attrs):
-            d, i, attr, tc, ovf = self._raster_local(chunk, colors, extras)
+            d, i, attr, tc, ovf, _ = self._raster_local(
+                chunk, colors, extras, first=offset == 0)
             gi = jnp.where(i >= 0, i + offset, IMAX)
             d = jnp.where(i >= 0, d, INF)
             return self._merge(d, gi, attr, depth, index, attrs) + (tc, ovf)
@@ -182,25 +223,53 @@ class StreamingRasterizer:
             raise ValueError(
                 f"chunk_points {self.chunk_points} not divisible by "
                 f"{n_dev} devices")
-        if self.soup_fn is not None:
-            raise NotImplementedError(
-                "mesh-sharded streaming requires per-point global-id "
-                "mapping for multi-primitive soups (run.parallel scene "
-                "sharding); use soup_fn without a mesh")
 
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(P("points"), P("points"), P(), P(), P(None, None),
-                      P(None, None), P(None, None, None)),
+            in_specs=(P("points"), P("points"), P("points"), P(),
+                      P(None, None), P(None, None), P(None, None, None)),
             out_specs=(P(None, None), P(None, None), P(None, None, None),
                        P(), P()),
             check_vma=False,
         )
         def step_sharded(chunk, colors, extras, offset, depth, index, attrs):
-            n_local = chunk.shape[0]
             shard = jax.lax.axis_index("points")
-            d, i, attr, tc, ovf = self._raster_local(chunk, colors, extras)
-            gi = jnp.where(i >= 0, i + offset + shard * n_local, IMAX)
+            d, i, attr, tc, ovf, layout = self._raster_local(
+                chunk, colors, extras,
+                first=(offset == 0) & (shard == 0))
+            if layout is None:
+                raise ValueError(
+                    "mesh-sharded streaming of a multi-primitive soup "
+                    "needs the soup's part layout: make soup_fn return "
+                    "(prims, layout) — run.pipeline.build_primitives("
+                    "..., return_layout=True) does exactly that")
+            # Static layout walk (parallel.render_parallel.
+            # _scene_shard_frame): local row -> full-CHUNK-soup id.
+            # Per-point parts are row-major in point index, so local row
+            # j of a part with rows_local rows on each of n_dev shards
+            # sits at part_start + shard * rows_local + j_within_part;
+            # fixed furniture keeps its chunk-0/shard-0 ids.
+            n_prims = sum(r for r, _ in layout)
+            offs = np.zeros(n_prims, np.int32)  # part_start - local_start
+            scale = np.zeros(n_prims, np.int32)  # rows_local per shard
+            loc = glob = 0
+            for rows, c in layout:
+                if isinstance(c, tuple):  # ("split2", f) mesh-LOD blocks
+                    c = c[1]
+                sl = slice(loc, loc + rows)
+                offs[sl] = glob - loc
+                if c == 0:
+                    glob += rows
+                else:
+                    scale[sl] = rows
+                    glob += rows * n_dev
+                loc += rows
+            safe = jnp.maximum(i, 0)
+            gi = jnp.where(
+                i >= 0,
+                i + jnp.asarray(offs)[safe]
+                + shard * jnp.asarray(scale)[safe] + offset,
+                IMAX)
             d = jnp.where(i >= 0, d, INF)
             # Merge across the mesh first (lexicographic pmin), then fold
             # the replicated winner into the running buffers.
@@ -267,7 +336,7 @@ class StreamingRasterizer:
                 # Global ids advance by the chunk's PRIMITIVE count
                 # (static: fixed chunk shape -> fixed soup size).
                 prims_per_chunk = jax.eval_shape(
-                    lambda c, k, e: self._build_soup(c, k, e).kind,
+                    lambda c, k, e: self._build_soup(c, k, e)[0].kind,
                     dev, col, extras).shape[0]
             if self._step is None:
                 self._compile(dev, col, extras, depth, index, attrs)

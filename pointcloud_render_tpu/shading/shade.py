@@ -50,6 +50,21 @@ class ShadingConfig:
     shadow_size: int = 1024
     shadow_bias: float = 0.05
     shadow_min_light: float = 0.35
+    # Penumbra (PCSS-lite, shading/shadow.py): poisson PCF whose tap
+    # radius scales with the blocker gap and the reference's 8x8 area
+    # emitter (half-extent 4 world units, traj_ball_renderer.py:67-75).
+    # 0 taps = the legacy fixed 2x2 PCF.
+    shadow_taps: int = 12
+    shadow_emitter_half: float = 4.0
+    shadow_max_radius_px: float = 24.0
+    # GGX specular lobe on triangle winners — the reference ground is
+    # WHITE ROUGHPLASTIC (alpha=0.1, IOR 1.46 -> F0 ~= 0.0349,
+    # traj_ball_renderer.py:30-35,58-65).  ground_spec scales the lobe;
+    # 0 (default) keeps the pure-Lambert look and the fused kernels'
+    # bit-pinned output.  rgb-only: depth/index are never touched.
+    ground_spec: float = 0.0
+    ground_alpha: float = 0.1
+    ground_f0: float = 0.0349
 
 
 def shade_winner_attrs(px, py, rflag, rgb, hit, camera,

@@ -370,3 +370,56 @@ def test_shard_dispatch_honors_max_big():
         *_, ovf_big = _rasterize_shard(prims, cam, big)
         assert int(ovf_small) > 0, backend
         assert int(ovf_big) == 0, backend
+
+
+def test_streamed_soup_mesh_sharded_matches_monolithic():
+    """A mesh-sharded stream of the FULL trail soup (ground + discs +
+    velocity trails via build_primitives' layout) == the monolithic
+    single-device render — bit-exact ids for the single-chunk stream,
+    winner-surface/depth-exact across two chunks (VERDICT r3 item 5:
+    deletes the streaming.py soup_fn + mesh scope guard)."""
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.parallel.streaming import StreamingRasterizer
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+
+    preset = PRESETS["traj_ball"]
+    cam = make_camera()
+    rng = np.random.default_rng(7)
+    n = 512
+    pos = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    vel = (rng.normal(size=(n, 3)) * 2).astype(np.float32)
+
+    def soup_fn(p, colors, v):
+        return build_primitives(preset, cam, p, v, jnp.int32(120),
+                                return_layout=True)
+
+    mesh = make_render_mesh(1, 8)
+    kw = dict(chunk_points=n, radius_world=preset.point_radius,
+              backend="tiled", soup_fn=soup_fn, mesh=mesh)
+    colors = np.broadcast_to(np.array([0.3, 0.3, 0.3], np.float32), (n, 3))
+
+    # Monolithic truth (same soup, one device, no mesh).
+    soup, layout = soup_fn(jnp.asarray(pos), jnp.asarray(colors),
+                           jnp.asarray(vel))
+    d1, i1 = xla_tiled.rasterize_tiled(soup, W, H, max_per_tile=4096)
+    i1 = np.where(np.isinf(np.asarray(d1)), -1, np.asarray(i1))
+
+    # One chunk: ids must match the monolithic soup EXACTLY.
+    sr = StreamingRasterizer(cam, **kw)
+    d_s, i_s = sr.rasterize([(pos, colors, vel)])
+    np.testing.assert_array_equal(np.asarray(i_s), i1)
+    hit = i1 >= 0
+    np.testing.assert_allclose(np.asarray(d_s)[hit], np.asarray(d1)[hit],
+                               rtol=5e-7)
+    # The scene must actually exercise all three parts.
+    kinds = np.asarray(soup.kind)[i1[hit]]
+    assert {0, 1, 2} <= set(np.unique(kinds).tolist())
+
+    # Two chunks: same surfaces and depths (ids interleave per chunk).
+    sr2 = StreamingRasterizer(cam, **dict(kw, chunk_points=n // 2))
+    d_t, i_t = sr2.rasterize([(pos[:n // 2], colors[:n // 2], vel[:n // 2]),
+                              (pos[n // 2:], colors[n // 2:], vel[n // 2:])])
+    np.testing.assert_allclose(np.where(hit, np.asarray(d_t), 0.0),
+                               np.where(hit, np.asarray(d1), 0.0),
+                               rtol=5e-7)
+    np.testing.assert_array_equal(np.asarray(i_t) >= 0, hit)

@@ -13,6 +13,8 @@ import os
 import sys
 import types
 
+import pytest
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
@@ -360,3 +362,89 @@ class TestPickTunedReviewGuards2:
                 _r(240.0, "sort", 20480), _r(239.0, "sort", 20480)]
         trail, _ = pick_tuned.pick_trail(recs, "")
         assert trail["starts_method"] == "sort"
+
+
+class TestGeometryKnobCertification:
+    """pick_tuned may only select GEOMETRY-changing knobs (trail
+    segments) against a fidelity certificate (VERDICT r3 item 3)."""
+
+    def _cert(self, tmp_path, monkeypatch, rates, bound=5e-3):
+        import pick_tuned
+
+        p = tmp_path / "fidelity_trail_segments.json"
+        p.write_text(json.dumps({"bound": bound, "scene": {},
+                                 "rates": rates}))
+        monkeypatch.setattr(pick_tuned, "FIDELITY_CERT", str(p))
+
+    def test_refused_without_certificate(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        monkeypatch.setattr(pick_tuned, "FIDELITY_CERT",
+                            str(tmp_path / "absent.json"))
+        trail = {"span": "auto", "segments": 4}
+        note = pick_tuned.certify_geometry(trail)
+        assert "segments" not in trail and "REFUSED" in note
+
+    def test_refused_over_bound(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"4": {"trail_rate": 0.02, "frame_rate": 1e-3}})
+        trail = {"segments": 4}
+        note = pick_tuned.certify_geometry(trail)
+        assert "segments" not in trail and "REFUSED" in note
+
+    def test_certified_pick_records_rate(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"4": {"trail_rate": 2.5e-3, "frame_rate": 3e-4}})
+        trail = {"segments": 4}
+        note = pick_tuned.certify_geometry(trail)
+        assert trail["segments"] == 4
+        assert trail["segments_flip_rate"] == 2.5e-3
+        assert "certified" in note
+
+    def test_unmeasured_segment_count_refused(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"8": {"trail_rate": 1e-4, "frame_rate": 1e-5}})
+        trail = {"segments": 2}  # no "2" entry in the certificate
+        note = pick_tuned.certify_geometry(trail)
+        assert "segments" not in trail and "REFUSED" in note
+
+    def test_none_segments_is_not_a_pick(self):
+        import pick_tuned
+
+        trail = {"span": "auto", "segments": None}
+        assert pick_tuned.certify_geometry(trail) == ""
+        assert "segments" not in trail
+
+
+class TestTrailSegmentsFidelity:
+    def test_flip_rate_within_recorded_bound(self):
+        """Recompute the winner-flip rate of the production-candidate
+        segment counts at CI scale and pin it against the committed
+        certificate's bound — a geometry regression (or a bound edit
+        that outruns the measurement) fails here."""
+        import jax
+
+        if jax.default_backend() != "cpu":
+            pytest.skip("exactness measurement runs on CPU")
+        from pointcloud_render_tpu.utils.fidelity import (
+            trail_segments_flip_rate,
+        )
+
+        cert_path = os.path.join(os.path.dirname(__file__), "..",
+                                 "benchmarks", "results",
+                                 "fidelity_trail_segments.json")
+        with open(cert_path) as f:
+            cert = json.load(f)
+        r = trail_segments_flip_rate(4, n_points=1500, frames=(120,))
+        assert r["trail_rate"] <= cert["bound"]
+        assert r["kind_rate"] <= r["trail_rate"]
+        # The committed certificate itself must be within its own bound
+        # for every segment count it certifies.
+        for segs, rec in cert["rates"].items():
+            assert rec["trail_rate"] <= cert["bound"], segs

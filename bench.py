@@ -131,6 +131,13 @@ def _apply_tuned(args):
     args.trail_cap10 = {True: "on", False: "off"}.get(c10, c10)
     t3 = _t.fill(args.trail_three_tone, trail, "three_tone", "off")
     args.trail_three_tone = {True: "on", False: "off"}.get(t3, t3)
+    drop = t.get("droplet") or {}
+    args.droplet_segments = _t.fill(args.droplet_segments, drop,
+                                    "segments", None)
+    d10 = _t.fill(args.droplet_cap10, drop, "cap_rows10", "off")
+    args.droplet_cap10 = {True: "on", False: "off"}.get(d10, d10)
+    d3 = _t.fill(args.droplet_three_tone, drop, "three_tone", "off")
+    args.droplet_three_tone = {True: "on", False: "off"}.get(d3, d3)
     if t:
         print(f"# tuned defaults applied ({_t.TUNED_PATH}): "
               f"{t.get('note', '')}", file=sys.stderr)
@@ -548,9 +555,17 @@ def _bench_droplet_scene(args, positions):
     velocity trails, /root/reference/traj_vel_renderer.py:409-439) at
     the same point count / 1080p, capsule LOD (disc head + tapered tail
     capsule — the production LOD at cloud scale; mesh LOD instances
-    640 triangles per point)."""
+    640 triangles per point).  Carries its own tuned knob set
+    (tuned_defaults.json "droplet"; geometry knobs certified against
+    the traj_vel fidelity scene)."""
     return _bench_soup_scene(args, positions, "traj_vel", "capsule",
-                             args.droplet_frames)
+                             args.droplet_frames,
+                             trail_segments=args.droplet_segments,
+                             cap10=getattr(args, "droplet_cap10",
+                                           "off") == "on",
+                             three_tone_on=getattr(args,
+                                                   "droplet_three_tone",
+                                                   "off") == "on")
 
 
 def _bench_soup_scene(args, positions, preset_name, droplet_lod,
@@ -787,6 +802,18 @@ def main():
                     help="per-kind-constant shade for the trail metric "
                          "(skips the O(P) preshade pass; default "
                          "tuned|off until measured on chip)")
+    ap.add_argument("--droplet-segments", type=int, default=None,
+                    help="capsules per velocity trail for the DROPLET "
+                         "metric (default tuned|pipeline's 8; geometry "
+                         "knob — pick_tuned only selects it against the "
+                         "traj_vel fidelity certificate)")
+    ap.add_argument("--droplet-cap10", default=None, choices=("on", "off"),
+                    help="v6 narrow capsule rows for the droplet metric "
+                         "(default tuned|off)")
+    ap.add_argument("--droplet-three-tone", default=None,
+                    choices=("on", "off"),
+                    help="per-kind-constant shade for the droplet metric "
+                         "(default tuned|off)")
     ap.add_argument("--deadline", type=int,
                     default=int(os.environ.get("BENCH_DEADLINE_S", 2400)),
                     help="hard wall-clock cap in seconds; past it the "

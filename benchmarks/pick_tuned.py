@@ -50,33 +50,54 @@ GEOMETRY_KNOBS = ("segments",)
 FIDELITY_CERT = os.path.join(RESULTS, "fidelity_trail_segments.json")
 
 
-def certify_geometry(trail):
-    """Drop uncertified geometry knobs from a trail pick, in place.
+# Marginal fidelity allowance over the PRODUCTION DEFAULT segment
+# count: a scene whose baseline already sits past the absolute bound
+# (traj_vel measures ~8.9e-3 at the shipped default of 8 — its fading
+# trails diverge more from the 21-point polyline at EVERY count) may
+# still take a knob whose marginal flip cost is negligible; a knob that
+# adds more than this on top of the default is refused regardless.
+GEOMETRY_REL_MARGIN = 2e-3
+DEFAULT_SEGMENTS = "8"  # run/pipeline.VEL_TRAIL_RENDER_SEGMENTS
+
+
+def certify_geometry(trail, preset="traj_ball"):
+    """Drop uncertified geometry knobs from a scene pick, in place.
 
     Returns a note string.  A ``segments`` pick survives only when the
-    fidelity certificate has a measured rate for that exact count and it
-    is within the recorded bound; the certified rate is copied into the
-    tuned file (``segments_flip_rate``) so the bound travels with the
-    knob."""
+    fidelity certificate has a measured rate for that exact count ON
+    THIS PRESET and it is within ``max(bound, default_rate + margin)``
+    — the absolute bound, relaxed to a marginal allowance over the
+    production default where the scene's BASELINE discrepancy already
+    exceeds it.  The certified rate is copied into the tuned file
+    (``segments_flip_rate``) so the bound travels with the knob."""
     if trail.get("segments") is None:
         trail.pop("segments", None)
         return ""
     try:
         with open(FIDELITY_CERT) as f:
             cert = json.load(f)
-        rec = cert["rates"][str(trail["segments"])]
+        scenes = cert.get("scenes") or {"traj_ball": cert}
+        rates = scenes[preset]["rates"]
+        rec = rates[str(trail["segments"])]
         bound = float(cert["bound"])
     except (OSError, KeyError, ValueError, TypeError):
         segs = trail.pop("segments")
-        return (f"REFUSED segments={segs}: no fidelity certificate "
-                f"({FIDELITY_CERT}) — run benchmarks/fidelity_trail.py")
-    if rec["trail_rate"] > bound:
+        return (f"REFUSED segments={segs}: no {preset} fidelity "
+                f"certificate ({FIDELITY_CERT}) — run "
+                f"benchmarks/fidelity_trail.py")
+    anchor = (rates.get(DEFAULT_SEGMENTS) or {}).get("trail_rate")
+    limit = bound if anchor is None else max(bound,
+                                             anchor + GEOMETRY_REL_MARGIN)
+    if rec["trail_rate"] > limit:
         segs = trail.pop("segments")
         return (f"REFUSED segments={segs}: flip rate "
-                f"{rec['trail_rate']:.2e} over bound {bound:.0e}")
+                f"{rec['trail_rate']:.2e} over limit {limit:.1e}"
+                + ("" if anchor is None
+                   else f" (default-{DEFAULT_SEGMENTS} anchor "
+                        f"{anchor:.2e} + {GEOMETRY_REL_MARGIN:.0e})"))
     trail["segments_flip_rate"] = rec["trail_rate"]
-    return (f"segments={trail['segments']} certified "
-            f"(flip {rec['trail_rate']:.2e} <= {bound:.0e})")
+    return (f"segments={trail['segments']} certified on {preset} "
+            f"(flip {rec['trail_rate']:.2e} <= {limit:.1e})")
 
 
 def _read_jsonl(path):
@@ -172,33 +193,52 @@ def pick_trail(records, log_text):
             for k, v in rec.items():
                 if k.startswith("trail_fps_") and v:
                     sections.setdefault(label, v)
+    # Every A/B step label maps to the FULL explicit flag set of its
+    # bench invocation — the queue scripts pass every trail knob
+    # explicitly on A/B lines, so a winning label IS the winning config
+    # (a label that relied on tuned-file fill-ins would record a pick
+    # that drops the very knob it was measured with).
     flags = {"bench verbose (HEADLINE)": {},
              "bench trail span2 A/B": {"span": "2"},
              "bench trail span4 A/B": {"span": "4"},
              "bench trail segments=4 A/B": {"segments": 4},
              "bench trail cap10 A/B": {"cap_rows10": True},
              "bench trail 3tone A/B": {"cap_rows10": True,
-                                       "three_tone": True}}
+                                       "three_tone": True},
+             "bench trail seg8 base A/B": {
+                 "segments": None, "cap_rows10": False,
+                 "three_tone": False},
+             "bench trail seg8 cap10 3tone A/B": {
+                 "segments": None, "cap_rows10": True,
+                 "three_tone": True},
+             "bench trail seg1 cap10 3tone A/B": {
+                 "segments": 1, "cap_rows10": True, "three_tone": True},
+             "bench trail seg2 cap10 3tone A/B": {
+                 "segments": 2, "cap_rows10": True, "three_tone": True},
+             "bench trail seg4 cap10 3tone A/B": {
+                 "segments": 4, "cap_rows10": True, "three_tone": True}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     # Knobs with END-TO-END bench-line evidence (including a negative
     # "within noise" verdict) must not be re-decided by the raster-only
-    # sweep fallbacks below.
+    # sweep fallbacks below.  The builtin-config base is either the
+    # flagless headline or the explicit all-defaults A/B line.
+    base = (sections.get("bench verbose (HEADLINE)", 0.0)
+            or sections.get("bench trail seg8 base A/B", 0.0))
     decided = set()
-    if "bench verbose (HEADLINE)" in sections:
+    if base:
         for lab in sections:
             decided |= set(flags.get(lab, ()))
     if cand:
         cand.sort(key=lambda c: -c[0])
         best_fps, best_flags, _ = cand[0]
-        base = sections.get("bench verbose (HEADLINE)", 0.0)
         if base and best_fps < base * 1.02:
             notes.append(f"trail A/B best {best_fps:.2f} fps within 2% of "
-                         f"headline {base:.2f} — keeping auto")
+                         f"base {base:.2f} — keeping auto")
         else:
             trail.update({"span": "auto", "segments": None})
             trail.update(best_flags)
-            notes.append(f"trail: {best_flags or 'headline config'} "
+            notes.append(f"trail: {best_flags or 'base config'} "
                          f"@ {best_fps:.2f} fps")
     # starts_method at the span the trail metric will actually run
     # (auto resolves to 4 at 1M points — the >2048-bigs probe).
@@ -245,6 +285,53 @@ def pick_trail(records, log_text):
     return (trail or None), "; ".join(notes) or "no trail evidence"
 
 
+DROPLET_FLAGS = {
+    "bench droplet seg8 base A/B": {
+        "segments": None, "cap_rows10": False, "three_tone": False},
+    "bench droplet seg8 cap10 3tone A/B": {
+        "segments": None, "cap_rows10": True, "three_tone": True},
+    "bench droplet seg1 cap10 3tone A/B": {
+        "segments": 1, "cap_rows10": True, "three_tone": True},
+    "bench droplet seg2 cap10 3tone A/B": {
+        "segments": 2, "cap_rows10": True, "three_tone": True},
+    "bench droplet seg4 cap10 3tone A/B": {
+        "segments": 4, "cap_rows10": True, "three_tone": True},
+}
+
+
+def pick_droplet(log_text):
+    """Droplet-scene knobs from the queue's droplet bench A/B lines —
+    same shape as the trail pick (explicit-flag labels, a base line,
+    2% noise guard), keyed on the droplet_fps metric."""
+    sections = {}
+    label = None
+    for line in log_text.splitlines():
+        m = SECTION_RE.match(line)
+        if m:
+            label = m.group(1).strip()
+            continue
+        if label and line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            for k, v in rec.items():
+                if k.startswith("droplet_fps_") and v:
+                    sections.setdefault(label, v)
+    cand = [(fps, DROPLET_FLAGS[lab], lab) for lab, fps in sections.items()
+            if lab in DROPLET_FLAGS]
+    if not cand:
+        return None, "no droplet evidence"
+    cand.sort(key=lambda c: -c[0])
+    best_fps, best_flags, _ = cand[0]
+    base = sections.get("bench droplet seg8 base A/B", 0.0)
+    if base and best_fps < base * 1.02:
+        return None, (f"droplet A/B best {best_fps:.2f} fps within 2% of "
+                      f"base {base:.2f} — keeping builtins")
+    droplet = dict(best_flags)
+    return droplet, f"droplet: {best_flags} @ {best_fps:.2f} fps"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default="/tmp/tpu_batch.log")
@@ -261,24 +348,34 @@ def main():
     disc, dnote = pick_disc(disc_recs)
     trail, tnote = pick_trail(trail_recs, log_text)
     if trail:
-        gnote = certify_geometry(trail)
+        gnote = certify_geometry(trail, preset="traj_ball")
         if gnote:
             tnote = f"{tnote}; {gnote}"
         if not trail:
             trail = None
+    droplet, pnote = pick_droplet(log_text)
+    if droplet:
+        gnote = certify_geometry(droplet, preset="traj_vel")
+        if gnote:
+            pnote = f"{pnote}; {gnote}"
+        if not droplet:
+            droplet = None
     print(f"# {dnote}", file=sys.stderr)
     print(f"# {tnote}", file=sys.stderr)
-    if disc is None and trail is None:
+    print(f"# {pnote}", file=sys.stderr)
+    if disc is None and trail is None and droplet is None:
         print("# nothing beats builtins — tuned_defaults.json not written",
               file=sys.stderr)
         if os.path.exists(OUT) and not args.dry:
             os.remove(OUT)  # stale winners must not outlive their sweep
         return
-    tuned = {"note": f"pick_tuned: {dnote} | {tnote}"}
+    tuned = {"note": f"pick_tuned: {dnote} | {tnote} | {pnote}"}
     if disc:
         tuned["disc"] = disc
     if trail:
         tuned["trail"] = trail
+    if droplet:
+        tuned["droplet"] = droplet
     print(json.dumps(tuned, indent=1))
     if not args.dry:
         with open(OUT, "w") as f:

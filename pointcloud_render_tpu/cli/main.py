@@ -56,8 +56,12 @@ def build_parser(preset_name=None):
                    help="rfilter AA factor (1 = bit-exact single sample)")
     p.add_argument("--shadows", action="store_true",
                    help="shadow-map look pass (shading/shadow.py): "
-                        "approximate the reference area emitter's cast "
-                        "shadows")
+                        "PCSS penumbra approximating the reference's "
+                        "8x8 area-emitter shadows")
+    p.add_argument("--ground-spec", type=float, default=0.0,
+                   help="GGX specular strength on triangle winners "
+                        "(the reference's roughplastic ground, "
+                        "alpha=0.1 IOR 1.46; 0 = pure Lambert)")
     return p
 
 
@@ -70,7 +74,8 @@ def run(args, preset_name=None):
         raster_config=RasterConfig(
             backend=args.backend,
             supersample=args.supersample,
-            shading=ShadingConfig(shadows=bool(args.shadows))),
+            shading=ShadingConfig(shadows=bool(args.shadows),
+                                  ground_spec=float(args.ground_spec))),
         droplet_lod=args.droplet_lod,
         width=args.width, height=args.height,
     )

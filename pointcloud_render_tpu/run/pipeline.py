@@ -217,42 +217,49 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
             droplet_lod=droplet_lod,
         )
         shading = raster_config.shading
-        if shading.shadows:
-            # Shadow-map look pass (shading/shadow.py): re-build the
-            # soup from the emitter's viewpoint, raster its z-buffer,
-            # and scale the diffuse term where occluded.  Uses the
-            # UNFUSED raster+shade path (the fused kernels shade
-            # in-kernel without the shadow term).
+        if shading.shadows or shading.ground_spec > 0.0:
+            # Look passes that the fused kernels don't evaluate: area-
+            # emitter shadows (shading/shadow.py) and the GGX ground
+            # lobe (shading/shade._ggx_specular).  The CAMERA raster
+            # still runs the configured fused backend for depth/index
+            # and the per-frame certificate; only the rgb is RE-shaded
+            # through shade_framebuffer (rgb-only by construction —
+            # review r3: this branch used to hardcode a zero diag,
+            # making the certificate vacuous under shadows).
             from pointcloud_render_tpu.shading.shade import (  # noqa: PLC0415
                 shade_framebuffer,
             )
-            from pointcloud_render_tpu.shading.shadow import (  # noqa: PLC0415
-                light_camera,
-                render_shadow_depth,
-                shadow_factor,
-            )
 
-            light_cam = light_camera(size=shading.shadow_size)
-            prims_light = build_primitives(
-                preset, light_cam, positions,
-                velocities if with_vel else None, frame_index,
-                history if with_history else None,
-                rotations if with_rotations else None,
-                droplet_lod=droplet_lod)
-            # Shadow-map depth is a LOOK approximation (off by default;
-            # its capped tiled raster can drop occluders = missing
-            # shadow, never a wrong winner).  The CAMERA raster keeps
-            # the real per-frame certificate: render() returns the
-            # backend diag, and only the rgb is re-shaded with the
-            # shadow factor (review r3: this branch used to hardcode a
-            # zero diag, making the certificate vacuous under shadows).
-            sdepth = render_shadow_depth(prims_light, light_cam)
             fb0, diag = render(prims, camera, raster_config,
                                return_diag=True)
             depth, index = fb0.depth, fb0.index
-            sf = shadow_factor(camera, depth, index, light_cam, sdepth,
-                               bias=shading.shadow_bias,
-                               min_light=shading.shadow_min_light)
+            sf = None
+            if shading.shadows:
+                # Re-build the soup from the emitter's viewpoint and
+                # raster its z-buffer.  The shadow map is a LOOK
+                # approximation (its capped tiled raster can drop
+                # occluders = missing shadow, never a wrong winner).
+                from pointcloud_render_tpu.shading.shadow import (  # noqa: PLC0415
+                    light_camera,
+                    render_shadow_depth,
+                    shadow_factor,
+                )
+
+                light_cam = light_camera(size=shading.shadow_size)
+                prims_light = build_primitives(
+                    preset, light_cam, positions,
+                    velocities if with_vel else None, frame_index,
+                    history if with_history else None,
+                    rotations if with_rotations else None,
+                    droplet_lod=droplet_lod)
+                sdepth = render_shadow_depth(prims_light, light_cam)
+                sf = shadow_factor(
+                    camera, depth, index, light_cam, sdepth,
+                    bias=shading.shadow_bias,
+                    min_light=shading.shadow_min_light,
+                    taps=shading.shadow_taps,
+                    emitter_half=shading.shadow_emitter_half,
+                    max_radius_px=shading.shadow_max_radius_px)
             rgb = shade_framebuffer(prims, camera, depth, index, shading,
                                     shadow=sf)
             fb = FrameBuffers(rgb=rgb, depth=depth, index=index)

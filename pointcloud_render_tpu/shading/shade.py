@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointcloud_render_tpu.raster.primitives import KIND_CAPSULE, KIND_DISC
+from pointcloud_render_tpu.raster.primitives import (
+    KIND_CAPSULE,
+    KIND_DISC,
+    KIND_TRIANGLE,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +109,58 @@ def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
     return jnp.clip(jnp.where(hit[..., None], out, bg), 0.0, 1.0)
 
 
+def _ggx_specular(qx, qy, w, h, camera, attr, l_cam, config):
+    """Per-pixel GGX (Trowbridge-Reitz) specular for triangle winners.
+
+    Cook-Torrance with Smith G and Schlick F at the reference ground's
+    roughplastic parameters (alpha = config.ground_alpha, F0 =
+    config.ground_f0).  View = the pixel's camera-space ray (depth-free:
+    direction only), light = ``l_cam`` (the overhead key, unit), normal
+    = the triangle's camera-space face normal (attr lanes 7:9).  Returns
+    ``(spec, f_view)``: the scalar lobe and the view-angle Fresnel that
+    scales the substrate's transmission (both * config.ground_spec);
+    rgb-only — callers must not touch depth/index with them.
+    """
+    focal = w / (2.0 * camera.tan_half_fov_x)
+    # Camera-space view direction: pixel ray is (x/z, y/z, 1) with
+    # x/z = (qx - W/2)/focal, y/z = -(qy - H/2)/focal; V points from the
+    # surface BACK to the eye = -normalize(ray).
+    rx = (qx - w * 0.5) / focal
+    ry = -(qy - h * 0.5) / focal
+    inv_n = 1.0 / jnp.sqrt(rx * rx + ry * ry + 1.0)
+    vx, vy, vz = -rx * inv_n, -ry * inv_n, -inv_n
+    # Half vector between V and L (both unit).
+    hx = vx + l_cam[0]
+    hy = vy + l_cam[1]
+    hz = vz + l_cam[2]
+    inv_h = 1.0 / jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-6)
+    hx, hy, hz = hx * inv_h, hy * inv_h, hz * inv_h
+    nx, ny, nz = attr[..., 7], attr[..., 8], attr[..., 9]
+    ndoth = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+    ndotv = jnp.maximum(nx * vx + ny * vy + nz * vz, 1e-4)
+    ndotl = jnp.maximum(nx * l_cam[0] + ny * l_cam[1] + nz * l_cam[2], 0.0)
+    vdoth = jnp.maximum(vx * hx + vy * hy + vz * hz, 0.0)
+    a2 = config.ground_alpha * config.ground_alpha
+    denom = ndoth * ndoth * (a2 - 1.0) + 1.0
+    d_ggx = a2 / (np.float32(np.pi) * denom * denom)
+    # Smith height-correlated visibility (the G/(4 n.v n.l) quotient).
+    lv = ndotl * jnp.sqrt(ndotv * ndotv * (1.0 - a2) + a2)
+    ll = ndotv * jnp.sqrt(ndotl * ndotl * (1.0 - a2) + a2)
+    vis = 0.5 / jnp.maximum(lv + ll, 1e-6)
+    f = config.ground_f0 + (1.0 - config.ground_f0) * (1.0 - vdoth) ** 5
+    spec = config.ground_spec * d_ggx * vis * f * ndotl
+    # Energy split of the plastic coat: the diffuse substrate only sees
+    # what the coat transmits (1 - F).  This is what makes the lobe
+    # VISIBLE on the reference's white ground — a fully-lit Lambert
+    # ground already clips at 1.0, so without the split the specular
+    # would vanish into the clip; with it the ground gains the
+    # path-traced look's grazing-angle falloff.  Fresnel at the VIEW
+    # angle for the transmitted substrate light (Schlick).
+    f_view = (config.ground_f0
+              + (1.0 - config.ground_f0) * (1.0 - ndotv) ** 5)
+    return spec, config.ground_spec * f_view
+
+
 def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig,
                       shadow=None):
     """Resolve winning primitives to shaded RGB.
@@ -167,6 +223,21 @@ def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig,
         lit = config.ambient + diff
         lit = jnp.where(kind == KIND_CAPSULE, config.trail_boost, lit)
         rgb = color * lit[..., None]
+        if config.ground_spec > 0.0:
+            # GGX specular lobe on triangle winners — the reference's
+            # WHITE ROUGHPLASTIC ground (alpha=0.1, IOR 1.46,
+            # traj_ball_renderer.py:30-35,58-65).  View vector from the
+            # pixel ray, light = the same overhead key as the diffuse
+            # term; white lobe added, substrate scaled by the coat's
+            # transmission (see _ggx_specular).
+            spec, f_view = _ggx_specular(qx, qy, w, h, camera, attr,
+                                         l_cam, config)
+            is_tri = kind == KIND_TRIANGLE
+            spec = jnp.where(is_tri, spec, 0.0)
+            if shadow is not None:
+                spec = spec * shadow
+            trans = jnp.where(is_tri, 1.0 - f_view, 1.0)
+            rgb = rgb * trans[..., None] + spec[..., None]
 
     bg = np.asarray(config.background, np.float32)
     rgb = jnp.where(hit[..., None], rgb, bg)

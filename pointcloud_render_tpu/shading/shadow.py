@@ -50,15 +50,33 @@ def light_camera(extent: float = 2.5, size: int = DEFAULT_SHADOW_SIZE,
         fov_x_degrees=fov, width=size, height=size)
 
 
+# Deterministic 12-tap poisson disk (unit radius; a fixed table, no
+# sampling at trace or run time — determinism tests pin identical rgb
+# across calls).  Values: classic Vogel spiral, radius sqrt((k+0.5)/N).
+_POISSON_12 = np.array(
+    [[math.sqrt((k + 0.5) / 12.0) * math.cos(k * 2.399963),
+      math.sqrt((k + 0.5) / 12.0) * math.sin(k * 2.399963)]
+     for k in range(12)], np.float32)
+
+
 def shadow_factor(camera, depth, index, light_cam, shadow_depth,
-                  bias: float = DEFAULT_BIAS, min_light: float = 0.35):
+                  bias: float = DEFAULT_BIAS, min_light: float = 0.35,
+                  taps: int = 12, emitter_half: float = 4.0,
+                  max_radius_px: float = 24.0):
     """(H, W) diffuse scale in [min_light, 1].
 
     For every hit pixel: reconstruct the world position from the main
     camera's depth buffer, project it into the light view, and compare
-    against the light-view z-buffer (2x2 PCF average for soft edges —
-    the area emitter's penumbra analogue).  Misses and pixels outside
-    the light frustum stay fully lit.
+    against the light-view z-buffer.
+
+    ``taps > 0`` runs PCSS-lite penumbra (the 8x8 area emitter's soft
+    shadows, traj_ball_renderer.py:67-75): a fixed poisson blocker
+    search estimates the average occluder depth, the penumbra width
+    w = emitter_half * (d_receiver - d_blocker) / d_blocker projects to
+    light-view texels, and the SAME poisson disk scaled to that radius
+    averages the depth test — contact shadows stay sharp, distant
+    blockers go soft, all from one static tap table (deterministic, no
+    sampling).  ``taps == 0`` keeps the legacy fixed 2x2 PCF.
     """
     h, w = depth.shape
     hit = index >= 0
@@ -91,18 +109,56 @@ def shadow_factor(camera, depth, index, light_cam, shadow_depth,
     lpy = sh * 0.5 - lfocal * ly / safe_lz
     inside = (lz > 0) & (lpx >= 0) & (lpx < sw) & (lpy >= 0) & (lpy < sh)
 
-    # 2x2 PCF: average the binary test over the texel neighborhood.
     sd = jnp.where(jnp.isfinite(shadow_depth), shadow_depth, jnp.inf)
-    ix0 = jnp.clip(jnp.floor(lpx - 0.5).astype(jnp.int32), 0, sw - 1)
-    iy0 = jnp.clip(jnp.floor(lpy - 0.5).astype(jnp.int32), 0, sh - 1)
-    vis = jnp.zeros_like(z)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            ix = jnp.minimum(ix0 + dx, sw - 1)
-            iy = jnp.minimum(iy0 + dy, sh - 1)
-            occ = sd[iy, ix]
+    if taps <= 0:
+        # Legacy 2x2 PCF: average the binary test over the texel
+        # neighborhood.
+        ix0 = jnp.clip(jnp.floor(lpx - 0.5).astype(jnp.int32), 0, sw - 1)
+        iy0 = jnp.clip(jnp.floor(lpy - 0.5).astype(jnp.int32), 0, sh - 1)
+        vis = jnp.zeros_like(z)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ix = jnp.minimum(ix0 + dx, sw - 1)
+                iy = jnp.minimum(iy0 + dy, sh - 1)
+                occ = sd[iy, ix]
+                vis = vis + jnp.where(lz <= occ + bias, 1.0, 0.0)
+        vis = vis * 0.25
+    else:
+        disk = _POISSON_12[
+            np.linspace(0, len(_POISSON_12) - 1, taps).astype(np.int32)]
+
+        def gather(radius_tex, k):
+            ix = jnp.clip((lpx + disk[k, 0] * radius_tex)
+                          .astype(jnp.int32), 0, sw - 1)
+            iy = jnp.clip((lpy + disk[k, 1] * radius_tex)
+                          .astype(jnp.int32), 0, sh - 1)
+            return sd[iy, ix]
+
+        # Blocker search at the emitter's full projected footprint: the
+        # average occluder depth among taps that actually occlude.
+        search_r = np.float32(max_radius_px)
+        safe = jnp.maximum(lz, 1e-3)
+        occ_sum = jnp.zeros_like(z)
+        occ_cnt = jnp.zeros_like(z)
+        for k in range(taps):
+            occ = gather(search_r, k)
+            is_b = (occ + bias < lz).astype(jnp.float32)
+            occ_sum = occ_sum + jnp.where(is_b > 0, occ, 0.0)
+            occ_cnt = occ_cnt + is_b
+        d_b = occ_sum / jnp.maximum(occ_cnt, 1.0)
+        # Penumbra width in world units at the receiver, projected to
+        # light-view texels; fully-lit pixels (no blockers) keep a
+        # minimal radius and pass every tap anyway.
+        pen = emitter_half * (safe - d_b) / jnp.maximum(d_b, 1e-3)
+        radius = jnp.where(occ_cnt > 0,
+                           jnp.clip(lfocal * pen / safe, 1.0,
+                                    max_radius_px),
+                           1.0)
+        vis = jnp.zeros_like(z)
+        for k in range(taps):
+            occ = gather(radius, k)
             vis = vis + jnp.where(lz <= occ + bias, 1.0, 0.0)
-    vis = vis * 0.25
+        vis = vis / np.float32(taps)
     factor = min_light + (1.0 - min_light) * vis
     return jnp.where(hit & inside, factor, 1.0)
 

@@ -41,3 +41,43 @@ if not os.path.exists(_so):
         warnings.warn(
             "native build FAILED — test_native.py will be skipped:\n"
             + _mk.stderr.decode()[-800:], stacklevel=1)
+
+
+# ---------------------------------------------------------------------------
+# Fast/full test tiers (VERDICT r3 item 8).  The heavy interpret-mode
+# knob matrices and multihost/subprocess tests put the FULL suite at
+# ~30 min; the fast tier (`pytest -m "not full"`) is the inner-loop
+# gate.  tests/slow_tests.txt holds the measured node ids (regenerate:
+# `pytest --durations=60 -q`, copy everything slower than ~15 s).  CI
+# and the end-of-round gate run the whole suite (no -m filter).
+# ---------------------------------------------------------------------------
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "full: slow tests excluded from the fast tier "
+                   "(run with -m 'not full' for the inner loop)")
+
+
+def _slow_ids():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return {ln.strip() for ln in f if ln.strip()
+                    and not ln.startswith("#")}
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    slow = _slow_ids()
+    if not slow:
+        return
+    mark = pytest.mark.full
+    for item in items:
+        # Node ids are repo-root-relative ("tests/test_x.py::...").
+        nid = item.nodeid
+        if nid in slow or f"tests/{nid}" in slow:
+            item.add_marker(mark)

@@ -27,7 +27,9 @@ def _bench_args(**kw):
         tiles_per_program=None, dma_slots=None, chunk_rows=None,
         unroll=None, allow_exit=None, starts_method=None,
         no_uniform_look=False, trail_span=None, trail_segments=None,
-        trail_cap10=None, trail_three_tone=None)
+        trail_cap10=None, trail_three_tone=None,
+        droplet_segments=None, droplet_cap10=None,
+        droplet_three_tone=None)
     ns.__dict__.update(kw)
     return ns
 
@@ -421,6 +423,23 @@ class TestGeometryKnobCertification:
         assert pick_tuned.certify_geometry(trail) == ""
         assert "segments" not in trail
 
+    def test_default_anchored_acceptance(self, tmp_path, monkeypatch):
+        """A scene whose BASELINE (segments=8) rate already exceeds the
+        absolute bound still certifies knobs with negligible marginal
+        cost — and refuses ones that add more than the margin."""
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"8": {"trail_rate": 9e-3},
+                    "1": {"trail_rate": 9.5e-3},
+                    "2": {"trail_rate": 1.5e-2}})
+        ok = {"segments": 1}
+        note = pick_tuned.certify_geometry(ok)
+        assert ok["segments"] == 1 and "certified" in note
+        bad = {"segments": 2}
+        note = pick_tuned.certify_geometry(bad)
+        assert "segments" not in bad and "REFUSED" in note
+
 
 class TestTrailSegmentsFidelity:
     def test_flip_rate_within_recorded_bound(self):
@@ -444,7 +463,17 @@ class TestTrailSegmentsFidelity:
         r = trail_segments_flip_rate(4, n_points=1500, frames=(120,))
         assert r["trail_rate"] <= cert["bound"]
         assert r["kind_rate"] <= r["trail_rate"]
-        # The committed certificate itself must be within its own bound
-        # for every segment count it certifies.
-        for segs, rec in cert["rates"].items():
-            assert rec["trail_rate"] <= cert["bound"], segs
+        # The committed certificate itself must be within the tuner's
+        # limit for every scene it certifies: the absolute bound, or
+        # the default-8 anchored margin where the baseline exceeds it
+        # (pick_tuned.certify_geometry).
+        import pick_tuned
+
+        for preset, scene in cert.get("scenes",
+                                      {"traj_ball": cert}).items():
+            rates = scene["rates"]
+            anchor = (rates.get("8") or {}).get("trail_rate")
+            limit = cert["bound"] if anchor is None else max(
+                cert["bound"], anchor + pick_tuned.GEOMETRY_REL_MARGIN)
+            for segs, rec in rates.items():
+                assert rec["trail_rate"] <= limit, (preset, segs)

@@ -667,21 +667,28 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
         # Per-kind representative prim ids + the device-side exactness
         # certificate (per-kind-constant colors, shared tri normal).
         # One tiny compiled dispatch; the soup layout is static across
-        # frames.  A failed certificate falls back to the preshade
-        # path — a tuned knob may cost milliseconds, never correctness.
+        # frames.  Soups whose capsules carry TWO colors (droplet
+        # presets: tail capsules + trails) fall through to the
+        # four-tone derivation; a failed certificate falls back to the
+        # preshade path — a tuned knob may cost milliseconds, never
+        # correctness.
         def reps_fn(fi):
             s, _ = soup(fi)
-            return pallas_csr6.derive_three_tone(s)
+            r3, ok3 = pallas_csr6.derive_three_tone(s)
+            r4, ok4 = pallas_csr6.derive_four_tone(s)
+            return r3, ok3, r4, ok4
 
         rc = aot.compile_const_free(reps_fn, jnp.int32(int(frames[0])))
-        reps, ok = rc(jnp.int32(int(frames[0])))
-        if bool(np.asarray(ok)):
-            three_tone = tuple(int(v) for v in np.asarray(reps))
+        reps3, ok3, reps4, ok4 = rc(jnp.int32(int(frames[0])))
+        if bool(np.asarray(ok3)):
+            three_tone = tuple(int(v) for v in np.asarray(reps3))
+        elif bool(np.asarray(ok4)):
+            three_tone = tuple(int(v) for v in np.asarray(reps4))
         else:
-            print(f"# {preset_name} NOT per-kind-constant — "
+            print(f"# {preset_name} NOT per-part-constant — "
                   "three_tone disabled for this scene", file=sys.stderr)
         if args.verbose:
-            print(f"# {preset_name} three-tone reps {three_tone}",
+            print(f"# {preset_name} tone reps {three_tone}",
                   file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span,

@@ -726,12 +726,25 @@ def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag,
         return shading.ambient + shading.diffuse * jnp.maximum(ndotl, 0.0)
 
     if three_tone is not None and shading.mode != "flat":
-        d_rep, c_rep, t_rep = (int(r) for r in three_tone)
-        # The three colors, by _preshade's exact formulas on the
+        # 3-tuple: per-kind-constant (disc, capsule, tri) reps.
+        # 5-tuple: (disc, capA, capB, cap_split, tri) — capsules carry
+        # TWO colors in two contiguous id runs (droplet presets: tail
+        # capsules then trails; pallas_csr6.derive_four_tone) and the
+        # winner id picks the run with one compare, no extra lane.
+        cap_split = None
+        if len(three_tone) == 5:
+            d_rep, c_rep, c_rep2, cap_split, t_rep = (
+                int(r) for r in three_tone)
+        else:
+            d_rep, c_rep, t_rep = (int(r) for r in three_tone)
+        # The tones, by _preshade's exact formulas on the
         # representative prims (same inputs -> same f32 results).
         uc = prims.color[d_rep]  # raw disc color; lit applied per pixel
         ut = jnp.clip(prims.color[c_rep]
                       * jnp.float32(shading.trail_boost), 0.0, 1.0)
+        if cap_split is not None:
+            ut2 = jnp.clip(prims.color[c_rep2]
+                           * jnp.float32(shading.trail_boost), 0.0, 1.0)
         m = camera.world_to_camera_matrix()
         l_cam = jnp.stack([m[0, 2], m[1, 2], m[2, 2]])
         ndotl_g = (prims.normal[t_rep, 0] * l_cam[0]
@@ -751,8 +764,12 @@ def _shade_by_id(prims, camera, shading, depth, idf, shade_rgb, shade_flag,
         a = table4[safe]  # (H, W, 4)
         flag = a[..., 2]
         lit = lambert(a[..., 0], a[..., 1], flag)
+        cap_rgb = ut
+        if cap_split is not None:
+            cap_rgb = jnp.where((index < cap_split)[..., None], ut, ut2)
         rgb = jnp.where((flag > 0)[..., None], uc * lit[..., None],
-                        jnp.where((a[..., 3] > 0)[..., None], ut, ug))
+                        jnp.where((a[..., 3] > 0)[..., None], cap_rgb,
+                                  ug))
         bg = np.asarray(shading.background, np.float32)
         rgb = jnp.clip(jnp.where(hit[..., None], rgb, bg), 0.0, 1.0)
         return rgb, index

@@ -1129,6 +1129,51 @@ def derive_three_tone(prims):
     return jnp.stack(reps).astype(jnp.int32), ok
 
 
+def derive_four_tone(prims):
+    """Like :func:`derive_three_tone`, for soups whose capsules carry
+    TWO colors in two contiguous id runs — the droplet presets (tail
+    capsules in the point color, then velocity trails in the trail
+    color; run/pipeline.build_primitives emits parts in that order).
+
+    Returns ``(vals, ok)`` — ``vals`` int32[5] = (disc_rep, capA_rep,
+    capB_rep, cap_split, tri_rep) where capsules with id < cap_split
+    shade from capA_rep and the rest from capB_rep, and ``ok`` is True
+    iff discs/triangles are per-kind constant (triangles also
+    normal-constant) AND each capsule run is color-constant.  A
+    single-color capsule soup degenerates to capB == capA with split
+    past the last capsule (== three_tone).  Pure jittable; callers fall
+    back to the preshade path when ``ok`` is False.
+    """
+    n = prims.count
+    ok = jnp.bool_(True)
+    reps = {}
+    for k in (KIND_DISC, KIND_TRIANGLE):
+        mask = prims.kind == k
+        rep = jnp.argmax(mask)
+        reps[k] = rep
+        same = prims.color == prims.color[rep]
+        ok = ok & jnp.all(jnp.where(mask[:, None], same, True))
+    tri = prims.kind == KIND_TRIANGLE
+    same_n = prims.normal == prims.normal[reps[KIND_TRIANGLE]]
+    ok = ok & jnp.all(jnp.where(tri[:, None], same_n, True))
+
+    cap = prims.kind == KIND_CAPSULE
+    cap_a = jnp.argmax(cap)  # first capsule (0 if none)
+    c0 = prims.color[cap_a]
+    differs = cap & jnp.any(prims.color != c0[None, :], axis=1)
+    has_b = jnp.any(differs)
+    split = jnp.where(has_b, jnp.argmax(differs), n).astype(jnp.int32)
+    cap_b = jnp.where(has_b, jnp.argmax(differs), cap_a)
+    ids = jnp.arange(n)
+    # Run A: capsules below split share c0 (by construction of split);
+    # run B: capsules at/after split must share color[cap_b].
+    same_b = prims.color == prims.color[cap_b]
+    ok = ok & jnp.all(jnp.where((cap & (ids >= split))[:, None],
+                                same_b, True))
+    return (jnp.stack([reps[KIND_DISC], cap_a, cap_b, split,
+                       reps[KIND_TRIANGLE]]).astype(jnp.int32), ok)
+
+
 def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        tile_w: int = 32, unroll: int = 4,
                        chunk_rows: int = DEFAULT_CHUNK_ROWS,
@@ -1155,10 +1200,13 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
     reason pallas3's gather-based uniform_look lost its measured A/B).
 
     ``three_tone``: (disc_rep, capsule_rep, tri_rep) prim ids for
-    PER-KIND-CONSTANT generic soups (trail/droplet presets) — skips
-    the O(P) _preshade rgb pass and narrows the shade table to 4
-    floats (see pallas_csr4._shade_by_id).  Lambert mode only;
-    mutually exclusive with uniform_look.
+    PER-KIND-CONSTANT generic soups (trail presets) — skips the O(P)
+    _preshade rgb pass and narrows the shade table to 4 floats (see
+    pallas_csr4._shade_by_id).  Also accepts the FOUR-tone 5-tuple
+    (disc, capA, capB, cap_split, tri) for soups whose capsules carry
+    two colors in two contiguous runs (droplet presets;
+    derive_four_tone).  Lambert mode only; mutually exclusive with
+    uniform_look.
     """
     from pointcloud_render_tpu.raster import pallas_csr4 as _v4
 

@@ -427,6 +427,73 @@ class TestPallasCsr6:
         _, ok2 = derive_three_tone(varied)
         assert not bool(np.asarray(ok2))
 
+    def test_four_tone_shade_bit_equal_on_droplet_soup(self):
+        """The 5-tuple four-tone form (two contiguous capsule color
+        runs — the droplet presets' tail-capsules-then-trails shape)
+        reproduces the preshade path bit-for-bit, on the REAL traj_vel
+        soup builder."""
+        from pointcloud_render_tpu.configs import PRESETS
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            derive_four_tone,
+            derive_three_tone,
+        )
+        from pointcloud_render_tpu.run.pipeline import build_primitives
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        rng = np.random.default_rng(11)
+        n = 120
+        pos = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)), jnp.float32)
+        vel = jnp.asarray(rng.normal(size=(n, 3)) * 2, jnp.float32)
+        soup = build_primitives(PRESETS["traj_vel"], cam, pos, vel,
+                                jnp.int32(120))
+        # Two capsule colors (tail + trail) -> three_tone refuses,
+        # four_tone certifies.
+        _, ok3 = derive_three_tone(soup)
+        assert not bool(np.asarray(ok3))
+        vals_d, ok4 = derive_four_tone(soup)
+        assert bool(np.asarray(ok4))
+        vals = tuple(int(v) for v in np.asarray(vals_d))
+        kind = np.asarray(soup.kind)
+        assert kind[vals[1]] == 1 and kind[vals[2]] == 1
+        assert vals[1] < vals[3] <= vals[2]
+        cfg = ShadingConfig()
+        rgb_a, d_a, i_a = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             allow_exit=False)
+        rgb_b, d_b, i_b = render_shaded_csr6(soup, cam, cfg,
+                                             interpret=True,
+                                             three_tone=vals)
+        np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_a))
+        np.testing.assert_array_equal(np.asarray(rgb_b),
+                                      np.asarray(rgb_a))
+        # Both capsule runs must actually win pixels for the equality
+        # to mean anything.
+        i = np.asarray(i_a)
+        hit_ids = i[i >= 0]
+        caps = hit_ids[kind[hit_ids] == 1]
+        assert (caps < vals[3]).any() and (caps >= vals[3]).any()
+
+    def test_derive_four_tone_rejects_three_capsule_colors(self):
+        import dataclasses
+
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            derive_four_tone,
+        )
+        from pointcloud_render_tpu.raster.primitives import KIND_CAPSULE
+
+        soup = _mixed_soup(make_camera(), n=50, trails=8)
+        _, ok = derive_four_tone(soup)
+        assert bool(np.asarray(ok))  # one capsule color: degenerate ok
+        colors = np.asarray(soup.color).copy()
+        kind = np.asarray(soup.kind)
+        cap_ids = np.where(kind == KIND_CAPSULE)[0]
+        colors[cap_ids[len(cap_ids) // 2]] = [0.9, 0.1, 0.1]
+        colors[cap_ids[-1]] = [0.1, 0.1, 0.9]
+        varied = dataclasses.replace(soup, color=jnp.asarray(colors))
+        _, ok3 = derive_four_tone(varied)
+        assert not bool(np.asarray(ok3))
+
     def test_three_tone_excludes_uniform_look(self):
         from pointcloud_render_tpu.shading.shade import ShadingConfig
 

@@ -1118,12 +1118,16 @@ def derive_three_tone(prims):
     reps = []
     ok = jnp.bool_(True)
     for k in (KIND_DISC, KIND_CAPSULE, KIND_TRIANGLE):
-        mask = prims.kind == k
+        # VALID prims only: invalid rows (culled points, the near-clip
+        # path's unused triangle block) never render, and their color /
+        # normal lanes are whatever the build left there — at some
+        # frames they differ and would veto a perfectly constant scene.
+        mask = (prims.kind == k) & prims.valid
         rep = jnp.argmax(mask)
         reps.append(rep)
         same = prims.color == prims.color[rep]
         ok = ok & jnp.all(jnp.where(mask[:, None], same, True))
-    tri = prims.kind == KIND_TRIANGLE
+    tri = (prims.kind == KIND_TRIANGLE) & prims.valid
     same_n = prims.normal == prims.normal[reps[2]]
     ok = ok & jnp.all(jnp.where(tri[:, None], same_n, True))
     return jnp.stack(reps).astype(jnp.int32), ok
@@ -1148,17 +1152,18 @@ def derive_four_tone(prims):
     ok = jnp.bool_(True)
     reps = {}
     for k in (KIND_DISC, KIND_TRIANGLE):
-        mask = prims.kind == k
+        # Valid prims only — see derive_three_tone.
+        mask = (prims.kind == k) & prims.valid
         rep = jnp.argmax(mask)
         reps[k] = rep
         same = prims.color == prims.color[rep]
         ok = ok & jnp.all(jnp.where(mask[:, None], same, True))
-    tri = prims.kind == KIND_TRIANGLE
+    tri = (prims.kind == KIND_TRIANGLE) & prims.valid
     same_n = prims.normal == prims.normal[reps[KIND_TRIANGLE]]
     ok = ok & jnp.all(jnp.where(tri[:, None], same_n, True))
 
-    cap = prims.kind == KIND_CAPSULE
-    cap_a = jnp.argmax(cap)  # first capsule (0 if none)
+    cap = (prims.kind == KIND_CAPSULE) & prims.valid
+    cap_a = jnp.argmax(cap)  # first valid capsule (0 if none)
     c0 = prims.color[cap_a]
     differs = cap & jnp.any(prims.color != c0[None, :], axis=1)
     has_b = jnp.any(differs)

@@ -250,13 +250,22 @@ def _near_clip_triangles(cam_verts, near):
     return out_verts, out_valid, src
 
 
-def triangles_from_mesh(vertices, faces, camera, colors) -> ScreenPrimitives:
+def triangles_from_mesh(vertices, faces, camera, colors,
+                        face_normal=None) -> ScreenPrimitives:
     """World-space triangles -> oriented screen edge functions + 1/z.
 
     Triangles are clipped against the near plane (each input face emits up
     to two clipped triangles — the reference's huge ground rectangle,
     traj_ball_renderer.py:58-65, always wraps behind the camera), then
     culled against the far plane and the screen bbox.
+
+    ``face_normal``: optional (3,) world-space unit normal shared by
+    EVERY face (planar meshes: the ground quad).  Per-face cross
+    products of separately-rounded camera-space vertices differ in the
+    last ulp between coplanar faces, which breaks per-kind-constant
+    shading certificates (pallas_csr6.derive_three_tone); the shared
+    normal is transformed once, so all faces carry bit-identical
+    normals.
     """
     wx, wy, wz = apply_world_to_camera(
         vertices, camera.world_to_camera_matrix())
@@ -311,12 +320,27 @@ def triangles_from_mesh(vertices, faces, camera, colors) -> ScreenPrimitives:
 
     # Camera-space face normal of the SOURCE face, flipped toward the
     # camera (for shading); clipping does not change the plane.
-    v0, v1, v2 = cam_tris[:, 0], cam_tris[:, 1], cam_tris[:, 2]
-    nrm = jnp.cross(v1 - v0, v2 - v0)
-    nlen = jnp.linalg.norm(nrm, axis=1, keepdims=True)
-    nrm = nrm / jnp.where(nlen > 0, nlen, 1.0)
+    v0 = cam_tris[:, 0]
+    if face_normal is not None:
+        # One shared plane normal, rotated once -> bit-identical rows.
+        wm = camera.world_to_camera_matrix()
+        nw = jnp.asarray(face_normal, jnp.float32)
+        ncam = jnp.stack([wm[0, 0] * nw[0] + wm[0, 1] * nw[1]
+                          + wm[0, 2] * nw[2],
+                          wm[1, 0] * nw[0] + wm[1, 1] * nw[1]
+                          + wm[1, 2] * nw[2],
+                          wm[2, 0] * nw[0] + wm[2, 1] * nw[1]
+                          + wm[2, 2] * nw[2]])
+        nrm = jnp.broadcast_to(ncam[None, :], (f0.shape[0], 3))
+    else:
+        v1, v2 = cam_tris[:, 1], cam_tris[:, 2]
+        nrm = jnp.cross(v1 - v0, v2 - v0)
+        nlen = jnp.linalg.norm(nrm, axis=1, keepdims=True)
+        nrm = nrm / jnp.where(nlen > 0, nlen, 1.0)
     # Camera looks along +z from the origin: flip so the normal opposes
-    # the view ray to the face.
+    # the view ray to the face.  (Coplanar faces: dot(n, v0) is the
+    # shared plane offset, so the sign — and with a shared face_normal
+    # the whole row — is identical across faces.)
     flip = jnp.sign(jnp.sum(nrm * v0, axis=1, keepdims=True))
     nrm = -nrm * jnp.where(flip == 0, 1.0, flip)
     nrm = nrm[src]

@@ -348,4 +348,8 @@ def ground_plane(camera, half_extent: float, center=(0.0, 0.0, -0.5),
         [cx - e, cy + e, cz],
     ], np.float32)
     faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
-    return triangles_from_mesh(verts, faces, camera, np.asarray(color))
+    # Shared plane normal: both faces carry bit-identical camera-space
+    # normals (per-face cross products differ in the last ulp, which
+    # fails the per-kind-constant shade certificate at some frames).
+    return triangles_from_mesh(verts, faces, camera, np.asarray(color),
+                               face_normal=(0.0, 0.0, 1.0))

@@ -423,3 +423,28 @@ class TestBackendDispatch:
         for name in ("pallas5", "pallas_v1"):
             with pytest.raises(ValueError, match="unknown backend"):
                 rasterize(soup, W, H, RasterConfig(backend=name))
+
+
+class TestGroundPlaneSharedNormal:
+    def test_bit_identical_normals_across_faces_and_clip_blocks(self):
+        """The ground quad's faces must carry BIT-identical camera-space
+        normals at every trajectory frame — per-face cross products
+        differ in the last ulp at some camera angles, which used to veto
+        the per-kind-constant shade certificate (derive_three_tone) at
+        frame 20 of the bench trajectory."""
+        from pointcloud_render_tpu.scene.camera import (
+            TOTAL_FRAMES,
+            camera_origin_jax,
+        )
+
+        for fi in (0, 20, 120, 219):
+            cam = Camera(
+                origin=camera_origin_jax("traj_ball", jnp.int32(fi),
+                                         TOTAL_FRAMES),
+                target=jnp.array([0.0, 0.0, -0.05], jnp.float32),
+                width=W, height=H)
+            g = ground_plane(cam, 10.0, (0.0, 0.0, -0.5))
+            nrm = np.asarray(g.normal)
+            assert (nrm == nrm[0]).all(), (fi, nrm)
+            # Still a unit normal facing the camera.
+            assert abs(np.linalg.norm(nrm[0]) - 1.0) < 1e-6

@@ -634,30 +634,43 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
 
     def probe(fi):
         # bin_diagnostics6 returns overflow past max_big; max_big=0
-        # makes it the raw big COUNT.  Both spans in one compile (the
-        # second sort is ~15 ms next to the probe's compile time).
+        # makes it the raw big COUNT.  All spans in one compile (each
+        # extra sort is ~15 ms next to the probe's compile time).
         s, _ = soup(fi)
         return (pallas_csr6.bin_diagnostics6(s, w, h, span=2, max_big=0),
-                pallas_csr6.bin_diagnostics6(s, w, h, span=4, max_big=0))
+                pallas_csr6.bin_diagnostics6(s, w, h, span=4, max_big=0),
+                pallas_csr6.bin_diagnostics6(s, w, h, span=8, max_big=0))
 
     pc = aot.compile_const_free(probe, jnp.int32(0))
     counts = [tuple(int(np.asarray(v)) for v in pc(jnp.int32(int(f))))
               for f in probe_frames]
-    bigs2 = [c[0] for c in counts]
-    bigs4 = [c[1] for c in counts]
+    bigs_by_span = {2: [c[0] for c in counts], 4: [c[1] for c in counts],
+                    8: [c[2] for c in counts]}
     if span_arg == "auto":
-        # Fade-frame trail segments flood the span-2 big list (14k at
-        # 1M pts, frame 219): each big prim is evaluated at EVERY tile,
-        # so past ~2k the span-4 binning (16 classes, +0.4% slots, one
-        # 16x-larger searchsorted) wins.
-        span = 4 if max(bigs2) > 2048 else 2
+        # Fade-frame trail segments flood the big list at narrow spans
+        # (14k at span 2 / segments 8; 26k at span 4 / segments 2):
+        # each big prim is evaluated at EVERY tile, so past ~2k the
+        # next span up (4x the classes, a wider searchsorted) wins.
+        # Pick the smallest span whose worst frame stays under 2k.
+        span = next((s for s in (2, 4, 8)
+                     if max(bigs_by_span[s]) <= 2048), 8)
     else:
         span = int(span_arg)
-    bigs = bigs4 if span == 4 else bigs2
+    bigs = bigs_by_span[span]
     # max_big 384 -> big_pad 512 = one chunk = the RESIDENT SMEM big
     # list (no per-tile big DMA); bigger lists round up to 256s.
     need = int(max(bigs) * 1.5) + 64
     max_big = 384 if need <= 384 else ((need + 255) // 256) * 256
+    if max_big > 65536:
+        # A big list this size means the span/segments combination is
+        # wrong for the scene (every tile walks every big prim) — and a
+        # ~650k-row big list has FAULTED the TPU worker outright
+        # (queue B, segments=1 at span 4).  Fail the metric BEFORE
+        # compiling anything the chip has to execute.
+        raise RuntimeError(
+            f"{preset_name}: probed big list {max_big} rows at span "
+            f"{span} — refusing to compile (pick a wider span or more "
+            f"segments)")
     if args.verbose:
         print(f"# {preset_name} big counts {bigs} max_big {max_big} "
               f"span {span}",
@@ -767,11 +780,13 @@ def main():
                          "quadratically more tiles on diagonal trails "
                          "— a per-scene A/B lever)")
     ap.add_argument("--trail-span", default=None,
-                    choices=("auto", "2", "4"),
-                    help="v6 binning span for the trail metric: 4 bins "
-                         "the fade-frame long segments that flood the "
-                         "big list at 2 (auto: 4 iff the span-2 probe "
-                         "sees > 2048 big prims on any probe frame)")
+                    choices=("auto", "2", "4", "8"),
+                    help="v6 binning span for the trail metric: wider "
+                         "spans bin the long segments that flood the "
+                         "big list at narrower ones (auto: smallest "
+                         "span whose probed worst-frame big count "
+                         "stays <= 2048; 8 serves segments <= 2 whose "
+                         "fade-frame capsules pass 128 px)")
     ap.add_argument("--uniform-look", action="store_true",
                     help="pallas3 two-tone 4-float shade gather "
                          "(measured 1.8 ms SLOWER at 1M — see bench "

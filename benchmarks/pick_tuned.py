@@ -216,7 +216,13 @@ def pick_trail(records, log_text):
              "bench trail seg2 cap10 3tone A/B": {
                  "segments": 2, "cap_rows10": True, "three_tone": True},
              "bench trail seg4 cap10 3tone A/B": {
-                 "segments": 4, "cap_rows10": True, "three_tone": True}}
+                 "segments": 4, "cap_rows10": True, "three_tone": True},
+             "bench trail seg2 span8 cap10 3tone A/B": {
+                 "segments": 2, "span": "8", "cap_rows10": True,
+                 "three_tone": True},
+             "bench trail seg1 span8 cap10 3tone A/B": {
+                 "segments": 1, "span": "8", "cap_rows10": True,
+                 "three_tone": True}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     # Knobs with END-TO-END bench-line evidence (including a negative

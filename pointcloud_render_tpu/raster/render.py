@@ -61,8 +61,9 @@ class RasterConfig:
     max_big: int = 1024
     # pallas6: binning span — prims covering <= span x span tiles bin
     # (span*span classes, generated neighbor ranges); wider prims ride
-    # the big list.  2 = canonical 5-range CSR; 4 serves long-segment
-    # soups (fade-frame trails) that would otherwise flood the big list.
+    # the big list.  2 = canonical 5-range CSR; 4/8 serve long-segment
+    # soups (fade-frame trails at 8/2 segments per trail) that would
+    # otherwise flood the big list.
     span: int = 2
     # pallas6 exit-off walk: tiles rendered per pallas program (grid
     # fusion, amortizes per-grid-step overhead) and DMA ring depth.

@@ -690,6 +690,32 @@ class TestPallasCsr6Span4:
             _mixed_soup(make_camera(), n=250, radius=0.08, seed=11),
             span=4)
 
+    def test_span8_bins_what_span4_overflows(self):
+        """span=8 (64 classes, same generated ranges) serves the
+        1-2-segment trail mode whose fade-frame capsules pass 128 px —
+        measured 26k span-4 bigs at 1M pts / segments 2 / frame 219."""
+        cam = make_camera()
+        rng = np.random.default_rng(5)
+        a = rng.uniform(-0.35, 0.35, (40, 1, 3)).astype(np.float32)
+        b = a + rng.normal(size=(40, 1, 3)).astype(np.float32) * 1.1
+        pts = np.concatenate([a, b], axis=1)
+        caps = capsules_from_polylines(
+            jnp.asarray(pts), np.ones((40, 2), bool), cam, 0.004,
+            np.array([0.2, 1.0, 0.4], np.float32))
+        soup = ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)), caps])
+        ov4 = int(np.asarray(bin_diagnostics6(soup, W, H, max_big=8,
+                                              span=4)))
+        ov8 = int(np.asarray(bin_diagnostics6(soup, W, H, max_big=8,
+                                              span=8)))
+        assert ov4 > 0 and ov8 == 0
+        _assert_matches_oracle(soup, span=8, max_big=8)
+
+    def test_span8_mixed_matches_oracle_with_cap10(self):
+        _assert_matches_oracle(
+            _mixed_soup(make_camera(), n=200, radius=0.06, seed=13),
+            span=8, cap_rows10=True)
+
     def test_span4_matches_span2_on_small_prims(self):
         soup = _mixed_soup(make_camera(), seed=29)
         d2, i2 = rasterize_pallas_csr6(soup, W, H, interpret=True, span=2)

@@ -10,6 +10,14 @@ Cumulative stages (each includes the previous ones):
 
 Run: python benchmarks/stage_profile6.py [--scene disc|trail]
      [--points N] [--frame F]
+     [--segments K] [--span S] [--cap10] [--three-tone]
+
+The knob flags mirror bench.py's tuned trail/droplet lanes so the
+stage budget can be taken AT the tuned winner (e.g. --segments 4
+--span 4 --cap10 --three-tone = queue B's r4 trail winner).  cap10
+(and span 4) force the depth exit off, so the bin/starts stages drop
+the z-bucket pass exactly as _raster_core6 does (with_z=False,
+_key_layout's i16 keys).
 """
 import argparse
 import os
@@ -47,6 +55,13 @@ def main():
     ap.add_argument("--radius", type=float, default=0.002)
     ap.add_argument("--unroll", type=int, default=4)
     ap.add_argument("--max-big", type=int, default=20480)
+    ap.add_argument("--segments", type=int, default=None,
+                    help="trail_segments override (trail scene only)")
+    ap.add_argument("--span", type=int, default=2, choices=[2, 4, 8])
+    ap.add_argument("--cap10", action="store_true",
+                    help="narrow 10-float capsule rows (exit off)")
+    ap.add_argument("--three-tone", action="store_true",
+                    help="no-preshade shade (derive reps from the soup)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -76,6 +91,12 @@ def main():
     gray = np.array([0.3, 0.3, 0.3], np.float32)
     discs_only = args.scene == "disc"
     max_big = 1024 if discs_only else args.max_big
+    span = args.span
+    cap10 = args.cap10
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs
+    # Mirror _raster_core6's exit policy: auto-off for discs_only /
+    # span != 2 / cap10 — the bin/starts stages below follow with_z.
+    with_z = (not discs_only) and span == 2 and not cap10
 
     def make(p, v):
         cam = Camera(
@@ -86,7 +107,8 @@ def main():
                 ground_plane(cam, 10.0, (0.0, 0.0, -0.5)),
                 discs_from_points(p, cam, radii, gray)])
         else:
-            soup = build_primitives(PRESETS["traj_ball"], cam, p, v, fi)
+            soup = build_primitives(PRESETS["traj_ball"], cam, p, v, fi,
+                                    trail_segments=args.segments)
         return soup, cam
 
     soup0, cam0 = make(pos, vel)
@@ -95,41 +117,45 @@ def main():
     tiles_y, tiles_x = -(-H // th), -(-W // tw)
     num_tiles = tiles_y * tiles_x
     print(f"scene={args.scene} prims {soup0.count} "
-          f"discs_only={discs_only}", flush=True)
+          f"discs_only={discs_only} segments={args.segments} "
+          f"span={span} cap10={cap10} three_tone={args.three_tone}",
+          flush=True)
 
     def stage_build(p, v):
         soup, _ = make(p, v)
         return soup.params.sum()
 
+    k2 = span * span
+    kdtype, kshift = pallas_csr6._key_layout(num_tiles, span, with_z)
+    bounds = np.asarray(
+        (np.arange(num_tiles * k2 + 1, dtype=np.int64)
+         << kshift).astype(kdtype))
+
+    def _bin(soup):
+        return pallas_csr6._bin_csr6(
+            soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
+            discs_only=discs_only, span=span, with_z=with_z)
+
     def stage_bin(p, v):
         soup, _ = make(p, v)
-        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
-            soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
-            discs_only=discs_only)
-        return sk[0] + sp[0] + bc
+        sk, sp, bl, bc, zm = _bin(soup)
+        return sk[0].astype(jnp.int32) + sp[0] + bc
 
     def stage_starts(p, v):
         soup, _ = make(p, v)
-        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
-            soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
-            discs_only=discs_only)
-        bounds = (np.arange(num_tiles * 4 + 1, dtype=np.int32)
-                  << pallas_csr6.ZQ)
+        sk, sp, bl, bc, zm = _bin(soup)
         starts = jnp.searchsorted(sk, jnp.asarray(bounds))
         return starts[0] + sp[0]
 
     def stage_rows(p, v):
         soup, _ = make(p, v)
-        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
-            soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
-            discs_only=discs_only)
-        bounds = (np.arange(num_tiles * 4 + 1, dtype=np.int32)
-                  << pallas_csr6.ZQ)
+        sk, sp, bl, bc, zm = _bin(soup)
         starts = jnp.searchsorted(sk, jnp.asarray(bounds))
         pp = soup.count
-        row_f = 8 if discs_only else 16
+        row_f = 8 if discs_only else 10 if cap10 else 16
         pack = 128 // row_f
-        p_pad = -(-(pp + 256 + pack) // 256) * 256
+        chunk = 256 if 256 % pack == 0 else 256 // pack * pack
+        p_pad = -(-(pp + chunk + pack) // chunk) * chunk
         prims_p = jnp.pad(sp, (0, p_pad - pp), constant_values=pp)
         if discs_only:
             r = soup.params[:, 3]
@@ -139,25 +165,52 @@ def main():
                 jnp.zeros((pp, 3), jnp.float32)], axis=1)
             tab = jnp.where(soup.valid[:, None], tab, 0.0)
             tab = jnp.pad(tab, ((0, 1), (0, 0)))
+        elif cap10:
+            tab = jnp.concatenate([
+                soup.params[:, 0:9],
+                jnp.arange(pp, dtype=jnp.float32)[:, None]], axis=1)
+            tab = jnp.where(soup.valid[:, None], tab, 0.0)
+            tab = jnp.pad(tab, ((0, 1), (0, 0)))
         else:
             z3 = jnp.zeros((pp, 3), jnp.float32)
             zf = jnp.zeros((pp,), jnp.float32)
             tab = pallas_csr6._build_table16(soup, z3, zf)
-        rows = tab[prims_p].reshape(p_pad // pack, 128)
+        rows = tab[prims_p].reshape(p_pad // pack, pack * row_f)
         return rows.sum() + starts[0].astype(jnp.float32)
 
     def stage_raster(p, v):
         soup, _ = make(p, v)
         d, i = pallas_csr6.rasterize_pallas_csr6(
             soup, W, H, unroll=args.unroll, max_big=max_big,
-            discs_only=discs_only)
+            discs_only=discs_only, span=span, cap_rows10=cap10,
+            interpret=interp)
         return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+
+    three_tone = None
+    if args.three_tone:
+        from pointcloud_render_tpu.utils import aot as _aot
+
+        def reps_fn(p, v):
+            s, _ = make(p, v)
+            r3, ok3 = pallas_csr6.derive_three_tone(s)
+            r4, ok4 = pallas_csr6.derive_four_tone(s)
+            return r3, ok3, r4, ok4
+
+        rc = _aot.compile_const_free(reps_fn, pos, vel)
+        reps3, ok3, reps4, ok4 = rc(pos, vel)
+        if bool(np.asarray(ok3)):
+            three_tone = tuple(int(x) for x in np.asarray(reps3))
+        elif bool(np.asarray(ok4)):
+            three_tone = tuple(int(x) for x in np.asarray(reps4))
+        print(f"three_tone reps: {three_tone}", flush=True)
 
     def stage_shade(p, v):
         soup, cam = make(p, v)
         rgb, d, i = pallas_csr6.render_shaded_csr6(
             soup, cam, ShadingConfig(), unroll=args.unroll,
-            max_big=max_big, discs_only=discs_only)
+            max_big=max_big, discs_only=discs_only, span=span,
+            cap_rows10=cap10, three_tone=three_tone,
+            interpret=interp)
         return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
                 + jnp.sum(rgb[::8, ::8]))
 
@@ -197,11 +250,12 @@ def main():
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
                 soup, W, H, unroll=args.unroll, max_big=max_big,
-                cap_rows10=True)
+                span=span, cap_rows10=True, interpret=interp)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
-        timed("standalone: full raster CAP10", stage_raster_cap10,
-              pos, vel)
+        if not cap10:
+            timed("standalone: full raster CAP10", stage_raster_cap10,
+                  pos, vel)
     print(f"\ndeltas: bin={1e3 * (t2 - t1):.1f} "
           f"starts={1e3 * (t3 - t2):.1f} rows={1e3 * (t4 - t3):.1f} "
           f"kernel={1e3 * (t5 - t4):.1f} shade={1e3 * (t6 - t5):.1f} "

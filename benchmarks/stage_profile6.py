@@ -49,7 +49,8 @@ def timed(name, fn, *a, reps=6):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="disc", choices=["disc", "trail"])
+    ap.add_argument("--scene", default="disc",
+                    choices=["disc", "trail", "droplet"])
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--frame", type=int, default=120)
     ap.add_argument("--radius", type=float, default=0.002)
@@ -98,14 +99,21 @@ def main():
     # span != 2 / cap10 — the bin/starts stages below follow with_z.
     with_z = (not discs_only) and span == 2 and not cap10
 
+    cam_preset = "traj_vel" if args.scene == "droplet" else "traj_ball"
+
     def make(p, v):
         cam = Camera(
-            origin=camera_origin_jax("traj_ball", fi, TOTAL_FRAMES),
-            target=np.asarray(TARGETS["traj_ball"], np.float32))
+            origin=camera_origin_jax(cam_preset, fi, TOTAL_FRAMES),
+            target=np.asarray(TARGETS[cam_preset], np.float32))
         if args.scene == "disc":
             soup = ScreenPrimitives.concatenate([
                 ground_plane(cam, 10.0, (0.0, 0.0, -0.5)),
                 discs_from_points(p, cam, radii, gray)])
+        elif args.scene == "droplet":
+            # bench.py's tertiary metric: traj_vel preset, capsule LOD.
+            soup = build_primitives(PRESETS["traj_vel"], cam, p, v, fi,
+                                    droplet_lod="capsule",
+                                    trail_segments=args.segments)
         else:
             soup = build_primitives(PRESETS["traj_ball"], cam, p, v, fi,
                                     trail_segments=args.segments)

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--frame", type=int, default=120)
     ap.add_argument("--radius", type=float, default=0.002)
+    ap.add_argument("--segments", type=int, default=None,
+                    help="trail_segments override (trail scene)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -122,7 +124,8 @@ def main():
 
     vel = jnp.asarray(rng.normal(0, 2, (n, 3)), jnp.float32)
     preset = PRESETS["traj_ball"]
-    segs = VEL_TRAIL_RENDER_SEGMENTS
+    segs = (VEL_TRAIL_RENDER_SEGMENTS if args.segments is None
+            else args.segments)
     sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS,
                                segs + 1)).astype(np.int32)
 
@@ -141,13 +144,15 @@ def main():
         return caps.params.sum() + caps.bbox.sum()
 
     def s_full(p, v, fi):
-        soup = build_primitives(preset, cam_of(fi), p, v, fi)
+        soup = build_primitives(preset, cam_of(fi), p, v, fi,
+                                trail_segments=args.segments)
         return soup.params.sum() + soup.bbox.sum()
 
     def s_table16(p, v, fi):
         from pointcloud_render_tpu.raster.pallas_csr4 import _build_table16
 
-        soup = build_primitives(preset, cam_of(fi), p, v, fi)
+        soup = build_primitives(preset, cam_of(fi), p, v, fi,
+                                trail_segments=args.segments)
         tab = _build_table16(soup, jnp.zeros((soup.count, 3), jnp.float32),
                              jnp.zeros((soup.count,), jnp.float32))
         return tab.sum() + soup.bbox.sum()

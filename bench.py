@@ -103,6 +103,13 @@ def _arm_deadline(args, seconds):
     return t
 
 
+def _seg_arg(s):
+    """--trail-segments/--droplet-segments value: an int count or
+    "adaptive" (per-trail slot-optimal k; run/pipeline's
+    _adaptive_trail_segment_counts)."""
+    return s if s == "adaptive" else int(s)
+
+
 def _apply_tuned(args):
     """Fill every knob the user left unset from tuned_defaults.json —
     the sweep queue's measured-best winners (utils/tuned.py docstring).
@@ -634,18 +641,28 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
 
     def probe(fi):
         # bin_diagnostics6 returns overflow past max_big; max_big=0
-        # makes it the raw big COUNT.  All spans in one compile (each
-        # extra sort is ~15 ms next to the probe's compile time).
+        # makes it the raw big COUNT.  return_binned adds the binned
+        # prefix length — the row_budget probe input for adaptive
+        # trails.  All spans in one compile (each extra sort is ~15 ms
+        # next to the probe's compile time).
         s, _ = soup(fi)
-        return (pallas_csr6.bin_diagnostics6(s, w, h, span=2, max_big=0),
-                pallas_csr6.bin_diagnostics6(s, w, h, span=4, max_big=0),
-                pallas_csr6.bin_diagnostics6(s, w, h, span=8, max_big=0))
+        return (pallas_csr6.bin_diagnostics6(s, w, h, span=2, max_big=0,
+                                             return_binned=True),
+                pallas_csr6.bin_diagnostics6(s, w, h, span=4, max_big=0,
+                                             return_binned=True),
+                pallas_csr6.bin_diagnostics6(s, w, h, span=8, max_big=0,
+                                             return_binned=True))
 
     pc = aot.compile_const_free(probe, jnp.int32(0))
-    counts = [tuple(int(np.asarray(v)) for v in pc(jnp.int32(int(f))))
+    counts = [tuple(tuple(int(np.asarray(x)) for x in v)
+                    for v in pc(jnp.int32(int(f))))
               for f in probe_frames]
-    bigs_by_span = {2: [c[0] for c in counts], 4: [c[1] for c in counts],
-                    8: [c[2] for c in counts]}
+    bigs_by_span = {2: [c[0][0] for c in counts],
+                    4: [c[1][0] for c in counts],
+                    8: [c[2][0] for c in counts]}
+    binned_by_span = {2: [c[0][1] for c in counts],
+                      4: [c[1][1] for c in counts],
+                      8: [c[2][1] for c in counts]}
     if span_arg == "auto":
         # Fade-frame trail segments flood the big list at narrow spans
         # (14k at span 2 / segments 8; 26k at span 4 / segments 2):
@@ -703,10 +720,25 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
         if args.verbose:
             print(f"# {preset_name} tone reps {three_tone}",
                   file=sys.stderr)
+    row_budget = None
+    if trail_segments == "adaptive":
+        # Adaptive trails leave rows past each trail's per-frame k
+        # INVALID: the sorted order's binned prefix is the only part
+        # the row gather needs.  Size the static cap from the probed
+        # worst frame (+10% + slack for the unprobed frames); the
+        # scan-carried row_overflow certificate below fails the run
+        # loudly if any frame exceeds it.
+        need_rows = int(max(binned_by_span[span]) * 1.10) + 8192
+        row_budget = -(-need_rows // 4096) * 4096
+        if args.verbose:
+            print(f"# {preset_name} adaptive trails: binned "
+                  f"{binned_by_span[span]} -> row_budget {row_budget}",
+                  file=sys.stderr)
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span,
                           starts_method=starts_method,
                           cap_rows10=cap10,
+                          row_budget=row_budget,
                           three_tone=three_tone)
 
     def episode(positions, velocities):
@@ -716,21 +748,26 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
             c = (jnp.sum(jnp.where(jnp.isfinite(fb.depth), fb.depth, 0.0))
                  + jnp.sum(fb.rgb[::8, ::8]))
             return (acc[0] + c,
-                    jnp.maximum(acc[1], diag["big_overflow"])), None
+                    jnp.maximum(acc[1], diag["big_overflow"]),
+                    jnp.maximum(acc[2], diag["row_overflow"])), None
 
         acc, _ = jax.lax.scan(
-            body, (jnp.float32(0.0), jnp.int32(0)),
+            body, (jnp.float32(0.0), jnp.int32(0), jnp.int32(0)),
             jnp.asarray(frames))
         return acc
 
     compiled = _retry(f"{preset_name} compile", lambda: aot.compile_const_free(
         episode, positions, velocities))
     out = compiled(positions, velocities)
-    _, ovf = (np.asarray(v) for v in out)
+    _, ovf, rovf = (np.asarray(v) for v in out)
     if int(ovf) > 0:
         raise RuntimeError(
             f"{preset_name}-scene certificate failed: big-list overflow "
             f"{int(ovf)} (max_big {max_big})")
+    if int(rovf) > 0:
+        raise RuntimeError(
+            f"{preset_name}-scene certificate failed: row-budget overflow "
+            f"{int(rovf)} (row_budget {row_budget})")
     times = []
     for _ in range(max(1, args.rounds - 1)):
         t0 = time.perf_counter()
@@ -773,7 +810,7 @@ def main():
                          "metric, capsule LOD (default ON: the driver's "
                          "flagless artifact run must carry all three "
                          "metrics — VERDICT r3 weak #5; 0 disables)")
-    ap.add_argument("--trail-segments", type=int, default=None,
+    ap.add_argument("--trail-segments", type=_seg_arg, default=None,
                     help="capsules per velocity trail for the trail "
                          "metric (default: pipeline's 8; fewer segments "
                          "shrink the 9M-prim soup ~linearly but bin "
@@ -824,7 +861,7 @@ def main():
                     help="per-kind-constant shade for the trail metric "
                          "(skips the O(P) preshade pass; default "
                          "tuned|off until measured on chip)")
-    ap.add_argument("--droplet-segments", type=int, default=None,
+    ap.add_argument("--droplet-segments", type=_seg_arg, default=None,
                     help="capsules per velocity trail for the DROPLET "
                          "metric (default tuned|pipeline's 8; geometry "
                          "knob — pick_tuned only selects it against the "

@@ -96,7 +96,7 @@ def main():
             ground_plane(cam, 10.0, (0.0, 0.0, -0.5)),
             discs_from_points(p, cam, radii, gray)])
         tiles_y, tiles_x = -(-cam.height // 32), -(-cam.width // 32)
-        sk, sp, bl, bc, zm = pallas_csr6._bin_csr6(
+        sk, sp, bl, bc, zm, _ns = pallas_csr6._bin_csr6(
             soup, 32, 32, tiles_y * tiles_x, tiles_x, tiles_y,
             max_big=1024, discs_only=True)
         return sk[0] + sp[0] + bc

@@ -62,7 +62,8 @@ def main():
     scenes = {}
     for preset in args.presets.split(","):
         rates = {}
-        for segs in (int(s) for s in args.segments.split(",")):
+        for segs in (s if s == "adaptive" else int(s)
+                     for s in args.segments.split(",")):
             r = trail_segments_flip_rate(segs, n_points=args.points,
                                          frames=frames,
                                          preset_name=preset)

@@ -222,6 +222,9 @@ def pick_trail(records, log_text):
                  "three_tone": True},
              "bench trail seg1 span8 cap10 3tone A/B": {
                  "segments": 1, "span": "8", "cap_rows10": True,
+                 "three_tone": True},
+             "bench trail adaptive cap10 3tone A/B": {
+                 "segments": "adaptive", "cap_rows10": True,
                  "three_tone": True}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
@@ -302,6 +305,8 @@ DROPLET_FLAGS = {
         "segments": 2, "cap_rows10": True, "three_tone": True},
     "bench droplet seg4 cap10 3tone A/B": {
         "segments": 4, "cap_rows10": True, "three_tone": True},
+    "bench droplet adaptive cap10 3tone A/B": {
+        "segments": "adaptive", "cap_rows10": True, "three_tone": True},
 }
 
 

@@ -146,18 +146,18 @@ def main():
 
     def stage_bin(p, v):
         soup, _ = make(p, v)
-        sk, sp, bl, bc, zm = _bin(soup)
+        sk, sp, bl, bc, zm, _ns = _bin(soup)
         return sk[0].astype(jnp.int32) + sp[0] + bc
 
     def stage_starts(p, v):
         soup, _ = make(p, v)
-        sk, sp, bl, bc, zm = _bin(soup)
+        sk, sp, bl, bc, zm, _ns = _bin(soup)
         starts = jnp.searchsorted(sk, jnp.asarray(bounds))
         return starts[0] + sp[0]
 
     def stage_rows(p, v):
         soup, _ = make(p, v)
-        sk, sp, bl, bc, zm = _bin(soup)
+        sk, sp, bl, bc, zm, _ns = _bin(soup)
         starts = jnp.searchsorted(sk, jnp.asarray(bounds))
         pp = soup.count
         row_f = 8 if discs_only else 10 if cap10 else 16

@@ -149,6 +149,81 @@ def velocity_trails_sampled(positions, velocities, frame_index, indices,
     return pts, valid
 
 
+def sampled_ts_table(budget: int) -> np.ndarray:
+    """Row ``k-1`` = the k-segment build's sampled t values, padded with
+    0 (the position) past vertex k.  The index rounding is IDENTICAL to
+    run/pipeline's fixed-k ``sub = round(linspace(0, 20, k+1))``, so a
+    trail rendered at k segments by the adaptive build is bit-identical
+    to ``velocity_trails_sampled`` at that k."""
+    ttab = np.zeros((budget, budget + 1), np.float32)
+    ts_full = (N_TRAIL_POINTS - 1
+               - np.arange(N_TRAIL_POINTS, dtype=np.float32)) / (
+        N_TRAIL_POINTS - 1)
+    for kk in range(1, budget + 1):
+        idx = np.round(np.linspace(0, N_TRAIL_POINTS,
+                                   kk + 1)).astype(np.int64)
+        tr = ts_full[np.minimum(idx, N_TRAIL_POINTS - 1)]
+        tr[idx >= N_TRAIL_POINTS] = 0.0
+        ttab[kk - 1, :kk + 1] = tr
+    return ttab
+
+
+def velocity_trail_lengths(positions, velocities, frame_index,
+                           schedule: str = "ball"):
+    """(direction (N, 3), trail_length (N,), valid (N,)) — the shared
+    straight-trail core of ``velocity_trails*`` (same f32 expressions),
+    exposed so the render layer can project trail ENDPOINTS for its
+    per-trail segment-count heuristic without building any vertices."""
+    p = jnp.asarray(positions, jnp.float32)
+    v = jnp.asarray(velocities, jnp.float32)
+    scale = trail_length_scale(schedule, jnp.asarray(frame_index))
+    vel_norm = jnp.linalg.norm(v, axis=1)
+    valid = (vel_norm >= VELOCITY_EPS) & (scale > 0)
+    vel_normalized = jnp.minimum(vel_norm / VEL_NORMALIZER, 1.0)
+    trail_length = (BASE_TRAIL_LENGTH
+                    + (MAX_TRAIL_LENGTH - BASE_TRAIL_LENGTH) * vel_normalized
+                    ) * scale
+    safe = jnp.where(vel_norm < VELOCITY_EPS, 1.0, vel_norm)
+    direction = -v / safe[:, None]
+    del p
+    return direction, trail_length, valid
+
+
+def velocity_trails_adaptive(positions, velocities, frame_index, k,
+                             budget: int = 4, schedule: str = "ball"):
+    """Per-trail ADAPTIVE subdivision of the straight velocity trail.
+
+    ``k``: (N,) int32 in 1..budget — trail i is rendered as k[i]
+    capsules whose vertices are the k[i]-segment sampled build's
+    (``sampled_ts_table``): the same ``direction * (trail_length * t)``
+    f32 expressions at the same t values, with the position vertex
+    forced exactly as ``velocity_trails_sampled`` does.  Vertices past
+    k[i] duplicate the position and are reported invalid, so capsule
+    emission drops those rows (degenerate + masked) — the soup keeps a
+    STATIC budget+1 vertices per trail while the binned slot count
+    follows the per-trail choice.
+
+    Returns (pts (N, budget+1, 3), vertex_valid (N, budget+1)).
+    """
+    p = jnp.asarray(positions, jnp.float32)
+    direction, trail_length, valid = velocity_trail_lengths(
+        positions, velocities, frame_index, schedule)
+    ttab = sampled_ts_table(budget)
+    k = jnp.clip(jnp.asarray(k, jnp.int32), 1, budget)
+    tsel = jnp.take(jnp.asarray(ttab), k - 1, axis=0)  # (N, budget+1)
+    offsets = direction[:, None, :] * (
+        trail_length[:, None] * tsel)[..., None]
+    pts = p[:, None, :] + offsets
+    j = jnp.arange(budget + 1, dtype=jnp.int32)[None, :]
+    is_pos = j >= k[:, None]
+    pts = jnp.where(is_pos[..., None],
+                    jnp.broadcast_to(p[:, None, :], pts.shape), pts)
+    valid = valid & jnp.all(jnp.isfinite(pts.reshape(pts.shape[0], -1)),
+                            axis=1)
+    vertex_valid = valid[:, None] & (j <= k[:, None])
+    return pts, vertex_valid
+
+
 # --------------------------------------------------------------------------
 # Catmull-Rom history-fit trails (traj_renderer)
 # --------------------------------------------------------------------------

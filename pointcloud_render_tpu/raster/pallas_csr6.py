@@ -207,27 +207,33 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     big_ids = jnp.where(
         jnp.arange(max_big, dtype=jnp.int32)
         < jnp.minimum(big_count, max_big), big_ids, p)
-    return sorted_keys, sorted_prims, big_ids, big_count, zmeta
+    return sorted_keys, sorted_prims, big_ids, big_count, zmeta, n_small
 
 
 def bin_diagnostics6(prims, width: int, height: int, tile_h: int = 32,
                      tile_w: int = 32, max_big: int = DEFAULT_MAX_BIG,
                      bin_triangles: bool = False, span: int = 2,
-                     discs_only: bool = False):
+                     discs_only: bool = False, return_binned: bool = False):
     """Big-list overflow count under the v6 binning (0 = exact).
 
     ``discs_only``/``bin_triangles``/``span`` must MIRROR the render
     config being certified — discs_only forces every capsule onto the
     big list, so probing without it under-counts and can certify a
-    truncating run as exact."""
+    truncating run as exact.
+
+    ``return_binned=True`` additionally returns the BINNED prim count
+    (the sorted order's valid prefix length) — the probe input for
+    sizing ``row_budget`` on soups with large invalid tails (adaptive
+    trails)."""
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
-    _, _, big_list, big_count, _ = _bin_csr6(
+    _, _, big_list, big_count, _, n_small = _bin_csr6(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
         max_big=max_big, bin_triangles=bin_triangles, span=span,
         discs_only=discs_only)
-    return jnp.maximum(big_count - big_list.shape[0], 0)
+    ovf = jnp.maximum(big_count - big_list.shape[0], 0)
+    return (ovf, n_small) if return_binned else ovf
 
 
 def _make_row_body8(scr, slot, nchains, qx, qy):
@@ -792,7 +798,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
                   discs_only=False, allow_exit=None, span=2,
                   dma_slots=2, fused_uv=False, tiles_per_program=1,
-                  starts_method="scan", cap_rows10=False):
+                  starts_method="scan", cap_rows10=False,
+                  row_budget=None):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners); ``table16``
@@ -863,10 +870,11 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
 
     # Exit-off walks need no z-buckets in the keys (_bin_csr6 with_z
     # docstring): smaller/int16 sort keys and no O(P) zlb pass.
-    sorted_keys, sorted_prims, big_ids, big_count, zmeta = _bin_csr6(
-        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-        max_big=max_big, bin_triangles=bin_triangles,
-        discs_only=discs_only, span=span, with_z=allow_exit)
+    sorted_keys, sorted_prims, big_ids, big_count, zmeta, n_small = \
+        _bin_csr6(
+            prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
+            max_big=max_big, bin_triangles=bin_triangles,
+            discs_only=discs_only, span=span, with_z=allow_exit)
 
     # (anchor, class) boundaries: B[j] = first sorted position with
     # anchor*k2+cls >= j.  B[k2*T] = number of binned prims.
@@ -894,6 +902,21 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                 big_overflow=jnp.maximum(big_count - big_ids.shape[0], 0))
 
     p = prims.count
+    # row_budget: static cap on the SORTED-ORDER row gather.  Binned
+    # prims occupy the sorted prefix [0, n_small); big and invalid
+    # prims sort past them (sentinel keys), so a soup with a large
+    # invalid tail (adaptive trails: rows past a trail's per-frame k)
+    # only needs rows for the prefix.  Exact iff n_small <= row_budget
+    # — certified per frame by diag["row_overflow"] (same pattern as
+    # big_overflow; probe with bin_diagnostics6(return_binned=True)).
+    if row_budget is not None:
+        n_rows = min(int(row_budget), p)
+        diag["row_overflow"] = jnp.maximum(n_small - n_rows, 0) \
+            .astype(jnp.int32)
+        sorted_prims = sorted_prims[:n_rows]
+    else:
+        n_rows = p
+        diag["row_overflow"] = jnp.zeros((), jnp.int32)
     row_f = (ROW_F_DISC if discs_only
              else ROW_F_CAP if cap_rows10 else ROW_F)
     pack = 128 // row_f
@@ -902,14 +925,14 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         # defaults — round the chunk DOWN to a pack multiple (252 for
         # 256; a pure DMA-granularity change, winners unaffected).
         chunk_rows = max(pack, chunk_rows // pack * pack)
-    p_pad = -(-(p + chunk_rows + pack) // chunk_rows) * chunk_rows
+    p_pad = -(-(n_rows + chunk_rows + pack) // chunk_rows) * chunk_rows
 
     big_chunk = DEFAULT_BIG_CHUNK
     big = big_ids.shape[0]
     big_pad = -(-(big + 1) // big_chunk) * big_chunk
     big_ids_p = jnp.pad(big_ids, (0, big_pad - big), constant_values=p)
 
-    prims_p = jnp.pad(sorted_prims, (0, p_pad - p), constant_values=p)
+    prims_p = jnp.pad(sorted_prims, (0, p_pad - n_rows), constant_values=p)
     if discs_only:
         # Narrow 8-float disc rows: [px, py, z, r^2, idf, 0, 0, 0] —
         # 32 B gathers are ~40% cheaper than 64 B at equal row count
@@ -1069,7 +1092,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           dma_slots: int = 2,
                           tiles_per_program: int = 1,
                           starts_method: str = "scan",
-                          cap_rows10: bool = False):
+                          cap_rows10: bool = False,
+                          row_budget=None):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -1092,7 +1116,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         bin_triangles=bin_triangles, discs_only=discs_only,
         allow_exit=allow_exit, span=span, dma_slots=dma_slots,
         tiles_per_program=tiles_per_program,
-        starts_method=starts_method, cap_rows10=cap_rows10)
+        starts_method=starts_method, cap_rows10=cap_rows10,
+        row_budget=row_budget)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -1193,7 +1218,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        tiles_per_program: int = 1,
                        starts_method: str = "scan",
                        cap_rows10: bool = False,
-                       three_tone=None):
+                       three_tone=None, row_budget=None):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -1237,7 +1262,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         allow_exit=False if fused else allow_exit, span=span,
         dma_slots=dma_slots, fused_uv=fused,
         tiles_per_program=tiles_per_program,
-        starts_method=starts_method, cap_rows10=cap_rows10)
+        starts_method=starts_method, cap_rows10=cap_rows10,
+        row_budget=row_budget)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

@@ -80,6 +80,12 @@ class RasterConfig:
     # (12 rows per 128-lane VREG; forces the depth exit off; requires
     # bin_triangles=False).  Same winners, ~37% fewer row bytes.
     cap_rows10: bool = False
+    # pallas6: static cap on the sorted-order row gather — soups with
+    # large INVALID tails (adaptive trails) only need rows for the
+    # binned prefix.  Exact iff every frame's binned count stays <=
+    # the cap: probe with bin_diagnostics6(return_binned=True) and
+    # check diag["row_overflow"] == 0 per frame (bench.py does both).
+    row_budget: Optional[int] = None
     # pallas: independent merge-accumulator chains (see KERNEL_NOTES).
     unroll: int = 4
     # pallas: static cap on the sorted-entry row gather.  None = exact;
@@ -205,6 +211,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
 
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
+            row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
                else {"chunk_rows": config.chunk_rows}),
@@ -254,6 +261,7 @@ def render(prims: ScreenPrimitives, camera,
 
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
+            row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
                else {"chunk_rows": config.chunk_rows}),

@@ -30,6 +30,7 @@ from pointcloud_render_tpu.raster.primitives import (
     discs_from_points,
     triangles_from_mesh,
 )
+from pointcloud_render_tpu.raster.project import project_points
 from pointcloud_render_tpu.raster.render import (
     FrameBuffers,
     RasterConfig,
@@ -43,6 +44,53 @@ from pointcloud_render_tpu.scene.camera import TARGETS, Camera, camera_origin_ja
 # Straight velocity trails render as this many collinear capsules (same
 # union coverage as the reference's 20 — see build_primitives).
 VEL_TRAIL_RENDER_SEGMENTS = 8
+
+
+#: Static per-trail capsule-row budget of the adaptive velocity-trail
+#: build (``trail_segments="adaptive"``).  4 matches the tuned fixed
+#: default, so the soup SHAPES (and the sharding layout) are identical
+#: to ``trail_segments=4`` — only the per-trail validity pattern and
+#: vertex t values change.
+TRAIL_ADAPTIVE_BUDGET = 4
+
+#: Raster tile edge assumed by the adaptive segment-count heuristic
+#: (the pallas backends' 32x32-pixel VREG blocks).  A heuristic input
+#: only — any k renders exactly; this just picks the cheapest.
+_TILE = 32.0
+
+
+def _adaptive_trail_segment_counts(positions, direction, trail_length,
+                                   camera, radius_world,
+                                   budget: int = TRAIL_ADAPTIVE_BUDGET):
+    """Per-trail slot-optimal segment count k in 1..budget.
+
+    A k-segment split of a straight screen-space trail of tile extents
+    (a, b) = (ex, ey)/32 bins ~ k * (a/k + 1) * (b/k + 1)
+    = a*b/k + a + b + k slots: splitting a DIAGONAL trail shrinks the
+    quadratic bbox term while every split adds its +1-tile alignment
+    slab, so the optimum is k* ~ sqrt(a*b) — 1 for the short trails
+    that dominate the cloud, more for long close-camera diagonals
+    (measured ratios vs fixed k=4: 0.77-0.89 of total frame slots over
+    the trajectory).  Segments whose extent would overflow the span-4
+    binning (> 3 tiles per axis) get a large penalty so the big list
+    only sees trails no in-budget k can fit.
+    """
+    far = positions + direction * trail_length[:, None]
+    pr = project_points(jnp.concatenate([jnp.asarray(positions,
+                                                     jnp.float32), far]),
+                        camera, radii=radius_world)
+    n = positions.shape[0]
+    ex = jnp.abs(pr["px"][n:] - pr["px"][:n]) + pr["r_px"][:n] \
+        + pr["r_px"][n:]
+    ey = jnp.abs(pr["py"][n:] - pr["py"][:n]) + pr["r_px"][:n] \
+        + pr["r_px"][n:]
+    emax = jnp.maximum(ex, ey)
+    costs = []
+    for kk in range(1, budget + 1):
+        c = kk * (ex / (_TILE * kk) + 1.0) * (ey / (_TILE * kk) + 1.0)
+        c = c + jnp.where(emax / kk > 3.0 * _TILE, 1e6, 0.0)
+        costs.append(c)
+    return jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32) + 1
 
 
 def build_primitives(preset: ScenePreset, camera: Camera, positions,
@@ -137,15 +185,33 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
         # work at 1M points was discarded vertices).
         segs = (VEL_TRAIL_RENDER_SEGMENTS if trail_segments is None
                 else trail_segments)
-        if not 1 <= segs <= trails_mod.N_TRAIL_POINTS:
-            raise ValueError(
-                f"trail_segments must be in 1..{trails_mod.N_TRAIL_POINTS}")
-        sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS,
-                                   segs + 1)).astype(np.int32)
-        ends, valid = trails_mod.velocity_trails_sampled(
-            positions, velocities, frame_index, sub,
-            preset.trail_schedule)
-        vertex_valid = jnp.broadcast_to(valid[:, None], ends.shape[:2])
+        if segs == "adaptive":
+            # Per-trail slot-optimal k in 1..TRAIL_ADAPTIVE_BUDGET:
+            # static budget+1 vertices per trail (same soup shapes and
+            # sharding layout as fixed segments=budget); rows past a
+            # trail's k are invalid, so they sort past every binned key
+            # and bin ZERO slots.  Each trail's geometry is bit-equal
+            # to the fixed k-segment sampled build (fidelity certified
+            # per preset like the fixed counts — utils/fidelity.py).
+            direction, tlen, _ = trails_mod.velocity_trail_lengths(
+                positions, velocities, frame_index, preset.trail_schedule)
+            k = _adaptive_trail_segment_counts(
+                jnp.asarray(positions, jnp.float32), direction, tlen,
+                camera, preset.trail_radius)
+            ends, vertex_valid = trails_mod.velocity_trails_adaptive(
+                positions, velocities, frame_index, k,
+                TRAIL_ADAPTIVE_BUDGET, preset.trail_schedule)
+        else:
+            if not 1 <= segs <= trails_mod.N_TRAIL_POINTS:
+                raise ValueError(
+                    "trail_segments must be 'adaptive' or in 1.."
+                    f"{trails_mod.N_TRAIL_POINTS}")
+            sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS,
+                                       segs + 1)).astype(np.int32)
+            ends, valid = trails_mod.velocity_trails_sampled(
+                positions, velocities, frame_index, sub,
+                preset.trail_schedule)
+            vertex_valid = jnp.broadcast_to(valid[:, None], ends.shape[:2])
         parts.append(capsules_from_polylines(
             ends, vertex_valid, camera, preset.trail_radius,
             np.asarray(preset.trail_color, np.float32)))

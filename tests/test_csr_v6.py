@@ -853,3 +853,69 @@ def test_dma_slots_one_rejected():
     with pytest.raises(ValueError, match="dma_slots"):
         rasterize_pallas_csr6(soup, W, H, interpret=True, dma_slots=1,
                               allow_exit=False)
+
+
+class TestRowBudget:
+    """row_budget: static cap on the sorted-order row gather.  Binned
+    prims occupy the sorted prefix; big/invalid prims sort past it
+    (sentinel keys), so soups with large invalid tails (adaptive
+    trails leave rows past each trail's per-frame k invalid) need rows
+    only for the prefix.  Exactness contract: bit-equal whenever
+    diag["row_overflow"] == 0; a too-small budget must REPORT overflow."""
+
+    def _tail_heavy_soup(self):
+        """A mixed soup whose last half is invalidated — the adaptive-
+        trail shape (static rows, data-dependent validity)."""
+        soup = _mixed_soup(make_camera(), n=300, trails=24)
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        keep = np.ones((soup.count,), bool)
+        keep[soup.count // 2:] = False
+        # keep the ground (row 0-1) and the first half of everything
+        return ScreenPrimitives(
+            kind=soup.kind, params=soup.params, color=soup.color,
+            valid=soup.valid & jnp.asarray(keep), bbox=soup.bbox,
+            normal=soup.normal)
+
+    @pytest.mark.parametrize("span,cap10", [(2, False), (4, True)])
+    def test_row_budget_bit_equal_when_certified(self, span, cap10):
+        soup = self._tail_heavy_soup()
+        _, nb = bin_diagnostics6(soup, W, H, span=span, max_big=64,
+                                 return_binned=True)
+        budget = (int(nb) + 63) // 64 * 64
+        kw = dict(span=span, max_big=64, cap_rows10=cap10,
+                  allow_exit=False, interpret=True, return_diag=True)
+        d0, i0, g0 = rasterize_pallas_csr6(soup, W, H, **kw)
+        d1, i1, g1 = rasterize_pallas_csr6(soup, W, H, row_budget=budget,
+                                           **kw)
+        assert int(np.asarray(g1["row_overflow"])) == 0
+        assert int(np.asarray(g0["row_overflow"])) == 0  # None = always 0
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        assert (np.asarray(i1) >= 0).any()
+
+    def test_row_budget_matches_oracle(self):
+        soup = self._tail_heavy_soup()
+        _, nb = bin_diagnostics6(soup, W, H, span=2, max_big=64,
+                                 return_binned=True)
+        _assert_matches_oracle(soup, max_big=64,
+                               row_budget=(int(nb) + 63) // 64 * 64)
+
+    def test_row_budget_overflow_reported(self):
+        soup = self._tail_heavy_soup()
+        _, nb = bin_diagnostics6(soup, W, H, span=2, max_big=64,
+                                 return_binned=True)
+        small = max(16, int(nb) // 2)
+        _, _, g = rasterize_pallas_csr6(soup, W, H, span=2, max_big=64,
+                                        row_budget=small, interpret=True,
+                                        return_diag=True)
+        assert int(np.asarray(g["row_overflow"])) == int(nb) - small
+
+    def test_row_budget_larger_than_p_is_inert(self):
+        soup = self._tail_heavy_soup()
+        kw = dict(span=2, max_big=64, interpret=True)
+        d0, i0 = rasterize_pallas_csr6(soup, W, H, **kw)
+        d1, i1 = rasterize_pallas_csr6(soup, W, H,
+                                       row_budget=soup.count + 999, **kw)
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

@@ -478,3 +478,76 @@ def test_pipeline_self_heals_capacity_overflow(tmp_path, small_camera):
                      sink=MetricsSink(quiet=True))
     assert sink.summary()["frames_ok"] == 1
     assert pipe.raster_config.max_per_tile > 64  # capacity was raised
+
+
+def test_trail_segments_adaptive(small_camera):
+    """trail_segments="adaptive": static TRAIL_ADAPTIVE_BUDGET rows per
+    trail (same soup shapes/layout as fixed segments=4), each trail
+    subdivided into its slot-optimal k in 1..4 — rows < k bit-identical
+    to the fixed k-segment build, rows >= k invalid (they sort past
+    every binned key and bin zero slots)."""
+    import jax.numpy as jnp
+
+    from pointcloud_render_tpu.geometry import trails as trails_mod
+    from pointcloud_render_tpu.run.pipeline import (
+        TRAIL_ADAPTIVE_BUDGET,
+        _adaptive_trail_segment_counts,
+        build_primitives,
+    )
+    from pointcloud_render_tpu.scene.camera import TARGETS, Camera
+
+    preset = PRESETS["traj_ball"]
+    cam = Camera(origin=np.array([2.0, 2.0, 2.2], np.float32),
+                 target=np.asarray(TARGETS["traj_ball"], np.float32))
+    rng = np.random.default_rng(3)
+    n = 60
+    pos = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)
+    fi = jnp.int32(120)
+
+    B = TRAIL_ADAPTIVE_BUDGET
+    sa, layout_a = build_primitives(preset, cam, pos, vel, fi,
+                                    return_layout=True,
+                                    trail_segments="adaptive")
+    s4, layout_4 = build_primitives(preset, cam, pos, vel, fi,
+                                    return_layout=True, trail_segments=B)
+    assert sa.count == s4.count and layout_a == layout_4
+
+    d, L, _ = trails_mod.velocity_trail_lengths(pos, vel, fi,
+                                                preset.trail_schedule)
+    k = np.asarray(_adaptive_trail_segment_counts(
+        pos, d, L, cam, preset.trail_radius))
+    assert ((1 <= k) & (k <= B)).all()
+    assert (k < B).any(), "heuristic never adapts — test is vacuous"
+
+    va = np.asarray(sa.valid)[-B * n:].reshape(n, B)
+    pa = np.asarray(sa.params)[-B * n:].reshape(n, B, -1)
+    rowj = np.arange(B)[None, :]
+    assert not va[rowj >= k[:, None]].any()
+
+    for kk in range(1, B + 1):
+        idx = np.nonzero(k == kk)[0]
+        if idx.size == 0:
+            continue
+        sk = build_primitives(preset, cam, pos, vel, fi,
+                              trail_segments=int(kk))
+        pk = np.asarray(sk.params)[-kk * n:].reshape(n, kk, -1)
+        vk = np.asarray(sk.valid)[-kk * n:].reshape(n, kk)
+        np.testing.assert_array_equal(va[idx][:, :kk], vk[idx])
+        m = vk[idx]
+        np.testing.assert_array_equal(pa[idx][:, :kk][m], pk[idx][m])
+
+    # The adaptive soup renders winner-exact on the v6 kernel.
+    import jax
+
+    from pointcloud_render_tpu.raster import cpu_reference, pallas_csr6
+
+    host = jax.tree_util.tree_map(np.asarray, sa)
+    W, H = cam.width, cam.height
+    d_o, i_o = cpu_reference.rasterize_reference(host, W, H)
+    assert (i_o >= 0).any()
+    d_p, i_p = pallas_csr6.rasterize_pallas_csr6(sa, W, H, span=4,
+                                                 max_big=256,
+                                                 cap_rows10=True,
+                                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_p), i_o)

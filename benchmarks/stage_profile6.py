@@ -56,8 +56,14 @@ def main():
     ap.add_argument("--radius", type=float, default=0.002)
     ap.add_argument("--unroll", type=int, default=4)
     ap.add_argument("--max-big", type=int, default=20480)
-    ap.add_argument("--segments", type=int, default=None,
-                    help="trail_segments override (trail scene only)")
+    ap.add_argument("--segments", default=None,
+                    type=lambda s: s if s == "adaptive" else int(s),
+                    help="trail_segments override (trail scene only); "
+                         "'adaptive' = per-trail slot-optimal k")
+    ap.add_argument("--row-budget", type=int, default=None,
+                    help="static sorted-order row-gather cap (pair with "
+                         "--segments adaptive; size from bench.py's "
+                         "probe: binned max * 1.1 + 8192, 4096-rounded)")
     ap.add_argument("--span", type=int, default=2, choices=[2, 4, 8])
     ap.add_argument("--cap10", action="store_true",
                     help="narrow 10-float capsule rows (exit off)")
@@ -160,11 +166,14 @@ def main():
         sk, sp, bl, bc, zm, _ns = _bin(soup)
         starts = jnp.searchsorted(sk, jnp.asarray(bounds))
         pp = soup.count
+        n_rows = pp if args.row_budget is None else min(args.row_budget,
+                                                        pp)
+        sp = sp[:n_rows]
         row_f = 8 if discs_only else 10 if cap10 else 16
         pack = 128 // row_f
         chunk = 256 if 256 % pack == 0 else 256 // pack * pack
-        p_pad = -(-(pp + chunk + pack) // chunk) * chunk
-        prims_p = jnp.pad(sp, (0, p_pad - pp), constant_values=pp)
+        p_pad = -(-(n_rows + chunk + pack) // chunk) * chunk
+        prims_p = jnp.pad(sp, (0, p_pad - n_rows), constant_values=pp)
         if discs_only:
             r = soup.params[:, 3]
             tab = jnp.concatenate([
@@ -191,7 +200,7 @@ def main():
         d, i = pallas_csr6.rasterize_pallas_csr6(
             soup, W, H, unroll=args.unroll, max_big=max_big,
             discs_only=discs_only, span=span, cap_rows10=cap10,
-            interpret=interp)
+            row_budget=args.row_budget, interpret=interp)
         return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
     three_tone = None
@@ -218,7 +227,7 @@ def main():
             soup, cam, ShadingConfig(), unroll=args.unroll,
             max_big=max_big, discs_only=discs_only, span=span,
             cap_rows10=cap10, three_tone=three_tone,
-            interpret=interp)
+            row_budget=args.row_budget, interpret=interp)
         return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
                 + jnp.sum(rgb[::8, ::8]))
 

@@ -343,6 +343,68 @@ def pick_droplet(log_text):
     return droplet, f"droplet: {best_flags} @ {best_fps:.2f} fps"
 
 
+def distill(disc_recs, trail_recs, log_text, old=None):
+    """Pure distillation step: (sweep records, queue log, existing tuned
+    file) -> (tuned dict or None, action, notes).
+
+    ``action``: "write" (tuned holds the new file), "keep" (leave the
+    existing file untouched), "remove" (a COMPLETE sweep concluded
+    builtins-best everywhere — stale winners must not outlive it).
+
+    A queue that dies mid-run (wedged tunnel, round end) leaves a
+    PARTIAL log: scenes with no new evidence CARRY FORWARD their
+    existing tuned section instead of silently losing it — dropping a
+    measured winner because a later queue never got to re-measure it
+    would regress the driver's flagless scored run (the round-4 queue-E
+    abort was one kill away from exactly that).  "No new evidence" is
+    per scene: any disc sweep records / trail bench lines or records /
+    droplet bench lines count as evidence, INCLUDING negative verdicts
+    (a measured "builtins within noise" rightly drops the section)."""
+    old = old or {}
+    disc_ev = bool(disc_recs)
+    trail_ev = ("trail_fps_" in log_text) or any(
+        r.get("scene") == "trail" for r in trail_recs)
+    droplet_ev = "droplet_fps_" in log_text
+
+    disc, dnote = pick_disc(disc_recs)
+    trail, tnote = pick_trail(trail_recs, log_text)
+    droplet, pnote = pick_droplet(log_text)
+    if disc is None and not disc_ev and old.get("disc"):
+        disc, dnote = dict(old["disc"]), "disc carried (no new evidence)"
+    if trail is None and not trail_ev and old.get("trail"):
+        trail, tnote = dict(old["trail"]), "trail carried (no new evidence)"
+    if droplet is None and not droplet_ev and old.get("droplet"):
+        droplet, pnote = (dict(old["droplet"]),
+                          "droplet carried (no new evidence)")
+    # Geometry knobs re-certify on every path — carried sections too, so
+    # a tightened fidelity certificate still evicts a stale segments pick.
+    if trail:
+        gnote = certify_geometry(trail, preset="traj_ball")
+        if gnote:
+            tnote = f"{tnote}; {gnote}"
+        if not trail:
+            trail = None
+    if droplet:
+        gnote = certify_geometry(droplet, preset="traj_vel")
+        if gnote:
+            pnote = f"{pnote}; {gnote}"
+        if not droplet:
+            droplet = None
+    notes = (dnote, tnote, pnote)
+    if disc is None and trail is None and droplet is None:
+        if disc_ev and trail_ev and droplet_ev:
+            return None, "remove", notes
+        return None, "keep", notes
+    tuned = {"note": f"pick_tuned: {dnote} | {tnote} | {pnote}"}
+    if disc:
+        tuned["disc"] = disc
+    if trail:
+        tuned["trail"] = trail
+    if droplet:
+        tuned["droplet"] = droplet
+    return tuned, "write", notes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default="/tmp/tpu_batch.log")
@@ -355,38 +417,25 @@ def main():
         log_text = open(args.log).read()
     except OSError:
         log_text = ""
+    try:
+        with open(OUT) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        old = {}
 
-    disc, dnote = pick_disc(disc_recs)
-    trail, tnote = pick_trail(trail_recs, log_text)
-    if trail:
-        gnote = certify_geometry(trail, preset="traj_ball")
-        if gnote:
-            tnote = f"{tnote}; {gnote}"
-        if not trail:
-            trail = None
-    droplet, pnote = pick_droplet(log_text)
-    if droplet:
-        gnote = certify_geometry(droplet, preset="traj_vel")
-        if gnote:
-            pnote = f"{pnote}; {gnote}"
-        if not droplet:
-            droplet = None
-    print(f"# {dnote}", file=sys.stderr)
-    print(f"# {tnote}", file=sys.stderr)
-    print(f"# {pnote}", file=sys.stderr)
-    if disc is None and trail is None and droplet is None:
-        print("# nothing beats builtins — tuned_defaults.json not written",
-              file=sys.stderr)
+    tuned, action, notes = distill(disc_recs, trail_recs, log_text, old)
+    for n in notes:
+        print(f"# {n}", file=sys.stderr)
+    if action == "remove":
+        print("# full sweep, nothing beats builtins — removing "
+              "tuned_defaults.json", file=sys.stderr)
         if os.path.exists(OUT) and not args.dry:
             os.remove(OUT)  # stale winners must not outlive their sweep
         return
-    tuned = {"note": f"pick_tuned: {dnote} | {tnote} | {pnote}"}
-    if disc:
-        tuned["disc"] = disc
-    if trail:
-        tuned["trail"] = trail
-    if droplet:
-        tuned["droplet"] = droplet
+    if action == "keep":
+        print("# partial evidence, nothing to write — tuned file left "
+              "as is", file=sys.stderr)
+        return
     print(json.dumps(tuned, indent=1))
     if not args.dry:
         with open(OUT, "w") as f:

@@ -441,6 +441,103 @@ class TestGeometryKnobCertification:
         assert "segments" not in bad and "REFUSED" in note
 
 
+class TestPartialLogCarryForward:
+    """A queue that dies mid-run leaves a partial log; distill() must
+    carry forward tuned sections with no new evidence instead of
+    silently dropping measured winners (the round-4 queue-E abort was
+    one pick_tuned invocation away from regressing the droplet lane
+    back to builtin segments=8)."""
+
+    def _cert(self, tmp_path, monkeypatch, both=True):
+        import pick_tuned
+
+        rates = {"4": {"trail_rate": 2.5e-3, "frame_rate": 3e-4},
+                 "8": {"trail_rate": 2.3e-3, "frame_rate": 3e-4}}
+        cert = {"bound": 5e-3,
+                "scenes": {"traj_ball": {"rates": rates},
+                           "traj_vel": {"rates": rates}}}
+        p = tmp_path / "cert.json"
+        p.write_text(json.dumps(cert))
+        monkeypatch.setattr(pick_tuned, "FIDELITY_CERT", str(p))
+
+    OLD = {"note": "prior",
+           "disc": {"tiles_per_program": 4, "uniform_look": True},
+           "trail": {"span": "auto", "segments": 4, "cap_rows10": True,
+                     "three_tone": True},
+           "droplet": {"segments": 4, "cap_rows10": True,
+                       "three_tone": True}}
+
+    TRAIL_ONLY_LOG = (
+        "=== bench trail seg4 cap10 3tone A/B Thu Aug 20 08:00:00 UTC"
+        " 2026 ===\n"
+        '{"metric": "m", "trail_fps_1000k_points": 3.65}\n')
+
+    def test_partial_log_carries_unmeasured_sections(self, tmp_path,
+                                                     monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch)
+        tuned, action, _ = pick_tuned.distill([], [], self.TRAIL_ONLY_LOG,
+                                              old=self.OLD)
+        assert action == "write"
+        # Trail re-picked from the one measured line; disc and droplet
+        # carried from the existing file, winners intact.
+        assert tuned["trail"]["segments"] == 4
+        assert tuned["droplet"] == self.OLD["droplet"] | {
+            "segments_flip_rate": 2.5e-3}
+        assert tuned["disc"] == self.OLD["disc"]
+
+    def test_no_evidence_at_all_keeps_file(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch)
+        tuned, action, _ = pick_tuned.distill([], [], "", old={})
+        assert tuned is None and action == "keep"
+
+    def test_carried_section_still_recertifies(self, tmp_path,
+                                               monkeypatch):
+        import pick_tuned
+
+        # Tightened certificate refuses segments=4: the carried droplet
+        # section loses the geometry knob but keeps its perf knobs.
+        p = tmp_path / "cert.json"
+        p.write_text(json.dumps({
+            "bound": 1e-6,
+            "scenes": {"traj_ball": {"rates": {}},
+                       "traj_vel": {"rates": {
+                           "4": {"trail_rate": 2.5e-3}}}}}))
+        monkeypatch.setattr(pick_tuned, "FIDELITY_CERT", str(p))
+        old = {"droplet": dict(self.OLD["droplet"])}
+        tuned, action, notes = pick_tuned.distill([], [], "", old=old)
+        assert action == "write"
+        assert "segments" not in tuned["droplet"]
+        assert tuned["droplet"]["cap_rows10"] is True
+
+    def test_full_negative_sweep_removes(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch)
+        log = (
+            "=== bench verbose (HEADLINE) Thu Aug 20 08:00:00 UTC 2026"
+            " ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.0,'
+            ' "droplet_fps_1000k_points": 2.0}\n'
+            "=== bench trail seg4 cap10 3tone A/B Thu Aug 20 08:10:00"
+            " UTC 2026 ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.01}\n'
+            "=== bench droplet seg8 base A/B Thu Aug 20 08:20:00 UTC"
+            " 2026 ===\n"
+            '{"metric": "m", "droplet_fps_1000k_points": 2.0}\n'
+            "=== bench droplet seg4 cap10 3tone A/B Thu Aug 20 08:30:00"
+            " UTC 2026 ===\n"
+            '{"metric": "m", "droplet_fps_1000k_points": 2.01}\n')
+        recs = [_raster_rec(16.0, label="builtin"),
+                _raster_rec(15.95, label="tpp4", tiles_per_program=4),
+                _shaded_rec(24.0, True), _shaded_rec(24.05, False)]
+        tuned, action, _ = pick_tuned.distill(recs, [], log, old=self.OLD)
+        assert tuned is None and action == "remove"
+
+
 class TestTrailSegmentsFidelity:
     def test_flip_rate_within_recorded_bound(self):
         """Recompute the winner-flip rate of the production-candidate

@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--scene", default="disc", choices=["disc", "trail"])
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--frame", type=int, default=120)
+    ap.add_argument("--segments", default=None,
+                    type=lambda s: s if s == "adaptive" else int(s),
+                    help="trail_segments override (trail scene) — sweep "
+                         "the kernel knobs AT the tuned soup (r5: seg4)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -95,7 +99,8 @@ def main():
                 discs_from_points(p, cam, radii,
                                   np.array([0.3, 0.3, 0.3], np.float32))])
         else:
-            soup = build_primitives(PRESETS["traj_ball"], cam, p, v, fi)
+            soup = build_primitives(PRESETS["traj_ball"], cam, p, v, fi,
+                                    trail_segments=args.segments)
         return soup, cam
 
     _, cam0 = make(pos, vel)
@@ -125,7 +130,8 @@ def main():
                          chunk_rows=chunk_rows, allow_exit=allow_exit,
                          unroll=unroll, dma_slots=dma_slots, span=span,
                          max_big=mb or max_big, tiles_per_program=tpp,
-                         starts_method=sm, cap_rows10=cap10))
+                         starts_method=sm, cap_rows10=cap10,
+                         segments=args.segments))
 
     for cr in (256, 512, 1024):
         for ex in (True, False):
@@ -155,10 +161,18 @@ def main():
         tr("chunk=256 exit=0 u=4 span=4 CAP10", span=4, mb=max_big,
            cap10=True)
         tr("chunk=256 exit=0 u=4 span=2 CAP10", mb=max_big, cap10=True)
+        tr("chunk=256 exit=0 u=4 span=4 CAP10 tpp=2", span=4,
+           mb=max_big, cap10=True, tpp=2)
         tr("chunk=256 exit=0 u=4 span=4 CAP10 tpp=4", span=4,
            mb=max_big, cap10=True, tpp=4)
+        tr("chunk=256 exit=0 u=4 span=4 CAP10 tpp=8", span=4,
+           mb=max_big, cap10=True, tpp=8)
         tr("chunk=256 exit=0 u=4 span=4 CAP10 dma_slots=4", span=4,
            mb=max_big, cap10=True, dma_slots=4)
+        tr("chunk=512 exit=0 u=4 span=4 CAP10", span=4, mb=max_big,
+           cap10=True, chunk_rows=512)
+        tr("chunk=256 exit=0 u=4 span=4 CAP10 tpp=4 dma=4", span=4,
+           mb=max_big, cap10=True, tpp=4, dma_slots=4)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).

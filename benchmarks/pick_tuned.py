@@ -72,6 +72,7 @@ def certify_geometry(trail, preset="traj_ball"):
     (``segments_flip_rate``) so the bound travels with the knob."""
     if trail.get("segments") is None:
         trail.pop("segments", None)
+        trail.pop("segments_flip_rate", None)
         return ""
     try:
         with open(FIDELITY_CERT) as f:
@@ -82,6 +83,7 @@ def certify_geometry(trail, preset="traj_ball"):
         bound = float(cert["bound"])
     except (OSError, KeyError, ValueError, TypeError):
         segs = trail.pop("segments")
+        trail.pop("segments_flip_rate", None)
         return (f"REFUSED segments={segs}: no {preset} fidelity "
                 f"certificate ({FIDELITY_CERT}) — run "
                 f"benchmarks/fidelity_trail.py")
@@ -90,6 +92,7 @@ def certify_geometry(trail, preset="traj_ball"):
                                              anchor + GEOMETRY_REL_MARGIN)
     if rec["trail_rate"] > limit:
         segs = trail.pop("segments")
+        trail.pop("segments_flip_rate", None)
         return (f"REFUSED segments={segs}: flip rate "
                 f"{rec['trail_rate']:.2e} over limit {limit:.1e}"
                 + ("" if anchor is None
@@ -356,23 +359,47 @@ def distill(disc_recs, trail_recs, log_text, old=None):
     existing tuned section instead of silently losing it — dropping a
     measured winner because a later queue never got to re-measure it
     would regress the driver's flagless scored run (the round-4 queue-E
-    abort was one kill away from exactly that).  "No new evidence" is
-    per scene: any disc sweep records / trail bench lines or records /
-    droplet bench lines count as evidence, INCLUDING negative verdicts
-    (a measured "builtins within noise" rightly drops the section)."""
+    abort was one kill away from exactly that).  Evidence is per scene
+    AND per evidence class, INCLUDING negative verdicts (a measured
+    "builtins within noise" rightly drops the section):
+
+    * disc — sweep records (its only evidence source);
+    * trail — bench ``trail_fps_`` lines decide the BENCH-derived knobs
+      (segments / cap10 / three_tone / span).  The git-tracked
+      sweep6_trail.jsonl is persistent, so sweep records alone are NOT
+      evidence against a measured bench winner: with no trail bench
+      lines in the log, the old bench-derived knobs carry forward and
+      fresh sweep-fallback picks (starts_method) merge on top (advisor
+      r4 medium: counting the persistent records as evidence made trail
+      carry-forward unreachable — a lost queue log silently dropped the
+      measured segments/cap10/3tone winner);
+    * droplet — bench ``droplet_fps_`` lines.
+
+    The keep/drop decision is also per scene: a scene whose evidence
+    refuted its old section drops it even when OTHER scenes carry
+    forward (advisor r4 low: the old all-or-nothing "keep" preserved
+    refuted sections whenever any scene lacked evidence)."""
     old = old or {}
-    disc_ev = bool(disc_recs)
-    trail_ev = ("trail_fps_" in log_text) or any(
-        r.get("scene") == "trail" for r in trail_recs)
+    trail_bench_ev = "trail_fps_" in log_text
     droplet_ev = "droplet_fps_" in log_text
 
     disc, dnote = pick_disc(disc_recs)
     trail, tnote = pick_trail(trail_recs, log_text)
     droplet, pnote = pick_droplet(log_text)
-    if disc is None and not disc_ev and old.get("disc"):
+    if disc is None and not disc_recs and old.get("disc"):
         disc, dnote = dict(old["disc"]), "disc carried (no new evidence)"
-    if trail is None and not trail_ev and old.get("trail"):
-        trail, tnote = dict(old["trail"]), "trail carried (no new evidence)"
+    if not trail_bench_ev and old.get("trail"):
+        carried = dict(old["trail"])
+        if trail:
+            # Fresh sweep-derived picks (starts_method, or the raster/
+            # shaded fallbacks when no bench line ever ruled) fill gaps
+            # but never override a measured bench winner.
+            for k, v in trail.items():
+                carried.setdefault(k, v)
+            tnote = f"trail carried (no bench evidence); sweep: {tnote}"
+        else:
+            tnote = "trail carried (no bench evidence)"
+        trail = carried
     if droplet is None and not droplet_ev and old.get("droplet"):
         droplet, pnote = (dict(old["droplet"]),
                           "droplet carried (no new evidence)")
@@ -392,7 +419,10 @@ def distill(disc_recs, trail_recs, log_text, old=None):
             droplet = None
     notes = (dnote, tnote, pnote)
     if disc is None and trail is None and droplet is None:
-        if disc_ev and trail_ev and droplet_ev:
+        # Nothing survives: every scene was either refuted by fresh
+        # evidence or had nothing to carry.  Remove a stale file rather
+        # than keep refuted winners alive.
+        if any(old.get(s) for s in ("disc", "trail", "droplet")):
             return None, "remove", notes
         return None, "keep", notes
     tuned = {"note": f"pick_tuned: {dnote} | {tnote} | {pnote}"}

@@ -513,6 +513,77 @@ class TestPartialLogCarryForward:
         assert "segments" not in tuned["droplet"]
         assert tuned["droplet"]["cap_rows10"] is True
 
+    def test_sweep_records_alone_do_not_block_trail_carry(self, tmp_path,
+                                                          monkeypatch):
+        """Advisor r4 (medium): sweep6_trail.jsonl is git-tracked and
+        persistent, so trail sweep records must NOT count as evidence
+        against the measured bench winner — with no trail bench lines in
+        the log, the bench-derived knobs carry forward and fresh
+        sweep-derived picks merge on top without overriding them."""
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch)
+        recs = [  # a fresh seg-sweep with a starts=sort win, no bench
+            dict(label="r", kind="raster", scene="trail", span=4,
+                 starts_method="scan", cap_rows10=False, max_big=20480,
+                 ms=260.0),
+            dict(label="r", kind="raster", scene="trail", span=4,
+                 starts_method="sort", cap_rows10=False, max_big=20480,
+                 ms=240.0)]
+        tuned, action, notes = pick_tuned.distill([], recs, "",
+                                                  old=self.OLD)
+        assert action == "write"
+        # Measured bench winners intact...
+        assert tuned["trail"]["segments"] == 4
+        assert tuned["trail"]["cap_rows10"] is True
+        assert tuned["trail"]["three_tone"] is True
+        # ...with the new sweep-derived knob merged on top.
+        assert tuned["trail"]["starts_method"] == "sort"
+
+    def test_refuted_section_dropped_even_with_partial_evidence(
+            self, tmp_path, monkeypatch):
+        """Advisor r4 (low): a trail-refuting log with no disc/droplet
+        evidence must DROP the refuted trail section, not keep the whole
+        old file; with nothing else to carry the file is removed."""
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch)
+        log = (
+            "=== bench verbose (HEADLINE) Thu Aug 20 08:00:00 UTC 2026"
+            " ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.0}\n'
+            "=== bench trail seg4 cap10 3tone A/B Thu Aug 20 08:10:00"
+            " UTC 2026 ===\n"
+            '{"metric": "m", "trail_fps_1000k_points": 3.01}\n')
+        old = {"trail": dict(self.OLD["trail"])}
+        tuned, action, _ = pick_tuned.distill([], [], log, old=old)
+        assert tuned is None and action == "remove"
+        # ...and when another scene still carries, the refuted section
+        # is dropped while the carried one survives.
+        tuned2, action2, _ = pick_tuned.distill([], [], log,
+                                                old=dict(self.OLD))
+        assert action2 == "write"
+        assert "trail" not in tuned2
+        assert tuned2["disc"] == self.OLD["disc"]
+        assert tuned2["droplet"]["segments"] == 4
+
+    def test_refused_geometry_knob_drops_stale_flip_rate(self, tmp_path,
+                                                         monkeypatch):
+        """Advisor r4 (low): a carried section whose segments pick is
+        REFUSED must not keep the old segments_flip_rate dangling."""
+        import pick_tuned
+
+        monkeypatch.setattr(pick_tuned, "FIDELITY_CERT",
+                            str(tmp_path / "absent.json"))
+        trail = {"segments": 4, "cap_rows10": True,
+                 "segments_flip_rate": 2.5e-3}
+        note = pick_tuned.certify_geometry(trail)
+        assert "REFUSED" in note
+        assert trail == {"cap_rows10": True}
+        none_pick = {"segments": None, "segments_flip_rate": 2.5e-3}
+        assert pick_tuned.certify_geometry(none_pick) == ""
+        assert none_pick == {}
+
     def test_full_negative_sweep_removes(self, tmp_path, monkeypatch):
         import pick_tuned
 

@@ -39,9 +39,23 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results",
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--segments", default="4,8")
-    ap.add_argument("--points", type=int, default=1500)
-    ap.add_argument("--frames", default="60,120,199")
+    ap.add_argument("--segments", default="4,8,adaptive")
+    ap.add_argument("--points", type=int, default=6000,
+                    help="6000 = the production-gating scale (4x the "
+                         "CI scene's density; the rates pick_tuned "
+                         "records in tuned_defaults.json)")
+    # 120,199 = the gating scene's frames (the r4 queue certificate that
+    # tuned_defaults.json records; reproduced bit-exactly on this tree).
+    # Frame 60 is deliberately EXCLUDED: at the certificate film
+    # (480x270) the far-dolly camera renders trails at ~subpixel scale,
+    # so the per-trail-pixel DENOMINATOR starves and the ratio inflates
+    # ~10x (2.66e-2 vs 2.46e-3) while becoming segment-INDEPENDENT —
+    # the flips it counts are the constant per-head end-cap ulp
+    # difference (the k=20 build's duplicated final vertex renders a
+    # degenerate trail end-cap at the point position; any k<20 build
+    # has no such cap), not chord-interpolation error.  See
+    # benchmarks/fidelity_decompose.py for the attribution.
+    ap.add_argument("--frames", default="120,199")
     ap.add_argument("--presets", default="traj_ball,traj_vel",
                     help="one certificate per preset: the trail metric "
                          "certifies against traj_ball, the droplet "
@@ -89,7 +103,30 @@ def main():
                       "reference_segments": 20},
             "rates": rates}
 
-    record = {"bound": BOUND, "scenes": scenes}
+    # Provenance stamp (VERDICT r4 weak #3: the certificate that gates
+    # production must be reconstructible from the committed file alone —
+    # round 4's gating numbers were generated on the TPU queue at a
+    # denser scale and never committed, leaving three mutually
+    # inconsistent flip-rate sets in the repo).
+    import subprocess
+    import time as _time
+
+    try:
+        git = subprocess.run(
+            ["git", "-C", os.path.dirname(OUT), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        git = ""
+    record = {"bound": BOUND, "scenes": scenes,
+              "provenance": {
+                  "git": git or "unknown",
+                  "generated_utc": _time.strftime(
+                      "%Y-%m-%d %H:%M:%S", _time.gmtime()),
+                  "argv": sys.argv[1:],
+                  "note": ("production-gating scale is --points 6000 "
+                           "(the r4 queue's 4x-denser scene); CI "
+                           "re-measures at 1500 against the bound "
+                           "only (tests/test_tuned.py)")}}
     # Back-compat top-level view of the traj_ball rates (the trail
     # metric's preset) so older readers keep working.
     if "traj_ball" in scenes:

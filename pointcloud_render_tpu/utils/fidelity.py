@@ -58,6 +58,110 @@ def surface_image(index_img: np.ndarray, layout) -> np.ndarray:
     return out
 
 
+def part_image(index_img: np.ndarray, layout) -> np.ndarray:
+    """Map a winner-index image to a PART-index image (-1 = empty).
+
+    Unlike ``surface_image`` codes (where furniture part 0 and empty
+    both map to -1 under the >> 32 fold), parts are distinct here:
+    ground/furniture keep their layout index.  Used by the flip
+    DECOMPOSITION to attribute a flipped pixel to the pair of winning
+    parts it moved between.
+    """
+    bounds = np.cumsum([0] + [rows for rows, _ in layout])
+    out = np.full(index_img.shape, -1, np.int32)
+    hit = index_img >= 0
+    out[hit] = (np.searchsorted(bounds, index_img[hit], side="right")
+                .astype(np.int32) - 1)
+    return out
+
+
+def trail_flip_decomposition(segments, n_points: int = 1500,
+                             frames=(60, 120, 199), width: int = 480,
+                             height: int = 270,
+                             preset_name: str = "traj_vel",
+                             reference_segments: int = 20,
+                             seed: int = 0) -> dict:
+    """Attribute the winner-flip rate of ``segments`` vs the reference
+    polyline to WINNING-PART transitions (VERDICT r4 weak #4: explain
+    traj_vel's ~0.9% baseline discrepancy before leaning on the anchor
+    relaxation).
+
+    Returns ``{"parts": [names...], "denom": trail_pixels,
+    "transitions": {"a->b": rate, ...}, "trail_owner_swap": rate,
+    "trail_rate": total}`` where each rate is flips of that class /
+    trail pixels (the same denominator as ``trail_segments_flip_rate``'s
+    ``trail_rate``), maxed over frames jointly (the worst frame's whole
+    decomposition).  ``trail_owner_swap`` is the trail->trail same-part
+    subset — invisible in the flat-color render; the per-part
+    transitions are the pixels a viewer could notice.
+    """
+    import jax.numpy as jnp
+
+    from pointcloud_render_tpu.configs import PRESETS
+    from pointcloud_render_tpu.raster.render import RasterConfig, rasterize
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.scene.camera import (
+        TARGETS,
+        TOTAL_FRAMES,
+        Camera,
+        camera_origin_jax,
+    )
+
+    preset = PRESETS[preset_name]
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(-0.5, 0.5, (n_points, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 2, (n_points, 3)), jnp.float32)
+    config = RasterConfig(backend="tiled", max_per_tile=4096)
+
+    if preset.splat == "droplet":
+        names = ["ground", "head", "tail", "trail"]
+    else:
+        names = ["ground", "disc", "trail"]
+
+    worst = None
+    for fi in frames:
+        cam = Camera(
+            origin=camera_origin_jax(preset.camera_preset, jnp.int32(fi),
+                                     TOTAL_FRAMES),
+            target=np.asarray(TARGETS[preset.camera_preset], np.float32),
+            width=width, height=height)
+        surfs, part_imgs, trail_hits = [], [], []
+        for segs in (segments, reference_segments):
+            soup, layout = build_primitives(
+                preset, cam, pos, vel, jnp.int32(fi),
+                trail_segments=segs, return_layout=True)
+            _, idx = rasterize(soup, width, height, config)
+            idx = np.asarray(idx)
+            surfs.append(surface_image(idx, layout))
+            pimg = part_image(idx, layout)
+            part_imgs.append(pimg)
+            trail_hits.append(pimg == len(layout) - 1)
+        flips = surfs[0] != surfs[1]
+        denom = int((trail_hits[0] | trail_hits[1]).sum())
+        if not denom:
+            continue
+        rec = {"frame": int(fi), "parts": names, "denom": denom,
+               "trail_rate": float(flips.sum()) / denom,
+               "transitions": {}, "trail_owner_swap": 0.0}
+        pa, pb = part_imgs[0][flips], part_imgs[1][flips]
+        for a in np.unique(pa):
+            for b in np.unique(pb[pa == a]):
+                cnt = int(((pa == a) & (pb == b)).sum())
+                if not cnt:
+                    continue
+                an = names[a] if a >= 0 else "empty"
+                bn = names[b] if b >= 0 else "empty"
+                rate = cnt / denom
+                if an == bn == "trail":
+                    rec["trail_owner_swap"] = rate
+                else:
+                    rec["transitions"][f"{an}->{bn}"] = rate
+        if worst is None or rec["trail_rate"] > worst["trail_rate"]:
+            worst = rec
+    return worst or {"parts": names, "denom": 0, "trail_rate": 0.0,
+                     "transitions": {}, "trail_owner_swap": 0.0}
+
+
 def trail_segments_flip_rate(segments: int, n_points: int = 1500,
                              frames=(60, 120, 199), width: int = 480,
                              height: int = 270, preset_name: str = "traj_ball",

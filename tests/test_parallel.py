@@ -423,3 +423,55 @@ def test_streamed_soup_mesh_sharded_matches_monolithic():
                                np.where(hit, np.asarray(d1), 0.0),
                                rtol=5e-7)
     np.testing.assert_array_equal(np.asarray(i_t) >= 0, hit)
+
+
+def test_streaming_tuned_config_knobs_bit_equal():
+    """StreamingRasterizer(config=...) forwards the tuned v6 kernel
+    knobs (span / cap_rows10 / tpp / dma_slots) — every one is
+    exactness-neutral, so the streamed result must be BIT-identical to
+    the default-config stream (r5: the stream_10m port to the tuned
+    kernel generation, VERDICT r4 #7)."""
+    from pointcloud_render_tpu.geometry import trails as trails_mod
+    from pointcloud_render_tpu.parallel.streaming import StreamingRasterizer
+    from pointcloud_render_tpu.raster.primitives import (
+        ScreenPrimitives,
+        capsules_from_polylines,
+        discs_from_points,
+    )
+    from pointcloud_render_tpu.raster.render import RasterConfig
+
+    cam = make_camera()
+    rng = np.random.default_rng(11)
+    n = 256
+    pos = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    vel = (rng.normal(size=(n, 3)) * 2).astype(np.float32)
+    colors = np.broadcast_to(np.array([0.3, 0.3, 0.3], np.float32), (n, 3))
+    sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS, 5)).astype(
+        np.int32)
+
+    def trail_soup(p, c, v):
+        discs = discs_from_points(
+            p, cam, jnp.full((p.shape[0],), 0.01, jnp.float32), c)
+        ends, valid = trails_mod.velocity_trails_sampled(
+            p, v, jnp.int32(120), sub, "ball")
+        vv = jnp.broadcast_to(valid[:, None], ends.shape[:2])
+        caps = capsules_from_polylines(
+            ends, vv, cam, 0.0007, np.array([0.2, 1.0, 0.4], np.float32))
+        return ScreenPrimitives.concatenate([discs, caps])
+
+    def run(config):
+        sr = StreamingRasterizer(cam, chunk_points=n, radius_world=0.01,
+                                 backend="pallas6", soup_fn=trail_soup,
+                                 max_big=2048, config=config)
+        d, i, a = sr.rasterize([(pos, colors, vel)], return_attrs=True)
+        return np.asarray(d), np.asarray(i), np.asarray(a)
+
+    d0, i0, a0 = run(None)
+    assert (i0 >= 0).any()
+    for cfg in (RasterConfig(backend="pallas6", span=4, cap_rows10=True),
+                RasterConfig(backend="pallas6", tiles_per_program=2,
+                             dma_slots=4, allow_exit=False)):
+        d1, i1, a1 = run(cfg)
+        np.testing.assert_array_equal(i1, i0)
+        np.testing.assert_array_equal(d1, d0)
+        np.testing.assert_array_equal(a1, a0)

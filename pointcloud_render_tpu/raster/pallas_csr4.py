@@ -60,7 +60,7 @@ IMAX = np.int32(2147483647)
 F_EMPTY = np.float32(1 << 24)  # > every representable prim id
 ROW_F = 16
 PACK = 128 // ROW_F  # 8 entries per 128-lane row
-DEFAULT_CHUNK_ROWS = 256  # sweep optimum (benchmarks/kernel4_sweep.py)
+DEFAULT_CHUNK_ROWS = 256  # sweep optimum (r2 kernel sweep; docs/KERNEL_NOTES.md)
 DEFAULT_MAX_BIG = 1024
 DEFAULT_BIG_CHUNK = 512  # big-list prims per HBM->SMEM DMA chunk
 

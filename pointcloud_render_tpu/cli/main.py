@@ -62,6 +62,11 @@ def build_parser(preset_name=None):
                    help="GGX specular strength on triangle winners "
                         "(the reference's roughplastic ground, "
                         "alpha=0.1 IOR 1.46; 0 = pure Lambert)")
+    p.add_argument("--gi", type=float, default=0.0,
+                   help="ground-bounce fill on splat undersides, "
+                        "approximating the reference's path-traced "
+                        "indirect light (0 = off, bit-pinned look; "
+                        "try 0.25)")
     return p
 
 
@@ -75,7 +80,8 @@ def run(args, preset_name=None):
             backend=args.backend,
             supersample=args.supersample,
             shading=ShadingConfig(shadows=bool(args.shadows),
-                                  ground_spec=float(args.ground_spec))),
+                                  ground_spec=float(args.ground_spec),
+                                  gi=float(args.gi))),
         droplet_lod=args.droplet_lod,
         width=args.width, height=args.height,
     )

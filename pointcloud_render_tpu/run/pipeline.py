@@ -283,10 +283,11 @@ def _make_step(preset, raster_config, droplet_lod, with_vel, with_history,
             droplet_lod=droplet_lod,
         )
         shading = raster_config.shading
-        if shading.shadows or shading.ground_spec > 0.0:
+        if shading.shadows or shading.ground_spec > 0.0 or shading.gi > 0.0:
             # Look passes that the fused kernels don't evaluate: area-
-            # emitter shadows (shading/shadow.py) and the GGX ground
-            # lobe (shading/shade._ggx_specular).  The CAMERA raster
+            # emitter shadows (shading/shadow.py), the GGX ground
+            # lobe (shading/shade._ggx_specular), and the ground-bounce
+            # GI fill (ShadingConfig.gi).  The CAMERA raster
             # still runs the configured fused backend for depth/index
             # and the per-frame certificate; only the rgb is RE-shaded
             # through shade_framebuffer (rgb-only by construction —

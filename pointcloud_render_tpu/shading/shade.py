@@ -69,6 +69,17 @@ class ShadingConfig:
     ground_spec: float = 0.0
     ground_alpha: float = 0.1
     ground_f0: float = 0.0349
+    # Indirect-illumination fill approximating the reference's
+    # path-traced bounce light (path integrator, unlimited depth —
+    # traj_ball_renderer.py:9-13): the WHITE ground under the cloud
+    # re-radiates onto downward-facing splat surfaces, so reference
+    # splat undersides are never black.  ``gi`` scales a ground-bounce
+    # term gi * max(-n.up, 0) * ground_albedo added to the disc-winner
+    # light (up == the overhead key direction, so -n.l is the
+    # downward-facing cosine).  0 (default) keeps the bit-pinned
+    # pure-Lambert look.  rgb-only: depth/index are never touched.
+    gi: float = 0.0
+    gi_albedo: tuple = (1.0, 1.0, 1.0)  # reference ground: white
 
 
 def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
@@ -105,6 +116,13 @@ def shade_winner_attrs(px, py, rflag, rgb, hit, camera,
         lit = jnp.where(rflag > 0, lit,
                         jnp.where(rflag < 0, config.trail_boost, 1.0))
         out = rgb * lit[..., None]
+        if config.gi > 0.0:
+            # Ground-bounce fill on disc winners (rflag > 0) — lockstep
+            # with shade_framebuffer's disc branch.
+            bounce = config.gi * jnp.maximum(-ndotl, 0.0)
+            bounce = jnp.where(rflag > 0, bounce, 0.0)
+            albedo = np.asarray(config.gi_albedo, np.float32)
+            out = out + rgb * bounce[..., None] * albedo
     bg = np.asarray(config.background, np.float32)
     return jnp.clip(jnp.where(hit[..., None], out, bg), 0.0, 1.0)
 
@@ -223,6 +241,14 @@ def shade_framebuffer(prims, camera, depth, index, config: ShadingConfig,
         lit = config.ambient + diff
         lit = jnp.where(kind == KIND_CAPSULE, config.trail_boost, lit)
         rgb = color * lit[..., None]
+        if config.gi > 0.0:
+            # Ground-bounce fill on disc winners: downward-facing
+            # surface area sees the white ground's re-radiated light
+            # (keep in lockstep with shade_winner_attrs).
+            bounce = config.gi * jnp.maximum(-ndotl, 0.0)
+            bounce = jnp.where(kind == KIND_DISC, bounce, 0.0)
+            albedo = np.asarray(config.gi_albedo, np.float32)
+            rgb = rgb + color * bounce[..., None] * albedo
         if config.ground_spec > 0.0:
             # GGX specular lobe on triangle winners — the reference's
             # WHITE ROUGHPLASTIC ground (alpha=0.1, IOR 1.46,

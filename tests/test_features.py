@@ -915,6 +915,80 @@ class TestPenumbraAndGGX:
         mean_bot = gain[bot][ground[bot]].mean()    # near = image bottom
         assert mean_top < mean_bot - 0.002, (mean_top, mean_bot)
 
+    def test_gi_fill_lights_splat_undersides_rgb_only(self):
+        """ShadingConfig.gi approximates the reference's path-traced
+        bounce light (VERDICT r4 #8): downward-facing disc-winner
+        pixels BRIGHTEN (white-ground re-radiation), upward-facing disc
+        pixels and every non-disc pixel are untouched, and depth/index
+        never change (rgb-only by construction)."""
+        from pointcloud_render_tpu.raster.render import RasterConfig, rasterize
+        from pointcloud_render_tpu.scene.camera import Camera
+        from pointcloud_render_tpu.shading.shade import (
+            ShadingConfig,
+            shade_framebuffer,
+        )
+        from tests.test_raster import H, W
+
+        # Camera slightly BELOW the disc center so underside pixels
+        # (downward-facing sphere normals) are visible.
+        cam = Camera(origin=jnp.array([1.2, 1.2, -0.1], jnp.float32),
+                     target=jnp.array([0.0, 0.0, 0.3], jnp.float32),
+                     width=W, height=H)
+        soup = self._scene(cam, 0.3)
+        cfg = RasterConfig(backend="tiled", max_per_tile=512)
+        depth, index = rasterize(soup, W, H, cfg)
+        rgb0 = np.asarray(shade_framebuffer(soup, cam, depth, index,
+                                            ShadingConfig()))
+        rgb1 = np.asarray(shade_framebuffer(
+            soup, cam, depth, index, ShadingConfig(gi=0.5)))
+        idx = np.asarray(index)
+        kind = np.asarray(soup.kind)
+        disc = (idx >= 0) & (kind[np.maximum(idx, 0)] == 0)
+        gain = (rgb1 - rgb0).sum(axis=-1)
+        # Some disc pixels brighten (the underside)...
+        assert (gain[disc] > 1e-4).sum() > 10
+        # ...no pixel darkens, and nothing outside discs changes.
+        assert gain.min() >= 0.0
+        assert np.all(gain[~disc] == 0.0)
+
+    def test_gi_determinism_and_pipeline_depth_index(self):
+        """gi > 0 routes the pipeline through the re-shade branch: the
+        depth/index contract is bit-identical to gi=0, and the shaded
+        rgb is invariant under point-order permutation."""
+        from pointcloud_render_tpu.configs import PRESETS
+        from pointcloud_render_tpu.raster.render import RasterConfig
+        from pointcloud_render_tpu.run.pipeline import _make_step
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+        from tests.test_raster import H, W
+
+        preset = PRESETS["traj_ball"]
+        rng = np.random.default_rng(5)
+        pos = rng.uniform(-0.4, 0.4, (64, 3)).astype(np.float32)
+        vel = (rng.normal(size=(64, 3)) * 2).astype(np.float32)
+        placeholder = jnp.zeros((0,), jnp.float32)
+
+        def run(gi, p, v):
+            cfg = RasterConfig(backend="tiled", max_per_tile=4096,
+                               shading=ShadingConfig(gi=gi))
+            step = _make_step(preset, cfg, "capsule", True, False, False,
+                              film=(W, H))
+            return step(jnp.asarray(p), jnp.asarray(v), jnp.int32(120),
+                        placeholder, placeholder)
+
+        fb0, _, _ = run(0.0, pos, vel)
+        fb1, _, _ = run(0.4, pos, vel)
+        np.testing.assert_array_equal(np.asarray(fb0.index),
+                                      np.asarray(fb1.index))
+        np.testing.assert_array_equal(np.asarray(fb0.depth),
+                                      np.asarray(fb1.depth))
+        assert np.any(np.asarray(fb0.rgb) != np.asarray(fb1.rgb))
+        # Permutation invariance of the lit image (same scene, shuffled
+        # point order -> identical rgb).
+        perm = rng.permutation(64)
+        fb2, _, _ = run(0.4, pos[perm], vel[perm])
+        np.testing.assert_array_equal(np.asarray(fb1.rgb),
+                                      np.asarray(fb2.rgb))
+
     def test_ggx_pipeline_branch_keeps_depth_index(self):
         """ground_spec > 0 routes the pipeline through the re-shade
         branch: same depth/index as the fused path, rgb re-lit."""

@@ -157,13 +157,74 @@ def main():
                              jnp.zeros((soup.count,), jnp.float32))
         return tab.sum() + soup.bbox.sum()
 
+    # Packed-column twin (r5): same f32 expressions, fully packed (N,)
+    # layout (capsules_from_vertex_columns docstring).  The BITCHECK
+    # lane certifies on-chip bit-identity of every soup field — CPU
+    # equality is pinned by tests, but TPU fusion/FMA decisions are the
+    # backend's own, so the chip gets its own certificate before the
+    # packed build ships as the pipeline default.
+    from pointcloud_render_tpu.raster.primitives import (
+        capsules_from_vertex_columns,
+    )
+
+    def s_caps_packed(p, v, fi):
+        vcols, valid = trails_mod.velocity_trail_vertex_columns(
+            p, v, fi, sub, preset.trail_schedule)
+        caps = capsules_from_vertex_columns(
+            vcols, [valid] * len(vcols), cam_of(fi), preset.trail_radius,
+            np.asarray(preset.trail_color, np.float32))
+        return caps.params.sum() + caps.bbox.sum()
+
+    def s_full_packed(p, v, fi):
+        soup = build_primitives(preset, cam_of(fi), p, v, fi,
+                                trail_segments=args.segments,
+                                packed_build=True)
+        return soup.params.sum() + soup.bbox.sum()
+
+    def s_bitcheck(p, v, fi):
+        sp = build_primitives(preset, cam_of(fi), p, v, fi,
+                              trail_segments=args.segments,
+                              packed_build=True)
+        so = build_primitives(preset, cam_of(fi), p, v, fi,
+                              trail_segments=args.segments,
+                              packed_build=False)
+        bad = jnp.int32(0)
+        bad += jnp.sum(sp.valid != so.valid)
+        vm = (sp.valid & so.valid)[:, None]
+        bad += jnp.sum(jnp.where(vm, sp.params != so.params, False))
+        bad += jnp.sum(sp.color != so.color) + jnp.sum(sp.kind != so.kind)
+        # bbox: conservative binning bound, allowed to drift a rounding
+        # error across compilations (fma contraction — see
+        # capsules_from_vertex_columns).  Harmless when the max ABS
+        # drift stays far under 0.5 px: a winner could only change if a
+        # truly-covered pixel fell in a tile the drifted bbox dropped,
+        # and the nearest pixel center of a dropped tile sits >=
+        # (0.5 - drift) px beyond the exact extent while f32 coverage
+        # cannot exceed it by more than ~1e-4 px of eval rounding.
+        bu = jnp.abs(sp.bbox - so.bbox)
+        bbox_px = jnp.max(jnp.where(vm, bu, 0.0))
+        return bad, bbox_px
+
     t1 = timed("trail vertices (sampled)", s_verts, pos, vel, fi)
     t2 = timed("capsule part (proj + blocks)", s_caps, pos, vel, fi)
+    t2p = timed("capsule part PACKED columns", s_caps_packed, pos, vel, fi)
     t3 = timed("full soup (discs + concat)", s_full, pos, vel, fi)
+    t3p = timed("full soup PACKED", s_full_packed, pos, vel, fi)
     t4 = timed("+ table16 build", s_table16, pos, vel, fi)
-    print(f"\ndeltas: caps={1e3 * (t2 - t1):.2f} "
-          f"rest={1e3 * (t3 - t2):.2f} table16={1e3 * (t4 - t3):.2f} ms",
+    from pointcloud_render_tpu.utils import aot as _aot
+
+    out = _aot.compile_const_free(s_bitcheck, pos, vel, fi)(pos, vel, fi)
+    bad = int(np.asarray(out[0]))
+    bbox_px = float(np.asarray(out[1]))
+    ok = bad == 0 and bbox_px < 0.01
+    print(f"packed-vs-polyline BITCHECK: {bad} winner-field mismatches, "
+          f"bbox max drift {bbox_px:.2e} px "
+          f"({'OK' if ok else 'FAIL — do not ship packed'})",
           flush=True)
+    print(f"\ndeltas: caps={1e3 * (t2 - t1):.2f} "
+          f"capsPACKED={1e3 * (t2p - t1):.2f} "
+          f"rest={1e3 * (t3 - t2):.2f} table16={1e3 * (t4 - t3):.2f} "
+          f"fullPACKED={1e3 * t3p:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

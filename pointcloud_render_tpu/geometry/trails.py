@@ -149,6 +149,51 @@ def velocity_trails_sampled(positions, velocities, frame_index, indices,
     return pts, valid
 
 
+def velocity_trail_vertex_columns(positions, velocities, frame_index,
+                                  indices, schedule: str = "ball"):
+    """``velocity_trails_sampled`` as PACKED per-vertex columns.
+
+    Returns ``(cols, valid)`` where ``cols[j]`` is the (N, 3) position
+    of sampled vertex ``indices[j]`` and ``valid`` the (N,) trail mask —
+    bit-identical to ``velocity_trails_sampled``'s ``pts[:, j]`` /
+    ``valid`` (same f32 expression per element; the finiteness clause
+    ANDs per-column instead of over the (N, K*3) reshape, an identical
+    reduction).  The column form exists for layout, not semantics: an
+    (N, K) f32 array tiles as (8, 128) on TPU, padding the K-wide minor
+    dimension to 128 lanes, so the polyline-shaped build wastes ~96% of
+    its VPU/HBM work at the tuned K=5 (see
+    raster.primitives.capsules_from_vertex_columns).
+    """
+    idx = np.asarray(indices, np.int64)
+    p = jnp.asarray(positions, jnp.float32)
+    v = jnp.asarray(velocities, jnp.float32)
+    scale = trail_length_scale(schedule, jnp.asarray(frame_index))
+
+    vel_norm = jnp.linalg.norm(v, axis=1)
+    valid = (vel_norm >= VELOCITY_EPS) & (scale > 0)
+
+    vel_normalized = jnp.minimum(vel_norm / VEL_NORMALIZER, 1.0)
+    trail_length = (BASE_TRAIL_LENGTH
+                    + (MAX_TRAIL_LENGTH - BASE_TRAIL_LENGTH) * vel_normalized
+                    ) * scale
+    safe = jnp.where(vel_norm < VELOCITY_EPS, 1.0, vel_norm)
+    direction = -v / safe[:, None]
+
+    ts_full = (N_TRAIL_POINTS - 1
+               - np.arange(N_TRAIL_POINTS, dtype=np.float32)) / (
+        N_TRAIL_POINTS - 1)
+    cols = []
+    for j in idx:
+        if j >= N_TRAIL_POINTS:
+            pt = p  # index 20: the position itself, exactly
+        else:
+            t = np.float32(ts_full[j])
+            pt = p + direction * (trail_length * t)[:, None]
+        cols.append(pt)
+        valid = valid & jnp.all(jnp.isfinite(pt), axis=1)
+    return cols, valid
+
+
 def sampled_ts_table(budget: int) -> np.ndarray:
     """Row ``k-1`` = the k-segment build's sampled t values, padded with
     0 (the position) past vertex k.  The index rounding is IDENTICAL to

@@ -165,6 +165,15 @@ def capsules_from_polylines(
 
     cols = [c.reshape(-1) for c in (x0, y0, z0, r0, dx, dy, dz, dr, inv_len2)]
     params = _pad_params(cols)
+    # NOTE on the bbox low bit: XLA may or may not contract the
+    # projected radius's final multiply into these subs (fma) depending
+    # on the surrounding graph, so bbox can differ by 1 ulp across
+    # compilations (and between this builder and its packed-column twin
+    # capsules_from_vertex_columns).  The winner-defining fields
+    # (params/valid) are pinned by project_points' barrier; bbox is a
+    # conservative binning bound whose +-1 ulp is harmless within any
+    # one program — every consumer (binning, oracle) reads the SAME
+    # soup's bbox.
     xmin = jnp.minimum(x0 - r0, x1 - r1).reshape(-1)
     xmax = jnp.maximum(x0 + r0, x1 + r1).reshape(-1)
     ymin = jnp.minimum(y0 - r0, y1 - r1).reshape(-1)
@@ -184,6 +193,107 @@ def capsules_from_polylines(
         params=params,
         color=color,
         valid=seg_valid.reshape(-1),
+        bbox=bbox,
+        normal=jnp.zeros((m, 3), jnp.float32),
+    )
+
+
+def capsules_from_vertex_columns(
+    vertex_cols, valid_cols, camera, radius_world, colors
+) -> ScreenPrimitives:
+    """Packed-layout twin of :func:`capsules_from_polylines` for SMALL
+    static vertex counts.
+
+    Takes the polyline as V separate (N, 3) vertex COLUMNS instead of
+    one (N, V, 3) array.  Numerically this evaluates exactly the same
+    f32 expressions per element (projection, deltas, len2, bbox, culls).
+    Equivalence contract (pinned by test_packed_capsule_build_bit_equal
+    and build_probe's on-chip BITCHECK): params / valid / color / kind
+    are BIT-identical (project_points pins them with an optimization
+    barrier); bbox may drift by a float rounding error across
+    compilations — XLA's fma contraction of the radius multiply into
+    the bbox sub is a per-compilation choice the polyline path is
+    equally subject to.  The drift is winner-safe: a winner could only
+    change if a truly-covered pixel fell in a tile the drifted bbox
+    dropped, and the nearest pixel center of a dropped tile sits
+    >= (0.5 px - drift) beyond the exact extent while f32 coverage
+    cannot exceed that extent by more than ~1e-4 px of eval rounding
+    (the BITCHECK bounds drift at < 0.01 px).  But
+    the layout matters enormously on TPU: rank-2 f32 arrays tile as
+    (8, 128), so every (N, V) intermediate of the polyline path pads
+    its V-wide minor dimension to 128 lanes — at V=5 (the tuned seg4
+    trail build) ~96% of the VPU lanes and HBM bytes are padding, the
+    measured 44.5 ms "capsule part" of the 1M-point build
+    (benchmarks/build_probe.py).  Columns keep every intermediate a
+    fully packed (N,) vector; only the final point-major interleave
+    (one stack+reshape per output column) touches a padded layout.
+
+    Args:
+      vertex_cols: list of V (N, 3) vertex positions.
+      valid_cols: list of V (N,) bool per-vertex keep masks.
+      radius_world: scalar or (N, V) per-vertex radii.
+      colors: (3,) or (N, 3) per-polyline color.
+    """
+    v = len(vertex_cols)
+    n = vertex_cols[0].shape[0]
+    radius_world = jnp.asarray(radius_world, jnp.float32)
+
+    projs, pvalid = [], []
+    for j in range(v):
+        rj = (jnp.full((n,), radius_world) if radius_world.ndim == 0
+              else radius_world[:, j])
+        proj = project_points(vertex_cols[j], camera, radii=rj)
+        projs.append(proj)
+        zok = (proj["z"] > camera.near) & (proj["z"] < camera.far)
+        pvalid.append(zok & valid_cols[j])
+
+    names = ("x0", "y0", "z0", "r0", "dx", "dy", "dz", "dr", "il2")
+    cols = {k: [] for k in names}
+    bb = {k: [] for k in ("xmin", "xmax", "ymin", "ymax")}
+    valids = []
+    for s in range(v - 1):
+        a, b = projs[s], projs[s + 1]
+        x0, y0, z0, r0 = a["px"], a["py"], a["z"], a["r_px"]
+        x1, y1, r1 = b["px"], b["py"], b["r_px"]
+        dx, dy = x1 - x0, y1 - y0
+        dz, dr = b["z"] - z0, r1 - r0
+        len2 = dx * dx + dy * dy
+        sv = pvalid[s] & pvalid[s + 1] & (len2 > 0)
+        il2 = 1.0 / jnp.where(len2 > 0, len2, 1.0)
+        # bbox low bit: see capsules_from_polylines' NOTE (fma
+        # contraction makes it compilation-dependent; conservative
+        # binning bound, harmless within one program).
+        xmin = jnp.minimum(x0 - r0, x1 - r1)
+        xmax = jnp.maximum(x0 + r0, x1 + r1)
+        ymin = jnp.minimum(y0 - r0, y1 - r1)
+        ymax = jnp.maximum(y0 + r0, y1 + r1)
+        on_film = ((xmax >= 0) & (xmin <= camera.width)
+                   & (ymax >= 0) & (ymin <= camera.height))
+        sv = sv & on_film
+        for k, val in zip(names, (x0, y0, z0, r0, dx, dy, dz, dr, il2)):
+            cols[k].append(val)
+        for k, val in zip(bb, (xmin, xmax, ymin, ymax)):
+            bb[k].append(val)
+        valids.append(sv)
+
+    def interleave(cs):
+        # S columns of (N,) -> point-major (N*S,): prim id stays
+        # point * S + s, the layout contract of build_primitives.
+        return jnp.stack(cs, axis=1).reshape(-1)
+
+    params = _pad_params([interleave(cols[k]) for k in names])
+    bbox = jnp.stack([interleave(bb[k]) for k in bb], axis=1)
+    m = n * (v - 1)
+    colors = jnp.asarray(colors, jnp.float32)
+    if colors.ndim == 1:
+        color = jnp.broadcast_to(colors, (m, 3))
+    else:
+        color = jnp.repeat(colors, v - 1, axis=0)
+    return ScreenPrimitives(
+        kind=jnp.full((m,), KIND_CAPSULE, jnp.int32),
+        params=params,
+        color=color,
+        valid=interleave(valids),
         bbox=bbox,
         normal=jnp.zeros((m, 3), jnp.float32),
     )

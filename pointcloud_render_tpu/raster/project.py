@@ -23,6 +23,7 @@ oracle (TPU MXU matmuls default to bf16 operands).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -57,4 +58,14 @@ def project_points(positions, camera, radii=None):
     # Off-screen cull (bbox entirely outside the film).
     valid &= (px + r_px >= 0) & (px - r_px <= camera.width)
     valid &= (py + r_px >= 0) & (py - r_px <= camera.height)
+    # Pin the projected values against XLA's fma contraction: without
+    # the barrier, a consumer sub/add (e.g. a capsule builder's
+    # x1 - r1) may contract r_px's final multiply in SOME compilations
+    # and not others, so the same scene's soup could differ in the low
+    # bit across program shapes.  The barrier materializes the four
+    # vectors (one packed pass, negligible) and makes every downstream
+    # soup field a plain op on fixed operands — a precondition for the
+    # packed-column build (capsules_from_vertex_columns) being
+    # bit-identical to the polyline build under jit.
+    px, py, z, r_px = jax.lax.optimization_barrier((px, py, z, r_px))
     return dict(px=px, py=py, z=z, r_px=r_px, valid=valid)

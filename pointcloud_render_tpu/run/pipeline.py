@@ -27,6 +27,7 @@ from pointcloud_render_tpu.io import loaders, png
 from pointcloud_render_tpu.raster.primitives import (
     ScreenPrimitives,
     capsules_from_polylines,
+    capsules_from_vertex_columns,
     discs_from_points,
     triangles_from_mesh,
 )
@@ -97,7 +98,8 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
                      velocities=None, frame_index=0, history=None,
                      rotations=None, droplet_lod: str = "capsule",
                      return_layout: bool = False,
-                     trail_segments: int = None):
+                     trail_segments: int = None,
+                     packed_build: bool = True):
     """Assemble the frame's primitive soup (traceable).
 
     Primitive order (= depth-tie priority): ground, splats, trails.
@@ -151,15 +153,21 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
                 positions, camera,
                 np.full((n,), droplet_mod.BASE_RADIUS, np.float32), color))
             per_point.append(1)
-            seg = jnp.stack([positions, tip], axis=1)  # (N, 2, 3)
             # Tapered tail: mesh radius at the cap edge down to a point
             # (the teardrop's r*(1-t)^2 profile, traj_renderer.py:129).
             taper = np.broadcast_to(
                 np.array([droplet_mod.BASE_RADIUS * 0.6,
                           droplet_mod.BASE_RADIUS * 0.05], np.float32),
                 (n, 2))
-            parts.append(capsules_from_polylines(
-                seg, np.ones((n, 2), bool), camera, taper, color))
+            if packed_build:
+                ones = np.ones((n,), bool)
+                parts.append(capsules_from_vertex_columns(
+                    [jnp.asarray(positions, jnp.float32), tip],
+                    [ones, ones], camera, taper, color))
+            else:
+                seg = jnp.stack([positions, tip], axis=1)  # (N, 2, 3)
+                parts.append(capsules_from_polylines(
+                    seg, np.ones((n, 2), bool), camera, taper, color))
             per_point.append(1)
     else:
         raise ValueError(f"unknown splat kind {preset.splat!r}")
@@ -208,14 +216,32 @@ def build_primitives(preset: ScenePreset, camera: Camera, positions,
                     f"{trails_mod.N_TRAIL_POINTS}")
             sub = np.round(np.linspace(0, trails_mod.N_TRAIL_POINTS,
                                        segs + 1)).astype(np.int32)
-            ends, valid = trails_mod.velocity_trails_sampled(
-                positions, velocities, frame_index, sub,
-                preset.trail_schedule)
-            vertex_valid = jnp.broadcast_to(valid[:, None], ends.shape[:2])
-        parts.append(capsules_from_polylines(
-            ends, vertex_valid, camera, preset.trail_radius,
-            np.asarray(preset.trail_color, np.float32)))
-        per_point.append(ends.shape[1] - 1)
+            if packed_build:
+                # Packed-column build (r5): bit-identical geometry in a
+                # TPU-friendly layout — the (N, K) polyline shapes pad
+                # their minor dim to 128 lanes and were the measured
+                # 44.5 ms "capsule part" of the seg4 trail build
+                # (capsules_from_vertex_columns docstring).
+                vcols, valid = trails_mod.velocity_trail_vertex_columns(
+                    positions, velocities, frame_index, sub,
+                    preset.trail_schedule)
+                parts.append(capsules_from_vertex_columns(
+                    vcols, [valid] * len(vcols), camera,
+                    preset.trail_radius,
+                    np.asarray(preset.trail_color, np.float32)))
+                per_point.append(len(vcols) - 1)
+                ends = None
+            else:
+                ends, valid = trails_mod.velocity_trails_sampled(
+                    positions, velocities, frame_index, sub,
+                    preset.trail_schedule)
+                vertex_valid = jnp.broadcast_to(valid[:, None],
+                                                ends.shape[:2])
+        if ends is not None:
+            parts.append(capsules_from_polylines(
+                ends, vertex_valid, camera, preset.trail_radius,
+                np.asarray(preset.trail_color, np.float32)))
+            per_point.append(ends.shape[1] - 1)
     elif preset.trail == "history" and history is not None \
             and history.shape[0] > 0:
         pts, valid, keep = trails_mod.catmull_rom_trails(history, positions)

@@ -551,3 +551,58 @@ def test_trail_segments_adaptive(small_camera):
                                                  cap_rows10=True,
                                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(i_p), i_o)
+
+
+def test_packed_capsule_build_bit_equal(small_camera):
+    """The packed-column capsule build (r5 layout optimization:
+    capsules_from_vertex_columns + velocity_trail_vertex_columns) is
+    BIT-identical to the polyline-shaped build on every soup field —
+    geometry, bbox, validity, colors, layout.  Covers the trail scene
+    (fixed k in {1, 4, 8}) and the droplet capsule-LOD scene (head +
+    tapered tail + fading trails)."""
+    import jax.numpy as jnp
+
+    from pointcloud_render_tpu.run.pipeline import build_primitives
+    from pointcloud_render_tpu.scene.camera import TARGETS, Camera
+
+    rng = np.random.default_rng(9)
+    n = 120
+    pos = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)
+    # A couple of degenerate rows: zero velocity (invalid trail) and a
+    # non-finite position (invalidated by the finiteness clause).
+    vel = vel.at[3].set(0.0)
+    pos = pos.at[7, 1].set(np.float32(np.nan))
+
+    cases = [("traj_ball", None, 1), ("traj_ball", None, 4),
+             ("traj_ball", None, 8), ("traj_vel", "capsule", 4)]
+    for preset_name, lod, segs in cases:
+        preset = PRESETS[preset_name]
+        cam = Camera(origin=np.array([2.0, 2.0, 2.2], np.float32),
+                     target=np.asarray(TARGETS[preset.camera_preset],
+                                       np.float32))
+        for fi in (60, 219):  # hold + fade phases
+            kw = dict(trail_segments=segs, return_layout=True)
+            if lod:
+                kw["droplet_lod"] = lod
+            sp, lp = build_primitives(preset, cam, pos, vel,
+                                      jnp.int32(fi), packed_build=True,
+                                      **kw)
+            so, lo = build_primitives(preset, cam, pos, vel,
+                                      jnp.int32(fi), packed_build=False,
+                                      **kw)
+            assert lp == lo
+            for field in ("params", "valid", "color", "kind", "normal"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(sp, field)),
+                    np.asarray(getattr(so, field)),
+                    err_msg=f"{preset_name} segs={segs} fi={fi} {field}")
+            # bbox: conservative binning bound, allowed a rounding
+            # error of drift across compilations (XLA fma contraction
+            # of the radius multiply — capsules_from_vertex_columns
+            # docstring; winner-safe while drift stays far under the
+            # 0.5 px gap to the nearest pixel center of a dropped tile).
+            bu = np.abs(np.asarray(sp.bbox) - np.asarray(so.bbox))
+            vm = np.asarray(sp.valid & so.valid)[:, None]
+            assert np.where(vm, bu, 0.0).max() < 0.01, (preset_name,
+                                                        segs, fi)

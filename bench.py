@@ -138,6 +138,13 @@ def _apply_tuned(args):
     args.trail_cap10 = {True: "on", False: "off"}.get(c10, c10)
     t3 = _t.fill(args.trail_three_tone, trail, "three_tone", "off")
     args.trail_three_tone = {True: "on", False: "off"}.get(t3, t3)
+    # Trail-lane kernel knobs (r5): the seg4 sweep measures tpp /
+    # dma_slots at the tuned trail soup, so the flagship lanes carry
+    # their own grid-fusion/ring-depth picks (exactness-neutral).
+    args.trail_tpp = _t.fill(getattr(args, "trail_tpp", None), trail,
+                             "tiles_per_program", 1)
+    args.trail_dma_slots = _t.fill(getattr(args, "trail_dma_slots", None),
+                                   trail, "dma_slots", 2)
     drop = t.get("droplet") or {}
     args.droplet_segments = _t.fill(args.droplet_segments, drop,
                                     "segments", None)
@@ -145,6 +152,10 @@ def _apply_tuned(args):
     args.droplet_cap10 = {True: "on", False: "off"}.get(d10, d10)
     d3 = _t.fill(args.droplet_three_tone, drop, "three_tone", "off")
     args.droplet_three_tone = {True: "on", False: "off"}.get(d3, d3)
+    args.droplet_tpp = _t.fill(getattr(args, "droplet_tpp", None), drop,
+                               "tiles_per_program", 1)
+    args.droplet_dma_slots = _t.fill(
+        getattr(args, "droplet_dma_slots", None), drop, "dma_slots", 2)
     if t:
         print(f"# tuned defaults applied ({_t.TUNED_PATH}): "
               f"{t.get('note', '')}", file=sys.stderr)
@@ -554,7 +565,10 @@ def _bench_trail_scene(args, positions):
                                                    "off") == "on",
                              span_arg=args.trail_span or "auto",
                              starts_method=getattr(
-                                 args, "trail_starts_method", "scan"))
+                                 args, "trail_starts_method", "scan"),
+                             tpp=getattr(args, "trail_tpp", 1) or 1,
+                             dma_slots=getattr(args, "trail_dma_slots",
+                                               2) or 2)
 
 
 def _bench_droplet_scene(args, positions):
@@ -572,13 +586,16 @@ def _bench_droplet_scene(args, positions):
                                            "off") == "on",
                              three_tone_on=getattr(args,
                                                    "droplet_three_tone",
-                                                   "off") == "on")
+                                                   "off") == "on",
+                             tpp=getattr(args, "droplet_tpp", 1) or 1,
+                             dma_slots=getattr(args, "droplet_dma_slots",
+                                               2) or 2)
 
 
 def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                       n_frames, trail_segments=None, cap10=False,
                       three_tone_on=False, span_arg="auto",
-                      starts_method="scan"):
+                      starts_method="scan", tpp=1, dma_slots=2):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
@@ -739,7 +756,12 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                           starts_method=starts_method,
                           cap_rows10=cap10,
                           row_budget=row_budget,
-                          three_tone=three_tone)
+                          three_tone=three_tone,
+                          tiles_per_program=tpp, dma_slots=dma_slots,
+                          # tpp > 1 rides the straight-line fori walk;
+                          # the generic span-2 soup would otherwise
+                          # auto-enable the depth exit and conflict.
+                          allow_exit=False if tpp > 1 else None)
 
     def episode(positions, velocities):
         def body(acc, fi):
@@ -861,6 +883,16 @@ def main():
                     help="per-kind-constant shade for the trail metric "
                          "(skips the O(P) preshade pass; default "
                          "tuned|off until measured on chip)")
+    ap.add_argument("--trail-tpp", type=int, default=None,
+                    help="trail lane tiles_per_program (grid fusion; "
+                         "tuned trail.tiles_per_program)")
+    ap.add_argument("--trail-dma-slots", type=int, default=None,
+                    help="trail lane DMA ring depth (tuned "
+                         "trail.dma_slots)")
+    ap.add_argument("--droplet-tpp", type=int, default=None,
+                    help="droplet lane tiles_per_program")
+    ap.add_argument("--droplet-dma-slots", type=int, default=None,
+                    help="droplet lane DMA ring depth")
     ap.add_argument("--droplet-segments", type=_seg_arg, default=None,
                     help="capsules per velocity trail for the DROPLET "
                          "metric (default tuned|pipeline's 8; geometry "

@@ -228,7 +228,19 @@ def pick_trail(records, log_text):
                  "three_tone": True},
              "bench trail adaptive cap10 3tone A/B": {
                  "segments": "adaptive", "cap_rows10": True,
-                 "three_tone": True}}
+                 "three_tone": True},
+             "bench trail seg4 cap10 3tone tpp2 A/B": {
+                 "segments": 4, "cap_rows10": True, "three_tone": True,
+                 "tiles_per_program": 2},
+             "bench trail seg4 cap10 3tone tpp4 A/B": {
+                 "segments": 4, "cap_rows10": True, "three_tone": True,
+                 "tiles_per_program": 4},
+             "bench trail seg4 cap10 3tone dma4 A/B": {
+                 "segments": 4, "cap_rows10": True, "three_tone": True,
+                 "dma_slots": 4},
+             "bench trail seg4 cap10 3tone tpp4 dma4 A/B": {
+                 "segments": 4, "cap_rows10": True, "three_tone": True,
+                 "tiles_per_program": 4, "dma_slots": 4}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     # Knobs with END-TO-END bench-line evidence (including a negative
@@ -310,6 +322,18 @@ DROPLET_FLAGS = {
         "segments": 4, "cap_rows10": True, "three_tone": True},
     "bench droplet adaptive cap10 3tone A/B": {
         "segments": "adaptive", "cap_rows10": True, "three_tone": True},
+    "bench droplet seg4 cap10 3tone tpp2 A/B": {
+        "segments": 4, "cap_rows10": True, "three_tone": True,
+        "tiles_per_program": 2},
+    "bench droplet seg4 cap10 3tone tpp4 A/B": {
+        "segments": 4, "cap_rows10": True, "three_tone": True,
+        "tiles_per_program": 4},
+    "bench droplet seg4 cap10 3tone dma4 A/B": {
+        "segments": 4, "cap_rows10": True, "three_tone": True,
+        "dma_slots": 4},
+    "bench droplet seg4 cap10 3tone tpp4 dma4 A/B": {
+        "segments": 4, "cap_rows10": True, "three_tone": True,
+        "tiles_per_program": 4, "dma_slots": 4},
 }
 
 

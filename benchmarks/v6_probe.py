@@ -103,6 +103,40 @@ def main():
         report(f"gather {p / 10**6:.1f}M x 64B near-id",
                timed("g", gath, table16, idx_l)[1])
 
+        # r5: decompose the cap10 rows stage (99 ms at the 6M-prim
+        # droplet frame = 16.5 ns/row vs the 9.7 ns/row bare-gather
+        # probe above): bare 40 B gather, + the packed (p/12, 120)
+        # reshape, + the 128-lane pad — is the pack relayout or the
+        # gather the cost?
+        table10 = jnp.asarray(rng.normal(size=(p + 1, 10)), jnp.float32)
+        pk = 12
+        p_pad = -(-p // pk) * pk
+        idx_pp = jnp.asarray(
+            np.pad(np.asarray(idx_p), (0, p_pad - p),
+                   constant_values=p).astype(np.int32))
+
+        def gath10(acc, t, i):
+            g = t[i + (acc > 1e30).astype(jnp.int32)]
+            return acc + g[0, 0] * 1e-9
+
+        def gath10_pack(acc, t, i):
+            g = t[i + (acc > 1e30).astype(jnp.int32)]
+            r = g.reshape(p_pad // pk, pk * 10)
+            return acc + r[0, 0] * 1e-9
+
+        def gath10_pad(acc, t, i):
+            g = t[i + (acc > 1e30).astype(jnp.int32)]
+            r = g.reshape(p_pad // pk, pk * 10)
+            r = jnp.pad(r, ((0, 0), (0, 128 - pk * 10)))
+            return acc + r[0, 0] * 1e-9
+
+        report(f"gather {p / 10**6:.1f}M x 40B (cap10 bare)",
+               timed("g", gath10, table10, idx_pp)[1])
+        report(f"gather {p / 10**6:.1f}M x 40B + pack reshape",
+               timed("g", gath10_pack, table10, idx_pp)[1])
+        report(f"gather {p / 10**6:.1f}M x 40B + pack + pad128",
+               timed("g", gath10_pad, table10, idx_pp)[1])
+
         ks = jnp.sort(k32)
         bounds = jnp.asarray((np.arange(8161, dtype=np.int32)) << 8)
 

@@ -145,6 +145,8 @@ def _apply_tuned(args):
                              "tiles_per_program", 1)
     args.trail_dma_slots = _t.fill(getattr(args, "trail_dma_slots", None),
                                    trail, "dma_slots", 2)
+    args.trail_chunk_rows = _t.fill(
+        getattr(args, "trail_chunk_rows", None), trail, "chunk_rows", None)
     drop = t.get("droplet") or {}
     args.droplet_segments = _t.fill(args.droplet_segments, drop,
                                     "segments", None)
@@ -156,6 +158,9 @@ def _apply_tuned(args):
                                "tiles_per_program", 1)
     args.droplet_dma_slots = _t.fill(
         getattr(args, "droplet_dma_slots", None), drop, "dma_slots", 2)
+    args.droplet_chunk_rows = _t.fill(
+        getattr(args, "droplet_chunk_rows", None), drop, "chunk_rows",
+        None)
     if t:
         print(f"# tuned defaults applied ({_t.TUNED_PATH}): "
               f"{t.get('note', '')}", file=sys.stderr)
@@ -568,7 +573,9 @@ def _bench_trail_scene(args, positions):
                                  args, "trail_starts_method", "scan"),
                              tpp=getattr(args, "trail_tpp", 1) or 1,
                              dma_slots=getattr(args, "trail_dma_slots",
-                                               2) or 2)
+                                               2) or 2,
+                             chunk_rows=getattr(args, "trail_chunk_rows",
+                                                None))
 
 
 def _bench_droplet_scene(args, positions):
@@ -589,13 +596,17 @@ def _bench_droplet_scene(args, positions):
                                                    "off") == "on",
                              tpp=getattr(args, "droplet_tpp", 1) or 1,
                              dma_slots=getattr(args, "droplet_dma_slots",
-                                               2) or 2)
+                                               2) or 2,
+                             chunk_rows=getattr(args,
+                                                "droplet_chunk_rows",
+                                                None))
 
 
 def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                       n_frames, trail_segments=None, cap10=False,
                       three_tone_on=False, span_arg="auto",
-                      starts_method="scan", tpp=1, dma_slots=2):
+                      starts_method="scan", tpp=1, dma_slots=2,
+                      chunk_rows=None):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
@@ -758,6 +769,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                           row_budget=row_budget,
                           three_tone=three_tone,
                           tiles_per_program=tpp, dma_slots=dma_slots,
+                          chunk_rows=chunk_rows,
                           # tpp > 1 rides the straight-line fori walk;
                           # the generic span-2 soup would otherwise
                           # auto-enable the depth exit and conflict.
@@ -889,10 +901,15 @@ def main():
     ap.add_argument("--trail-dma-slots", type=int, default=None,
                     help="trail lane DMA ring depth (tuned "
                          "trail.dma_slots)")
+    ap.add_argument("--trail-chunk-rows", type=int, default=None,
+                    help="trail lane binned-row DMA chunk (tuned "
+                         "trail.chunk_rows; cap10 rounds to pack 12)")
     ap.add_argument("--droplet-tpp", type=int, default=None,
                     help="droplet lane tiles_per_program")
     ap.add_argument("--droplet-dma-slots", type=int, default=None,
                     help="droplet lane DMA ring depth")
+    ap.add_argument("--droplet-chunk-rows", type=int, default=None,
+                    help="droplet lane binned-row DMA chunk")
     ap.add_argument("--droplet-segments", type=_seg_arg, default=None,
                     help="capsules per velocity trail for the DROPLET "
                          "metric (default tuned|pipeline's 8; geometry "

@@ -240,7 +240,13 @@ def pick_trail(records, log_text):
                  "dma_slots": 4},
              "bench trail seg4 cap10 3tone tpp4 dma4 A/B": {
                  "segments": 4, "cap_rows10": True, "three_tone": True,
-                 "tiles_per_program": 4, "dma_slots": 4}}
+                 "tiles_per_program": 4, "dma_slots": 4},
+             "bench trail seg4 cap10 3tone chunk512 A/B": {
+                 "segments": 4, "cap_rows10": True, "three_tone": True,
+                 "chunk_rows": 512},
+             "bench trail seg4 cap10 3tone chunk1024 A/B": {
+                 "segments": 4, "cap_rows10": True, "three_tone": True,
+                 "chunk_rows": 1024}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     # Knobs with END-TO-END bench-line evidence (including a negative
@@ -334,6 +340,9 @@ DROPLET_FLAGS = {
     "bench droplet seg4 cap10 3tone tpp4 dma4 A/B": {
         "segments": 4, "cap_rows10": True, "three_tone": True,
         "tiles_per_program": 4, "dma_slots": 4},
+    "bench droplet seg4 cap10 3tone chunk512 A/B": {
+        "segments": 4, "cap_rows10": True, "three_tone": True,
+        "chunk_rows": 512},
 }
 
 

@@ -62,6 +62,15 @@ step "bench droplet seg4 cap10 3tone chunk512 A/B" python bench.py $AB \
   --droplet-cap10 on --droplet-three-tone on \
   --droplet-chunk-rows 512
 
+# --- adaptive-vs-seg4 (queue F ran these but its log died with /tmp on
+# --- the session VM swap; the verdict needs committed evidence) -------
+step "bench trail adaptive cap10 3tone A/B" python bench.py $AB \
+  --trail-frames 24 --droplet-frames 0 --trail-segments adaptive \
+  --trail-span auto --trail-cap10 on --trail-three-tone on
+step "bench droplet adaptive cap10 3tone A/B" python bench.py $AB \
+  --trail-frames 0 --droplet-frames 12 --droplet-segments adaptive \
+  --droplet-cap10 on --droplet-three-tone on
+
 # --- distill winners (G shadows F per label) --------------------------
 cat /tmp/tpu_batch_g.log /tmp/tpu_batch_f.log > /tmp/tpu_batch_fg.log \
   2>/dev/null || true

@@ -137,6 +137,45 @@ def main():
         report(f"gather {p / 10**6:.1f}M x 40B + pack + pad128",
                timed("g", gath10_pad, table10, idx_pp)[1])
 
+        # r5b: cap8 candidate lanes.  The r5 decomposition above showed
+        # 40 B and 64 B rows gather at the same ~11 ns/row while 32 B
+        # rows ran 6.6 ns/row (XLA gathers in 32 B granules) — so an
+        # 8-float capsule row [x0, y0, ux, uy, rho0, rhod, z0, sdz]
+        # (idf rides the sort payload, which is ALREADY contiguous in
+        # sorted order) would roughly halve the rows stage.  Measure:
+        # the 32 B gather at the real v6 perm pattern, the pad-FREE
+        # (p/16, 128) pack (128 = 16 x 8 exactly), and the no-gather
+        # alternative of carrying all 8 columns through lax.sort.
+        p16 = -(-p // 16) * 16
+        idx_p16 = jnp.asarray(
+            np.pad(np.asarray(idx_p), (0, p16 - p),
+                   constant_values=p).astype(np.int32))
+
+        def gath8(acc, t, i):
+            g = t[i + (acc > 1e30).astype(jnp.int32)]
+            return acc + g[0, 0] * 1e-9
+
+        def gath8_pack(acc, t, i):
+            g = t[i + (acc > 1e30).astype(jnp.int32)]
+            r = g.reshape(p16 // 16, 128)
+            return acc + r[0, 0] * 1e-9
+
+        report(f"gather {p / 10**6:.1f}M x 32B perm (cap8)",
+               timed("g", gath8, table8, idx_p16)[1])
+        report(f"gather {p / 10**6:.1f}M x 32B + pack reshape",
+               timed("g", gath8_pack, table8, idx_p16)[1])
+
+        cols8 = tuple(jnp.asarray(rng.normal(size=p), jnp.float32)
+                      for _ in range(8))
+
+        def sortw(acc, k, v, *cols):
+            s = jax.lax.sort((k + acc.astype(jnp.int32), v) + cols,
+                             num_keys=1, is_stable=False)
+            return acc + s[2][0] * 1e-9
+
+        report(f"sort {p // 10**6}M i32+i32+8xf32 (carried rows)",
+               timed("sw", sortw, k32, pay1, *cols8)[1])
+
         ks = jnp.sort(k32)
         bounds = jnp.asarray((np.arange(8161, dtype=np.int32)) << 8)
 

@@ -93,23 +93,26 @@ ZQ = 8  # z-bucket bits in the int32 key (256 buckets)
 DEFAULT_CHUNK_ROWS = 256
 
 
-def _key_layout(num_tiles, span, with_z):
+def _key_layout(num_tiles, span, with_z, kind_split=False):
     """(dtype, shift) of the v6 sort key — shared by _bin_csr6 and the
     range-starts bounds so they can never disagree.  with_z packs the
     exit's z-bucket into the low ZQ bits (int32); exit-off walks need
     no z, and the bare (anchor, class) ordinal fits int16 at 1080p
     grids (<= 32642 values) — i16-key unstable sorts run ~1.5x the i32
-    rate (KERNEL_NOTES: v3's measured int16-key lever)."""
+    rate (KERNEL_NOTES: v3's measured int16-key lever).  kind_split
+    (rows8) doubles the ordinal space: all discs sort before all
+    capsules so each region walks its own kind-specialized row body."""
     if with_z:
         return np.int32, ZQ
     k2 = span * span
-    fits16 = num_tiles * k2 + 2 <= np.iinfo(np.int16).max
+    factor = 2 if kind_split else 1
+    fits16 = factor * num_tiles * k2 + 2 <= np.iinfo(np.int16).max
     return (np.int16 if fits16 else np.int32), 0
 
 
 def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
               max_big=DEFAULT_MAX_BIG, bin_triangles=False,
-              discs_only=False, span=2, with_z=True):
+              discs_only=False, span=2, with_z=True, kind_split=False):
     """Per-prim (anchor, class, z-bucket) int32 keys + UNSTABLE sort.
 
     ``span``: prims whose bbox covers <= span x span tiles are binned
@@ -170,8 +173,12 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     # scale; "every scatter is a sort in disguise", KERNEL_NOTES r3).
     # Big order is arbitrary (unstable sort) — exact under the per-pair
     # (depth, id) tie-break.
-    kdtype, shift = _key_layout(num_tiles, span, with_z)
-    sent_big = kdtype((num_tiles * span * span) << shift)
+    if kind_split and (with_z or discs_only or bin_triangles):
+        raise ValueError("kind_split serves the exit-off rows8 mixed "
+                         "soup (discs + capsules) only")
+    factor = 2 if kind_split else 1
+    kdtype, shift = _key_layout(num_tiles, span, with_z, kind_split)
+    sent_big = kdtype((factor * num_tiles * span * span) << shift)
     sent_invalid = kdtype(sent_big + (1 << shift))
 
     if with_z:
@@ -190,6 +197,11 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     else:
         zmeta = jnp.zeros((3,), jnp.float32)
         base = anchor * (span * span) + cls
+    if kind_split:
+        # Capsules into the upper ordinal region: the per-tile walk then
+        # streams its disc ranges and its capsule ranges separately.
+        base = base + jnp.where(prims.kind == KIND_CAPSULE,
+                                num_tiles * span * span, 0)
 
     key = jnp.where(is_small, base.astype(kdtype),
                     jnp.where(is_big, sent_big, sent_invalid))
@@ -309,6 +321,100 @@ def _make_row_body10(scr, slot, nchains, qx, qy):
     return row_body
 
 
+def _row8_addr(m, br):
+    """Scratch addressing of the rows8 interleaved layout: 9 scratch
+    rows per 128 entries — 8 packed 16-entry rows followed by 1 idf
+    row (idf = the sort payload as f32, NO gather: it is already
+    contiguous in sorted order).  ``m`` is the walk start's packed-row
+    offset within its group ((g0 // 16) % 8), ``br`` the fori packed-row
+    counter; returns (row-slab row, idf row, idf lane base)."""
+    j = m + br
+    g8 = j // 8
+    j8 = jax.lax.rem(j, 8)
+    return g8 * 9 + j8, g8 * 9 + 8, j8 * 16
+
+
+def _make_row_body8d(scr, slot, nchains, qx, qy, m):
+    """rows8 DISC body: same eval/reads as _make_row_body8 (idf rides
+    in-row lane 4), remapped through the interleaved layout.  Capsule
+    strangers at the region boundary are inert BY ENCODING: their lane 3
+    holds -rho0 < 0 (never a valid r^2), so cov is false everywhere;
+    NaN (invalid/pad) rows fail every compare."""
+
+    def row_body(br, c2):
+        out = list(c2)
+        sr, _, _ = _row8_addr(m, br)
+        for u in range(PACK_DISC):
+            lane = u * ROW_F_DISC
+            px = scr[slot, sr, lane]
+            py = scr[slot, sr, lane + 1]
+            z = scr[slot, sr, lane + 2]
+            r2 = scr[slot, sr, lane + 3]
+            idf = scr[slot, sr, lane + 4]
+            ch = u % nchains
+            d0, di = out[2 * ch], out[2 * ch + 1]
+            dx = qx - px
+            dy = qy - py
+            cov = dx * dx + dy * dy <= r2
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[2 * ch] = jnp.where(better, z, d0)
+            out[2 * ch + 1] = jnp.where(better, idf, di)
+        return tuple(out)
+
+    return row_body
+
+
+def _make_row_body8c(scr, slot, nchains, qx, qy, m):
+    """rows8 CAPSULE body: the renormalized segment-frame eval on
+    8-float rows [x0, y0, ux, -rho0, uy, rhod, z0, sdz] with
+    ux = sdx*il2, uy = sdy*il2, rho = r*sqrt(il2) — the point-to-segment
+    test divided through by the axis length, so the row fits ONE 32 B
+    gather granule (v6_probe r5: 40 B and 64 B rows gather at the same
+    ~11 ns/row; 32 B at ~6.6).  idf comes from the interleaved sort-
+    payload lanes.  Same geometry as _make_row_body10, different f32
+    rounding — a certified-fidelity mode, NOT bit-compatible with cap10
+    (see rasterize_reference capsule_eval='cap8' for the oracle twin).
+
+    Inertness (cov false everywhere) holds for: NaN rows (compares
+    fail); DISC strangers (lane 5 = 0 so rad = t*0 - r^2 <= -0, and the
+    coverage test requires STRICTLY rad > 0 — also why a valid capsule
+    must project with r0 > 0, which screen projection guarantees for
+    positive world radii)."""
+
+    def row_body(br, c2):
+        out = list(c2)
+        sr, ir, lb = _row8_addr(m, br)
+        for u in range(PACK_DISC):
+            lane = u * ROW_F_DISC
+            x0 = scr[slot, sr, lane]
+            y0 = scr[slot, sr, lane + 1]
+            ux = scr[slot, sr, lane + 2]
+            nr0 = scr[slot, sr, lane + 3]
+            uy = scr[slot, sr, lane + 4]
+            rhod = scr[slot, sr, lane + 5]
+            z0 = scr[slot, sr, lane + 6]
+            sdz = scr[slot, sr, lane + 7]
+            idf = scr[slot, ir, lb + u]
+            ch = u % nchains
+            d0, di = out[2 * ch], out[2 * ch + 1]
+            dx = qx - x0
+            dy = qy - y0
+            a = dx * ux + dy * uy
+            g = dy * ux - dx * uy
+            t = jnp.clip(a, 0.0, 1.0)
+            am = a - t
+            d2 = am * am + g * g
+            rad = rhod * t - nr0
+            z = z0 + sdz * t
+            cov = (d2 <= rad * rad) & (rad > 0)
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[2 * ch] = jnp.where(better, z, d0)
+            out[2 * ch + 1] = jnp.where(better, idf, di)
+        return tuple(out)
+
+    return row_body
+
+
 def _make_row_body8_uv(scr, slot, nchains, qx, qy):
     """``_make_row_body8`` with the winner's lambert plane coordinates
     carried through the merge.  Rows [px, py, z, r^2, idf, inv_r, 0, 0]
@@ -409,7 +515,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, num_tiles, with_triangles=False,
                   big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2,
                   dma_slots=2, big_resident=False, fused_uv=False,
-                  tiles_per_program=1):
+                  tiles_per_program=1, rows8=False):
     k2 = span * span
     pack = 128 // row_f
     assert chunk_rows % pack == 0
@@ -417,6 +523,8 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
     assert not (fused_uv and allow_exit)
     assert not (allow_exit and row_f == ROW_F_CAP)  # no zlb lane
     assert tiles_per_program == 1 or not allow_exit
+    assert not (rows8 and (allow_exit or fused_uv or row_f != ROW_F_DISC))
+    n_bounds = (2 if rows8 else 1) * k2 * num_tiles
 
     def kernel(starts_ref,  # scalar prefetch: (k2*T+2,) i32; [-1] = big n
                rows_hbm,  # (P_pad/8, 128) f32 in ANY/HBM, anchor-sorted
@@ -433,7 +541,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         big_scratch = rest[2] if not big_resident else None
         big_sems = rest[3] if not big_resident else None
         pid = pl.program_id(0)
-        big_n = starts_ref[k2 * num_tiles + 1]
+        big_n = starts_ref[n_bounds + 1]
 
         # Grid fusion: one program renders ``tiles_per_program``
         # consecutive tiles (Python-unrolled below), amortizing the
@@ -444,7 +552,8 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         run_tile = _make_tile_body(
             tiles_x, tile_h, tile_w, unroll, n_chunk_block, chunk_rows,
             allow_exit, num_tiles, with_triangles, big_chunk, row_f,
-            span, dma_slots, big_resident, fused_uv, tiles_per_program)
+            span, dma_slots, big_resident, fused_uv, tiles_per_program,
+            rows8=rows8)
 
         for g in range(tiles_per_program):
             if num_tiles % tiles_per_program == 0:
@@ -473,12 +582,19 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                     chunk_rows, allow_exit, num_tiles, with_triangles,
                     big_chunk, row_f, span, dma_slots, big_resident,
-                    fused_uv, tiles_per_program):
+                    fused_uv, tiles_per_program, rows8=False):
     """The per-tile walk of the v6 kernel (see _make_kernel6): bin
-    ranges -> flat chunk schedule -> DMA ring -> row eval -> out[g]."""
+    ranges -> flat chunk schedule -> DMA ring -> row eval -> out[g].
+
+    ``rows8``: kind-split interleaved 8-float rows — the schedule walks
+    the tile's DISC ranges first, then its CAPSULE ranges (the kind-
+    split sort regions), each through its own row body; the DMA ring is
+    kind-agnostic (same rows array, same chunk shape), so prefetching
+    flows across the kind boundary untouched."""
     k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
+    assert not (rows8 and allow_exit)
 
     def run_tile(g, pid, big_n, starts_ref, rows_hbm, big_hbm, zmeta_ref,
                  depth_out, idf_out, u_out, v_out, scratch, sems,
@@ -514,46 +630,58 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             range boundaries without a per-range restart stall.
             Parameterized by t so a tile can also compute its RIGHT
             neighbor's first chunk (cross-tile prefetch below)."""
-            def rng(anchor, c_lo, c_hi, ok):
+            def rng(anchor, c_lo, c_hi, ok, reg=0):
                 a = jnp.maximum(anchor, 0)
-                s = starts_ref[k2 * a + c_lo]
-                n = starts_ref[k2 * a + c_hi] - s
+                s = starts_ref[reg + k2 * a + c_lo]
+                n = starts_ref[reg + k2 * a + c_hi] - s
                 return s, jnp.where(ok, n, 0)
 
-            if span == 2:
-                left = tx_ >= 1
-                up = ty_ >= 1
-                both = left & up
-                if allow_exit:
-                    ranges = [rng(t, c, c + 1, True) for c in range(4)]
-                    ranges += [
-                        rng(t - 1, 1, 2, left),
-                        rng(t - 1, 2, 3, left),
-                        rng(t - tiles_x, 2, 3, up),
-                        rng(t - tiles_x, 3, 4, up),
-                        rng(t - tiles_x - 1, 2, 3, both),
-                    ]
+            def kind_ranges(reg):
+                if span == 2:
+                    left = tx_ >= 1
+                    up = ty_ >= 1
+                    both = left & up
+                    if allow_exit:
+                        rs = [rng(t, c, c + 1, True, reg)
+                              for c in range(4)]
+                        rs += [
+                            rng(t - 1, 1, 2, left, reg),
+                            rng(t - 1, 2, 3, left, reg),
+                            rng(t - tiles_x, 2, 3, up, reg),
+                            rng(t - tiles_x, 3, 4, up, reg),
+                            rng(t - tiles_x - 1, 2, 3, both, reg),
+                        ]
+                    else:
+                        rs = [
+                            rng(t, 0, 4, True, reg),
+                            rng(t - 1, 1, 3, left, reg),
+                            rng(t - tiles_x, 2, 4, up, reg),
+                            rng(t - tiles_x - 1, 2, 3, both, reg),
+                        ]
                 else:
-                    ranges = [
-                        rng(t, 0, 4, True),
-                        rng(t - 1, 1, 3, left),
-                        rng(t - tiles_x, 2, 4, up),
-                        rng(t - tiles_x - 1, 2, 3, both),
-                    ]
+                    rs = [rng(t, 0, k2, True, reg)]
+                    for dy in range(span):
+                        for dx in range(span):
+                            if dx == 0 and dy == 0:
+                                continue
+                            a = t - dy * tiles_x - dx
+                            ok = (tx_ >= dx) & (ty_ >= dy)
+                            if dx == 0:
+                                rs.append(rng(a, dy * span, k2, ok, reg))
+                            else:
+                                for cy in range(dy, span):
+                                    rs.append(rng(a, cy * span + dx,
+                                                  cy * span + span, ok,
+                                                  reg))
+                return rs
+
+            if rows8:
+                disc_ranges = kind_ranges(0)
+                ranges = disc_ranges + kind_ranges(k2 * num_tiles)
+                n_disc_ranges = len(disc_ranges)
             else:
-                ranges = [rng(t, 0, k2, True)]
-                for dy in range(span):
-                    for dx in range(span):
-                        if dx == 0 and dy == 0:
-                            continue
-                        a = t - dy * tiles_x - dx
-                        ok = (tx_ >= dx) & (ty_ >= dy)
-                        if dx == 0:
-                            ranges.append(rng(a, dy * span, k2, ok))
-                        else:
-                            for cy in range(dy, span):
-                                ranges.append(rng(a, cy * span + dx,
-                                                  cy * span + span, ok))
+                ranges = kind_ranges(0)
+                n_disc_ranges = len(ranges)
 
             ncs = [pl.cdiv(n, chunk_rows) for _, n in ranges]
             cums = []
@@ -562,6 +690,7 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                 acc = acc + nc
                 cums.append(acc)
             total_chunks = cums[-1]
+            disc_chunks = cums[n_disc_ranges - 1]
 
             def locate(ci):
                 """ci -> (g0 entry offset, mc live entries, next_cum)."""
@@ -576,13 +705,21 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                     nxt = jnp.where(inr, cums[r], nxt)
                 return g0, jnp.minimum(mc, chunk_rows), nxt
 
-            return locate, total_chunks
+            return locate, total_chunks, disc_chunks
 
-        locate, total_chunks = schedule_for(tile, tx, ty)
+        locate, total_chunks, disc_chunks = schedule_for(tile, tx, ty)
+
+        def rows_base(g0):
+            # rows8: the interleaved array is addressed in 9-row GROUPS
+            # of 128 entries (8 packed rows + the idf row); a chunk's
+            # DMA starts at its walk start's group.
+            if rows8:
+                return ((g0 // pack) // 8) * 9
+            return g0 // pack
 
         def start_dma(slot, g0):
             pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(g0 // pack, n_chunk_block), :],
+                rows_hbm.at[pl.ds(rows_base(g0), n_chunk_block), :],
                 scratch.at[slot],
                 sems.at[slot],
             ).start()
@@ -590,7 +727,7 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         def get_dma(slot, ci):
             g0, _, _ = locate(ci)
             return pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(g0 // pack, n_chunk_block), :],
+                rows_hbm.at[pl.ds(rows_base(g0), n_chunk_block), :],
                 scratch.at[slot],
                 sems.at[slot],
             )
@@ -660,7 +797,13 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                 accs += [inf, emp]
         init = tuple(accs)
 
-        def make_body_fn(slot):
+        def make_body_fn(slot, g0=None, cap=False):
+            if rows8:
+                m = jax.lax.rem(g0 // pack, 8)
+                if cap:
+                    return _make_row_body8c(scratch, slot, unroll,
+                                            qx, qy, m)
+                return _make_row_body8d(scratch, slot, unroll, qx, qy, m)
             if fused_uv:
                 return _make_row_body8_uv(scratch, slot, unroll, qx, qy)
             if row_f == ROW_F:
@@ -675,22 +818,35 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             # an n-slot DMA ring (slot = ci % n; chunks ci..ci+n-1 in
             # flight) — no jump bookkeeping, and the static trip
             # structure lets Mosaic pipeline the chunk loop.
-            def chunk_body(ci, accs_in):
-                slot = jax.lax.rem(ci, n_slots)
+            def chunk_body_for(cap):
+                def chunk_body(ci, accs_in):
+                    slot = jax.lax.rem(ci, n_slots)
 
-                @pl.when(ci + n_slots - 1 < total_chunks)
-                def _():
-                    get_dma(jax.lax.rem(ci + n_slots - 1, n_slots),
-                            ci + n_slots - 1).start()
+                    @pl.when(ci + n_slots - 1 < total_chunks)
+                    def _():
+                        get_dma(jax.lax.rem(ci + n_slots - 1, n_slots),
+                                ci + n_slots - 1).start()
 
-                get_dma(slot, ci).wait()
-                g0, mc, _ = locate(ci)
-                o0 = jax.lax.rem(g0, pack)
-                n_rows = (o0 + mc + (pack - 1)) // pack
-                return jax.lax.fori_loop(0, n_rows, make_body_fn(slot),
-                                         accs_in)
+                    get_dma(slot, ci).wait()
+                    g0, mc, _ = locate(ci)
+                    o0 = jax.lax.rem(g0, pack)
+                    n_rows = (o0 + mc + (pack - 1)) // pack
+                    return jax.lax.fori_loop(
+                        0, n_rows, make_body_fn(slot, g0, cap), accs_in)
+                return chunk_body
 
-            out = jax.lax.fori_loop(0, total_chunks, chunk_body, init)
+            if rows8:
+                # Two-phase walk over ONE flat schedule: chunks
+                # [0, disc_chunks) are disc ranges, the rest capsule
+                # ranges.  The ring prefetch inside each body is
+                # kind-agnostic, so the boundary costs nothing.
+                out = jax.lax.fori_loop(0, disc_chunks,
+                                        chunk_body_for(False), init)
+                out = jax.lax.fori_loop(disc_chunks, total_chunks,
+                                        chunk_body_for(True), out)
+            else:
+                out = jax.lax.fori_loop(0, total_chunks,
+                                        chunk_body_for(False), init)
         else:
             zmin = zmeta_ref[0, 0]
             zs = zmeta_ref[0, 1]
@@ -783,8 +939,8 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             # are clamped so the last tile stays in bounds; its start
             # is predicated off.
             tn = jnp.minimum(tile + 1, num_tiles - 1)
-            loc_n, total_n = schedule_for(tn, jax.lax.rem(tn, tiles_x),
-                                          tn // tiles_x)
+            loc_n, total_n, _ = schedule_for(tn, jax.lax.rem(tn, tiles_x),
+                                             tn // tiles_x)
 
             @pl.when((tile + 1 < num_tiles) & (total_n > 0))
             def _():
@@ -799,7 +955,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   discs_only=False, allow_exit=None, span=2,
                   dma_slots=2, fused_uv=False, tiles_per_program=1,
                   starts_method="scan", cap_rows10=False,
-                  row_budget=None):
+                  row_budget=None, rows8=False):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners); ``table16``
@@ -822,6 +978,16 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         raise ValueError("cap_rows10 rows have no triangle lanes — "
                          "triangles must ride the big list "
                          "(bin_triangles=False)")
+    if rows8:
+        if cap_rows10 or discs_only or bin_triangles or fused_uv:
+            raise ValueError(
+                "rows8 is the kind-split narrow-row mode for mixed "
+                "disc+capsule soups: mutually exclusive with cap_rows10 "
+                "/ discs_only / bin_triangles / fused_uv")
+        if allow_exit:
+            raise ValueError("rows8 rows carry no zlb lane — "
+                             "allow_exit must be off")
+        allow_exit = False
     if allow_exit is None:
         # Measured policy (benchmarks/kernel6_sweep.py): the per-range
         # exit WINS 13% on the deep-run trail scene but LOSES ~1 ms on
@@ -865,7 +1031,9 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     k2 = span * span
-    if (num_tiles * k2 + 2) << (ZQ if allow_exit else 0) >= (1 << 31):
+    factor = 2 if rows8 else 1
+    if (factor * num_tiles * k2 + 2) << (ZQ if allow_exit else 0) \
+            >= (1 << 31):
         raise ValueError("tile grid too large for the int32 v6 key")
 
     # Exit-off walks need no z-buckets in the keys (_bin_csr6 with_z
@@ -874,12 +1042,15 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         _bin_csr6(
             prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
             max_big=max_big, bin_triangles=bin_triangles,
-            discs_only=discs_only, span=span, with_z=allow_exit)
+            discs_only=discs_only, span=span, with_z=allow_exit,
+            kind_split=rows8)
 
     # (anchor, class) boundaries: B[j] = first sorted position with
-    # anchor*k2+cls >= j.  B[k2*T] = number of binned prims.
-    kdtype, kshift = _key_layout(num_tiles, span, allow_exit)
-    bounds = (np.arange(num_tiles * k2 + 1,
+    # anchor*k2+cls >= j.  B[k2*T] = number of binned prims (2x the
+    # ordinal space under rows8's kind-split regions).
+    kdtype, kshift = _key_layout(num_tiles, span, allow_exit,
+                                 kind_split=rows8)
+    bounds = (np.arange(factor * num_tiles * k2 + 1,
                         dtype=np.int64) << kshift).astype(kdtype)
     # method: integer searchsorted is method-invariant (side='left'),
     # so this is a pure perf knob — 'scan' costs ~320 ns/bound (8k-32k
@@ -890,7 +1061,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     # Entry count (sum over tiles of range lengths = per-class tile
     # coverage) — reported for observability/tests, not a precondition.
     cls_counts = starts[1:] - starts[:-1]
-    c = cls_counts.reshape(num_tiles, k2)
+    c = cls_counts.reshape(factor * num_tiles, k2)
     if span == 2:
         # Reordered ordinals (0=none, 1=x, 2=both, 3=y) -> tile coverage.
         w_cls = np.asarray([1, 2, 4, 2], np.int32)
@@ -917,15 +1088,22 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     else:
         n_rows = p
         diag["row_overflow"] = jnp.zeros((), jnp.int32)
-    row_f = (ROW_F_DISC if discs_only
+    row_f = (ROW_F_DISC if (discs_only or rows8)
              else ROW_F_CAP if cap_rows10 else ROW_F)
     pack = 128 // row_f
+    if rows8 and chunk_rows % 128:
+        # The interleaved idf lanes are addressed in 128-entry groups.
+        chunk_rows = max(128, chunk_rows // 128 * 128)
     if chunk_rows % pack:
         # pack=12 (cap_rows10) does not divide the power-of-two
         # defaults — round the chunk DOWN to a pack multiple (252 for
         # 256; a pure DMA-granularity change, winners unaffected).
         chunk_rows = max(pack, chunk_rows // pack * pack)
     p_pad = -(-(n_rows + chunk_rows + pack) // chunk_rows) * chunk_rows
+    if rows8:
+        # Two slack groups: a chunk's group-aligned DMA window reaches
+        # up to 128 entries past the packed-row window's end.
+        p_pad += 256
 
     big_chunk = DEFAULT_BIG_CHUNK
     big = big_ids.shape[0]
@@ -952,6 +1130,56 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         # Only the big list needs 16-float rows here: build them at the
         # big ids directly instead of materializing the whole P x 16
         # table (a ~P*64 B write per frame saved; bit-equal rows).
+        table16 = None
+        big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
+                                       big_ids_p,
+                                       bin_triangles=bin_triangles)
+    elif rows8:
+        # Kind-split dual-encoding 8-float rows (ONE 32 B gather
+        # granule per row — v6_probe r5 measured 40 B and 64 B gathers
+        # at the same ~11 ns/row vs ~6.6 for 32 B):
+        #   DISC    [px, py, z, r^2, idf, 0, 0, 0]  (_make_row_body8d)
+        #   CAPSULE [x0, y0, ux, -rho0, uy, rhod, z0, sdz]
+        #           (_make_row_body8c; ux = sdx*il2, rho = r*sqrt(il2))
+        # Invalid and pad rows are NaN (every compare fails); the
+        # cross-kind stranger encodings are mutually inert (lane 3 is
+        # -rho0 < 0 under the disc body's r^2 test; rhod*t - r^2 <= -0
+        # fails the capsule body's strict rad > 0).  idf lanes ride the
+        # interleaved layout from the sort payload — no gather at all.
+        pk = prims.params
+        il2 = pk[:, 8]
+        il = jnp.sqrt(il2)
+        iscap = prims.kind == KIND_CAPSULE
+        r = pk[:, 3]
+        idf_col = jnp.arange(p, dtype=jnp.float32)
+        table8 = jnp.stack([
+            pk[:, 0],
+            pk[:, 1],
+            jnp.where(iscap, pk[:, 4] * il2, pk[:, 2]),
+            jnp.where(iscap, -(r * il), r * r),
+            jnp.where(iscap, pk[:, 5] * il2, idf_col),
+            jnp.where(iscap, pk[:, 7] * il, 0.0),
+            jnp.where(iscap, pk[:, 2], 0.0),
+            jnp.where(iscap, pk[:, 6], 0.0),
+        ], axis=1)
+        nanf = np.float32(np.nan)
+        table8 = jnp.where(prims.valid[:, None], table8, nanf)
+        table8 = jnp.pad(table8, ((0, 1), (0, 0)), constant_values=nanf)
+        # Mask sorted positions past the binned prefix to the NaN pad
+        # row BEFORE the gather: the last capsule range's stranger
+        # window can reach into the big-prim region of the sorted
+        # order, and a big capsule's row is a VALID cap8 row — the
+        # cap10/cap16 modes tolerate that duplicate because their
+        # stranger eval is bit-identical to the big-list eval, but
+        # rows8's renormalized eval is not (1-ulp depth skew, caught
+        # by the permutation-invariance test).
+        live = jnp.arange(p_pad, dtype=jnp.int32) < n_small
+        prims_masked = jnp.where(live, prims_p, p)
+        g8 = table8[prims_masked].reshape(p_pad // 128, 8, 128)
+        idf_lanes = prims_masked.astype(jnp.float32) \
+            .reshape(p_pad // 128, 1, 128)
+        rows = jnp.concatenate([g8, idf_lanes], axis=1) \
+            .reshape(p_pad // 128 * 9, 128)
         table16 = None
         big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
                                        big_ids_p,
@@ -991,7 +1219,12 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     scalars = jnp.concatenate([
         starts, jnp.minimum(big_count, big)[None].astype(jnp.int32)])
 
-    n_chunk_block = chunk_rows // pack + 1
+    if rows8:
+        # Group-aligned DMA: (chunk + one boundary group) x 9 rows
+        # (8 packed + 1 idf per 128 entries).
+        n_chunk_block = (chunk_rows // 128 + 1) * 9
+    else:
+        n_chunk_block = chunk_rows // pack + 1
     n_slots = 2 if allow_exit else dma_slots
 
     big_spec = (pl.BlockSpec((1, big_pad // PACK, 128),
@@ -1031,7 +1264,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                            with_triangles=bin_triangles,
                            big_chunk=big_chunk, row_f=row_f, span=span,
                            dma_slots=dma_slots, big_resident=big_resident,
-                           fused_uv=fused_uv, tiles_per_program=tpp)
+                           fused_uv=fused_uv, tiles_per_program=tpp,
+                           rows8=rows8)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1093,7 +1327,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           tiles_per_program: int = 1,
                           starts_method: str = "scan",
                           cap_rows10: bool = False,
-                          row_budget=None):
+                          row_budget=None, rows8: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -1106,7 +1340,13 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
     the GENERIC soup's binned rows to 10 floats (12 per 128-lane row;
     requires bin_triangles=False and forces the depth exit off) — same
     winners, ~37% fewer row-gather/DMA bytes and no (P+1, 16) table
-    materialization.
+    materialization.  ``rows8`` narrows further to kind-split 8-float
+    rows (one 32 B gather granule; idf rides the sort payload) — discs
+    stay bit-exact, binned capsules evaluate the renormalized
+    segment-frame expressions (same geometry, ULP-level f32 rounding
+    drift, certified through the same fidelity gate as the
+    segment-count knob; oracle twin: rasterize_reference
+    capsule_eval='cap8').
     """
     zeros3 = jnp.zeros((prims.count, 3), jnp.float32)
     zerosf = jnp.zeros((prims.count,), jnp.float32)
@@ -1117,7 +1357,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         allow_exit=allow_exit, span=span, dma_slots=dma_slots,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
-        row_budget=row_budget)
+        row_budget=row_budget, rows8=rows8)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -1218,7 +1458,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        tiles_per_program: int = 1,
                        starts_method: str = "scan",
                        cap_rows10: bool = False,
-                       three_tone=None, row_budget=None):
+                       three_tone=None, row_budget=None,
+                       rows8: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -1263,7 +1504,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         dma_slots=dma_slots, fused_uv=fused,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
-        row_budget=row_budget)
+        row_budget=row_budget, rows8=rows8)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

@@ -80,6 +80,11 @@ class RasterConfig:
     # (12 rows per 128-lane VREG; forces the depth exit off; requires
     # bin_triangles=False).  Same winners, ~37% fewer row bytes.
     cap_rows10: bool = False
+    # pallas6 kind-split 8-float rows (one 32 B gather granule; idf
+    # rides the sort payload).  Discs bit-exact; binned capsules use
+    # the renormalized eval — certified-fidelity mode, NOT bit-equal
+    # to cap10/cap16 (oracle twin: rasterize_reference cap8).
+    rows8: bool = False
     # pallas6: static cap on the sorted-order row gather — soups with
     # large INVALID tails (adaptive trails) only need rows for the
     # binned prefix.  Exact iff every frame's binned count stays <=
@@ -134,7 +139,7 @@ def _v6_tiles_per_program(config) -> int:
     that flips the exit policy, as cap_rows10 did, is added here once).
     """
     if (config.discs_only or config.span != 2 or config.cap_rows10
-            or config.allow_exit is False):
+            or config.rows8 or config.allow_exit is False):
         return config.tiles_per_program
     return 1
 
@@ -211,6 +216,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
 
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
+            rows8=config.rows8,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
@@ -261,6 +267,7 @@ def render(prims: ScreenPrimitives, camera,
 
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
+            rows8=config.rows8,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None

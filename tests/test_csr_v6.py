@@ -919,3 +919,191 @@ class TestRowBudget:
                                        row_budget=soup.count + 999, **kw)
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def _rows8_soup(cam, n=300, trails=40, seed=7, with_big=True,
+                with_invalid=True):
+    """Mixed soup for the rows8 mode: discs + short capsule trails +
+    (optionally) long big-list capsules and invalid segments + the
+    ground triangles — every routing class the kind-split walk serves."""
+    rng = np.random.default_rng(seed)
+    discs = random_cloud_prims(cam, n=n, radius=0.025, seed=seed)
+    pts = rng.uniform(-0.4, 0.4, size=(trails, 5, 3)).astype(np.float32)
+    vv = np.ones((trails, 5), bool)
+    if with_invalid:
+        vv[rng.uniform(size=vv.shape) < 0.15] = False
+    caps = capsules_from_polylines(
+        jnp.asarray(pts), vv, cam, 0.003,
+        np.array([0.2, 1.0, 0.4], np.float32))
+    parts = [ground_plane(cam, 10.0, (0, 0, -0.5)), discs, caps]
+    if with_big:
+        long_poly = np.array(
+            [[[-0.6, -0.6, 0.0], [0.6, 0.6, 0.1]],
+             [[-0.6, 0.6, -0.1], [0.6, -0.6, 0.2]]], np.float32)
+        parts.append(capsules_from_polylines(
+            jnp.asarray(long_poly), np.ones((2, 2), bool), cam, 0.01,
+            np.array([0.1, 0.9, 0.1], np.float32)))
+    return ScreenPrimitives.concatenate(parts)
+
+
+def _assert_matches_cap8_oracle(soup, span=2, **kw):
+    """rows8 contract: winners exactly match the cap8 oracle (which
+    routes binned capsules through the renormalized eval and big
+    capsules/discs through the default one, exactly as the kernel
+    does); disc depth bit-exact; capsule depth within the repo's
+    FMA-contraction caveat; triangles within the 1/iz division drift."""
+    host = to_host(soup)
+    d_o, i_o = cpu_reference.rasterize_reference(
+        host, W, H, capsule_eval="cap8", span=span)
+    assert (i_o >= 0).any(), "empty render — the comparison is vacuous"
+    d_p, i_p = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                     rows8=True, span=span, **kw)
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    np.testing.assert_array_equal(i_p, i_o)
+    hit = i_p >= 0
+    kind_img = np.where(hit, np.asarray(host.kind)[i_p.clip(0)], -1)
+    disc_px = kind_img == 0
+    np.testing.assert_array_equal(d_p[disc_px], d_o[disc_px])
+    rest = hit & ~disc_px
+    np.testing.assert_allclose(d_p[rest], d_o[rest], rtol=2e-5)
+
+
+class TestRows8:
+    """Kind-split 8-float rows (one 32 B gather granule, idf from the
+    sort payload).  Discs stay bit-exact; binned capsules use the
+    renormalized segment-frame eval whose oracle twin is
+    rasterize_reference(capsule_eval='cap8') — a certified-fidelity
+    mode, gated like the segment-count knob (benchmarks/pick_tuned)."""
+
+    def test_rows8_matches_cap8_oracle_span2(self):
+        _assert_matches_cap8_oracle(_rows8_soup(make_camera()))
+
+    def test_rows8_matches_cap8_oracle_span4(self):
+        _assert_matches_cap8_oracle(_rows8_soup(make_camera(), seed=11),
+                                    span=4)
+
+    def test_rows8_single_kind_soups(self):
+        # Empty capsule region (discs only) and empty disc region
+        # (capsules only): one of the two kind walks is a no-op.
+        cam = make_camera()
+        discs_only_soup = ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)),
+             random_cloud_prims(cam, n=200, radius=0.03, seed=3)])
+        _assert_matches_cap8_oracle(discs_only_soup)
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-0.4, 0.4, size=(50, 5, 3)).astype(np.float32)
+        caps_soup = ScreenPrimitives.concatenate(
+            [ground_plane(cam, 10.0, (0, 0, -0.5)),
+             capsules_from_polylines(jnp.asarray(pts),
+                                     np.ones((50, 5), bool), cam, 0.004,
+                                     np.array([0.8, 0.2, 0.2],
+                                              np.float32))])
+        _assert_matches_cap8_oracle(caps_soup)
+
+    def test_rows8_knob_matrix_bit_identical(self):
+        # chunk_rows (incl. a non-128-multiple that rounds down),
+        # dma_slots, grid fusion: pure scheduling knobs — images
+        # bit-identical across the matrix.
+        soup = _rows8_soup(make_camera(), seed=19)
+        base = rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                     interpret=True)
+        for kw in (dict(chunk_rows=128), dict(chunk_rows=384),
+                   dict(chunk_rows=200),  # rounds down to 128
+                   dict(dma_slots=3), dict(tiles_per_program=4),
+                   dict(starts_method="sort")):
+            d, i = rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                         interpret=True, **kw)
+            np.testing.assert_array_equal(np.asarray(d),
+                                          np.asarray(base[0]), err_msg=str(kw))
+            np.testing.assert_array_equal(np.asarray(i),
+                                          np.asarray(base[1]), err_msg=str(kw))
+
+    def test_rows8_mode_exclusions(self):
+        soup = _rows8_soup(make_camera(), trails=5, n=40, with_big=False)
+        with pytest.raises(ValueError, match="allow_exit"):
+            rasterize_pallas_csr6(soup, W, H, rows8=True, allow_exit=True,
+                                  interpret=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            rasterize_pallas_csr6(soup, W, H, rows8=True, cap_rows10=True,
+                                  interpret=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            rasterize_pallas_csr6(soup, W, H, rows8=True, discs_only=True,
+                                  interpret=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                  bin_triangles=True, interpret=True)
+
+    def test_rows8_winner_flips_vs_cap10_are_ulp_rare(self):
+        # The renormalized eval only reorders f32 rounding — winner
+        # flips vs the cap10 mode need an exact ULP boundary and are
+        # expected at ~0 on a generic scene (the fidelity certificate
+        # bounds them at production scale on the real trajectories).
+        soup = _rows8_soup(make_camera(), seed=23)
+        _, i8 = rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                      interpret=True)
+        _, i10 = rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                       interpret=True)
+        flips = (np.asarray(i8) != np.asarray(i10)).mean()
+        assert flips < 1e-3, flips
+
+    def test_rows8_permutation_invariance(self):
+        cam = make_camera()
+        rng = np.random.default_rng(31)
+        pos = rng.uniform(-0.5, 0.5, (150, 3)).astype(np.float32)
+        pts = rng.uniform(-0.4, 0.4, size=(30, 4, 3)).astype(np.float32)
+
+        def build(dperm, cperm):
+            discs = discs_from_points(
+                jnp.asarray(pos[dperm]), cam,
+                jnp.full((150,), 0.03, jnp.float32),
+                np.array([0.3, 0.3, 0.3], np.float32))
+            caps = capsules_from_polylines(
+                jnp.asarray(pts[cperm]), np.ones((30, 4), bool), cam,
+                0.004, np.array([0.8, 0.2, 0.2], np.float32))
+            return ScreenPrimitives.concatenate(
+                [ground_plane(cam, 10.0, (0, 0, -0.5)), discs, caps])
+
+        a = build(np.arange(150), np.arange(30))
+        b = build(rng.permutation(150), rng.permutation(30))
+        d_a, _ = rasterize_pallas_csr6(a, W, H, rows8=True, interpret=True)
+        d_b, _ = rasterize_pallas_csr6(b, W, H, rows8=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+
+    def test_rows8_row_budget(self):
+        soup = _rows8_soup(make_camera(), seed=37)
+        _, nb = bin_diagnostics6(soup, W, H, span=2, return_binned=True)
+        budget = (int(nb) + 127) // 128 * 128
+        base = rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                     interpret=True)
+        d, i, g = rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                        row_budget=budget, interpret=True,
+                                        return_diag=True)
+        assert int(np.asarray(g["row_overflow"])) == 0
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(base[1]))
+
+    def test_rows8_shaded_three_tone(self):
+        # The shade path is idf-image-driven and mode-agnostic: rows8 +
+        # three_tone must equal the cap10 + three_tone shade wherever
+        # winners agree (and winners agree everywhere on this scene).
+        from pointcloud_render_tpu.raster.pallas_csr6 import (
+            derive_three_tone,
+        )
+        from pointcloud_render_tpu.shading.shade import ShadingConfig
+
+        cam = make_camera()
+        soup = _rows8_soup(cam, seed=41, with_invalid=False,
+                           with_big=False)
+        shading = ShadingConfig()
+        reps, ok = derive_three_tone(soup)
+        assert bool(ok)
+        reps = tuple(int(x) for x in np.asarray(reps))
+        rgb8, d8, i8, _ = render_shaded_csr6(
+            soup, cam, shading, rows8=True, three_tone=reps,
+            interpret=True, return_diag=True)
+        rgb10, d10, i10, _ = render_shaded_csr6(
+            soup, cam, shading, cap_rows10=True, three_tone=reps,
+            interpret=True, return_diag=True)
+        same = np.asarray(i8) == np.asarray(i10)
+        assert same.mean() == 1.0
+        np.testing.assert_array_equal(np.asarray(rgb8), np.asarray(rgb10))

@@ -136,6 +136,9 @@ def _apply_tuned(args):
     args.trail_starts_method = trail.get("starts_method", "scan")
     c10 = _t.fill(args.trail_cap10, trail, "cap_rows10", "off")
     args.trail_cap10 = {True: "on", False: "off"}.get(c10, c10)
+    r8 = _t.fill(getattr(args, "trail_rows8", None), trail, "rows8",
+                 "off")
+    args.trail_rows8 = {True: "on", False: "off"}.get(r8, r8)
     t3 = _t.fill(args.trail_three_tone, trail, "three_tone", "off")
     args.trail_three_tone = {True: "on", False: "off"}.get(t3, t3)
     # Trail-lane kernel knobs (r5): the seg4 sweep measures tpp /
@@ -152,6 +155,9 @@ def _apply_tuned(args):
                                     "segments", None)
     d10 = _t.fill(args.droplet_cap10, drop, "cap_rows10", "off")
     args.droplet_cap10 = {True: "on", False: "off"}.get(d10, d10)
+    d8 = _t.fill(getattr(args, "droplet_rows8", None), drop, "rows8",
+                 "off")
+    args.droplet_rows8 = {True: "on", False: "off"}.get(d8, d8)
     d3 = _t.fill(args.droplet_three_tone, drop, "three_tone", "off")
     args.droplet_three_tone = {True: "on", False: "off"}.get(d3, d3)
     args.droplet_tpp = _t.fill(getattr(args, "droplet_tpp", None), drop,
@@ -565,6 +571,8 @@ def _bench_trail_scene(args, positions):
                              trail_segments=args.trail_segments,
                              cap10=getattr(args, "trail_cap10",
                                            "off") == "on",
+                             rows8=getattr(args, "trail_rows8",
+                                           "off") == "on",
                              three_tone_on=getattr(args,
                                                    "trail_three_tone",
                                                    "off") == "on",
@@ -591,6 +599,8 @@ def _bench_droplet_scene(args, positions):
                              trail_segments=args.droplet_segments,
                              cap10=getattr(args, "droplet_cap10",
                                            "off") == "on",
+                             rows8=getattr(args, "droplet_rows8",
+                                           "off") == "on",
                              three_tone_on=getattr(args,
                                                    "droplet_three_tone",
                                                    "off") == "on",
@@ -606,7 +616,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                       n_frames, trail_segments=None, cap10=False,
                       three_tone_on=False, span_arg="auto",
                       starts_method="scan", tpp=1, dma_slots=2,
-                      chunk_rows=None):
+                      chunk_rows=None, rows8=False):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
@@ -762,10 +772,16 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
             print(f"# {preset_name} adaptive trails: binned "
                   f"{binned_by_span[span]} -> row_budget {row_budget}",
                   file=sys.stderr)
+    if rows8 and cap10:
+        # rows8 supersedes cap10 (mutually exclusive kernel modes);
+        # tuned files never carry both, but a mixed flag set can.
+        print(f"# {preset_name}: rows8 supersedes cap_rows10",
+              file=sys.stderr)
+        cap10 = False
     config = RasterConfig(backend="pallas6", no_triangles=True,
                           max_big=max_big, span=span,
                           starts_method=starts_method,
-                          cap_rows10=cap10,
+                          cap_rows10=cap10, rows8=rows8,
                           row_budget=row_budget,
                           three_tone=three_tone,
                           tiles_per_program=tpp, dma_slots=dma_slots,
@@ -890,6 +906,11 @@ def main():
                     help="v6 narrow 10-float capsule rows for the trail "
                          "metric (exit-off tri-less soups; default "
                          "tuned|off until measured on chip)")
+    ap.add_argument("--trail-rows8", default=None, choices=("on", "off"),
+                    help="v6 kind-split 8-float rows for the trail "
+                         "metric (one 32 B gather granule; renormalized "
+                         "capsule eval — a FIDELITY knob, selected by "
+                         "pick_tuned only against a certificate)")
     ap.add_argument("--trail-three-tone", default=None,
                     choices=("on", "off"),
                     help="per-kind-constant shade for the trail metric "
@@ -918,6 +939,10 @@ def main():
     ap.add_argument("--droplet-cap10", default=None, choices=("on", "off"),
                     help="v6 narrow capsule rows for the droplet metric "
                          "(default tuned|off)")
+    ap.add_argument("--droplet-rows8", default=None,
+                    choices=("on", "off"),
+                    help="v6 kind-split 8-float rows for the droplet "
+                         "metric (fidelity knob, certificate-gated)")
     ap.add_argument("--droplet-three-tone", default=None,
                     choices=("on", "off"),
                     help="per-kind-constant shade for the droplet metric "

@@ -61,6 +61,15 @@ def main():
                          "certifies against traj_ball, the droplet "
                          "metric against traj_vel (its trails fade on a "
                          "different schedule)")
+    ap.add_argument("--rows8", action="store_true",
+                    help="additionally certify each segment count WITH "
+                         "the rows8 renormalized capsule eval (records "
+                         "keyed '<segments>+rows8'; the candidate "
+                         "renders through the cap8 oracle at the "
+                         "production span)")
+    ap.add_argument("--rows8-span", type=int, default=4,
+                    help="binned-vs-big classification span for the "
+                         "rows8 records (the production trail span)")
     args = ap.parse_args()
 
     import jax
@@ -78,15 +87,22 @@ def main():
         rates = {}
         for segs in (s if s == "adaptive" else int(s)
                      for s in args.segments.split(",")):
-            r = trail_segments_flip_rate(segs, n_points=args.points,
-                                         frames=frames,
-                                         preset_name=preset)
-            rates[str(segs)] = r
-            status = "OK" if r["trail_rate"] <= BOUND else "over abs bound"
-            print(f"{preset} segments={segs} "
-                  f"trail_rate={r['trail_rate']:.2e} "
-                  f"frame_rate={r['frame_rate']:.2e}  [{status}]",
-                  flush=True)
+            variants = [("", {})]
+            if args.rows8:
+                variants.append(("+rows8",
+                                 dict(capsule_eval="cap8",
+                                      capsule_span=args.rows8_span)))
+            for suffix, extra in variants:
+                r = trail_segments_flip_rate(segs, n_points=args.points,
+                                             frames=frames,
+                                             preset_name=preset, **extra)
+                rates[f"{segs}{suffix}"] = r
+                status = ("OK" if r["trail_rate"] <= BOUND
+                          else "over abs bound")
+                print(f"{preset} segments={segs}{suffix} "
+                      f"trail_rate={r['trail_rate']:.2e} "
+                      f"frame_rate={r['frame_rate']:.2e}  [{status}]",
+                      flush=True)
         anchor = (rates.get("8") or {}).get("trail_rate")
         if anchor is not None:
             # The tuner's actual criterion (pick_tuned.certify_geometry)

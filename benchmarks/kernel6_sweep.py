@@ -107,7 +107,7 @@ def main():
     W, H = cam0.width, cam0.height
 
     def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2,
-               mb=None, tpp=1, sm="scan", cap10=False):
+               mb=None, tpp=1, sm="scan", cap10=False, rows8=False):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
@@ -115,22 +115,24 @@ def main():
                 discs_only=discs_only, chunk_rows=chunk_rows,
                 allow_exit=allow_exit, dma_slots=dma_slots, span=span,
                 tiles_per_program=tpp, starts_method=sm,
-                cap_rows10=cap10)
+                cap_rows10=cap10, rows8=rows8)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
         return f
 
     def tr(label, chunk_rows=256, allow_exit=False, unroll=4,
-           dma_slots=2, span=2, mb=None, tpp=1, sm="scan", cap10=False):
+           dma_slots=2, span=2, mb=None, tpp=1, sm="scan", cap10=False,
+           rows8=False):
         timed(label,
               raster(chunk_rows, allow_exit, unroll, dma_slots=dma_slots,
-                     span=span, mb=mb, tpp=tpp, sm=sm, cap10=cap10),
+                     span=span, mb=mb, tpp=tpp, sm=sm, cap10=cap10,
+                     rows8=rows8),
               pos, vel,
               knobs=dict(kind="raster", scene=args.scene,
                          chunk_rows=chunk_rows, allow_exit=allow_exit,
                          unroll=unroll, dma_slots=dma_slots, span=span,
                          max_big=mb or max_big, tiles_per_program=tpp,
-                         starts_method=sm, cap_rows10=cap10,
+                         starts_method=sm, cap_rows10=cap10, rows8=rows8,
                          segments=args.segments))
 
     for cr in (256, 512, 1024):
@@ -173,6 +175,15 @@ def main():
            cap10=True, chunk_rows=512)
         tr("chunk=256 exit=0 u=4 span=4 CAP10 tpp=4 dma=4", span=4,
            mb=max_big, cap10=True, tpp=4, dma_slots=4)
+        # rows8 kind-split 32 B rows (one gather granule, interleaved
+        # idf lanes): the r5 rows-stage lever — A/B vs CAP10 at the
+        # same span/chunk, plus the chunk ladder (group-aligned DMA
+        # windows are 128-entry; 256/512 both legal).
+        tr("chunk=256 exit=0 u=4 span=4 ROWS8", span=4, mb=max_big,
+           rows8=True)
+        tr("chunk=512 exit=0 u=4 span=4 ROWS8", span=4, mb=max_big,
+           rows8=True, chunk_rows=512)
+        tr("chunk=256 exit=0 u=4 span=2 ROWS8", mb=max_big, rows8=True)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).

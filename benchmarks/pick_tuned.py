@@ -42,11 +42,13 @@ BUILTIN = dict(chunk_rows=256, allow_exit=False, unroll=4, dma_slots=2,
 RASTER_KEYS = ("tiles_per_program", "dma_slots", "chunk_rows", "unroll",
                "allow_exit", "starts_method")
 
-# Knobs that change GEOMETRY, not just milliseconds.  The tuner may only
-# select them when a fidelity certificate bounds their winner-flip rate
-# (benchmarks/fidelity_trail.py; VERDICT r3 item 3) — everything else in
-# tuned_defaults.json is exactness-neutral by construction.
-GEOMETRY_KNOBS = ("segments",)
+# Knobs that change GEOMETRY/RENDERING, not just milliseconds.  The
+# tuner may only select them when a fidelity certificate bounds their
+# winner-flip rate (benchmarks/fidelity_trail.py; VERDICT r3 item 3) —
+# everything else in tuned_defaults.json is exactness-neutral by
+# construction.  rows8 (renormalized capsule eval, ULP-level rounding
+# drift) certifies via the "<segments>+rows8" record.
+GEOMETRY_KNOBS = ("segments", "rows8")
 FIDELITY_CERT = os.path.join(RESULTS, "fidelity_trail_segments.json")
 
 
@@ -69,38 +71,82 @@ def certify_geometry(trail, preset="traj_ball"):
     — the absolute bound, relaxed to a marginal allowance over the
     production default where the scene's BASELINE discrepancy already
     exceeds it.  The certified rate is copied into the tuned file
-    (``segments_flip_rate``) so the bound travels with the knob."""
-    if trail.get("segments") is None:
-        trail.pop("segments", None)
-        trail.pop("segments_flip_rate", None)
-        return ""
+    (``segments_flip_rate``) so the bound travels with the knob.
+
+    A ``rows8`` pick certifies the same way against the COMBINED
+    "<segments>+rows8" record (the candidate rendered with the
+    renormalized capsule eval vs the reference polyline) and records
+    ``rows8_flip_rate``."""
+    notes = []
     try:
         with open(FIDELITY_CERT) as f:
             cert = json.load(f)
         scenes = cert.get("scenes") or {"traj_ball": cert}
         rates = scenes[preset]["rates"]
-        rec = rates[str(trail["segments"])]
         bound = float(cert["bound"])
     except (OSError, KeyError, ValueError, TypeError):
-        segs = trail.pop("segments")
+        rates, bound = None, None
+    anchor = None if rates is None else \
+        (rates.get(DEFAULT_SEGMENTS) or {}).get("trail_rate")
+
+    def limit():
+        return bound if anchor is None else max(
+            bound, anchor + GEOMETRY_REL_MARGIN)
+
+    def refuse(knob, extra_pop, why):
+        val = trail.pop(knob, None)
+        trail.pop(extra_pop, None)
+        notes.append(f"REFUSED {knob}={val}: {why}")
+
+    if trail.get("segments") is None:
+        trail.pop("segments", None)
         trail.pop("segments_flip_rate", None)
-        return (f"REFUSED segments={segs}: no {preset} fidelity "
-                f"certificate ({FIDELITY_CERT}) — run "
-                f"benchmarks/fidelity_trail.py")
-    anchor = (rates.get(DEFAULT_SEGMENTS) or {}).get("trail_rate")
-    limit = bound if anchor is None else max(bound,
-                                             anchor + GEOMETRY_REL_MARGIN)
-    if rec["trail_rate"] > limit:
-        segs = trail.pop("segments")
-        trail.pop("segments_flip_rate", None)
-        return (f"REFUSED segments={segs}: flip rate "
-                f"{rec['trail_rate']:.2e} over limit {limit:.1e}"
-                + ("" if anchor is None
-                   else f" (default-{DEFAULT_SEGMENTS} anchor "
-                        f"{anchor:.2e} + {GEOMETRY_REL_MARGIN:.0e})"))
-    trail["segments_flip_rate"] = rec["trail_rate"]
-    return (f"segments={trail['segments']} certified on {preset} "
-            f"(flip {rec['trail_rate']:.2e} <= {limit:.1e})")
+    elif rates is None:
+        refuse("segments", "segments_flip_rate",
+               f"no {preset} fidelity certificate ({FIDELITY_CERT}) — "
+               "run benchmarks/fidelity_trail.py")
+    else:
+        rec = rates.get(str(trail["segments"]))
+        if rec is None:
+            refuse("segments", "segments_flip_rate",
+                   f"no {preset} certificate record")
+        elif rec["trail_rate"] > limit():
+            refuse("segments", "segments_flip_rate",
+                   f"flip rate {rec['trail_rate']:.2e} over limit "
+                   f"{limit():.1e}"
+                   + ("" if anchor is None
+                      else f" (default-{DEFAULT_SEGMENTS} anchor "
+                           f"{anchor:.2e} + {GEOMETRY_REL_MARGIN:.0e})"))
+        else:
+            trail["segments_flip_rate"] = rec["trail_rate"]
+            notes.append(
+                f"segments={trail['segments']} certified on {preset} "
+                f"(flip {rec['trail_rate']:.2e} <= {limit():.1e})")
+
+    if not trail.get("rows8"):
+        trail.pop("rows8", None)
+        trail.pop("rows8_flip_rate", None)
+    elif rates is None:
+        refuse("rows8", "rows8_flip_rate",
+               f"no {preset} fidelity certificate — run "
+               "benchmarks/fidelity_trail.py --rows8")
+    else:
+        seg_key = str(trail.get("segments", DEFAULT_SEGMENTS))
+        rec = rates.get(f"{seg_key}+rows8")
+        if rec is None:
+            refuse("rows8", "rows8_flip_rate",
+                   f"no {preset} '{seg_key}+rows8' record — run "
+                   "benchmarks/fidelity_trail.py --rows8")
+        elif rec["trail_rate"] > limit():
+            refuse("rows8", "rows8_flip_rate",
+                   f"combined flip rate {rec['trail_rate']:.2e} over "
+                   f"limit {limit():.1e}")
+        else:
+            trail["rows8_flip_rate"] = rec["trail_rate"]
+            notes.append(
+                f"rows8 certified on {preset} (combined flip "
+                f"{rec['trail_rate']:.2e} <= {limit():.1e})")
+    return "; ".join(n for n in notes if n)
 
 
 def _read_jsonl(path):
@@ -246,7 +292,15 @@ def pick_trail(records, log_text):
                  "chunk_rows": 512},
              "bench trail seg4 cap10 3tone chunk1024 A/B": {
                  "segments": 4, "cap_rows10": True, "three_tone": True,
-                 "chunk_rows": 1024}}
+                 "chunk_rows": 1024},
+             "bench trail seg4 rows8 3tone A/B": {
+                 "segments": 4, "rows8": True, "three_tone": True},
+             "bench trail seg4 rows8 3tone chunk512 A/B": {
+                 "segments": 4, "rows8": True, "three_tone": True,
+                 "chunk_rows": 512},
+             "bench trail adaptive rows8 3tone A/B": {
+                 "segments": "adaptive", "rows8": True,
+                 "three_tone": True}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     # Knobs with END-TO-END bench-line evidence (including a negative
@@ -343,6 +397,13 @@ DROPLET_FLAGS = {
     "bench droplet seg4 cap10 3tone chunk512 A/B": {
         "segments": 4, "cap_rows10": True, "three_tone": True,
         "chunk_rows": 512},
+    "bench droplet seg4 rows8 3tone A/B": {
+        "segments": 4, "rows8": True, "three_tone": True},
+    "bench droplet seg4 rows8 3tone chunk512 A/B": {
+        "segments": 4, "rows8": True, "three_tone": True,
+        "chunk_rows": 512},
+    "bench droplet adaptive rows8 3tone A/B": {
+        "segments": "adaptive", "rows8": True, "three_tone": True},
 }
 
 

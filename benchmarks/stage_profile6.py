@@ -65,6 +65,9 @@ def main():
                          "--segments adaptive; size from bench.py's "
                          "probe: binned max * 1.1 + 8192, 4096-rounded)")
     ap.add_argument("--span", type=int, default=2, choices=[2, 4, 8])
+    ap.add_argument("--rows8", action="store_true",
+                    help="kind-split 8-float rows (32 B granule + "
+                         "interleaved idf lanes; r5 rows-stage lever)")
     ap.add_argument("--cap10", action="store_true",
                     help="narrow 10-float capsule rows (exit off)")
     ap.add_argument("--three-tone", action="store_true",
@@ -100,10 +103,13 @@ def main():
     max_big = 1024 if discs_only else args.max_big
     span = args.span
     cap10 = args.cap10
+    rows8 = args.rows8
+    if rows8 and cap10:
+        raise SystemExit("--rows8 and --cap10 are mutually exclusive")
     interp = jax.default_backend() != "tpu"  # CPU smoke runs
     # Mirror _raster_core6's exit policy: auto-off for discs_only /
-    # span != 2 / cap10 — the bin/starts stages below follow with_z.
-    with_z = (not discs_only) and span == 2 and not cap10
+    # span != 2 / cap10 / rows8 — bin/starts stages follow with_z.
+    with_z = (not discs_only) and span == 2 and not cap10 and not rows8
 
     cam_preset = "traj_vel" if args.scene == "droplet" else "traj_ball"
 
@@ -132,7 +138,8 @@ def main():
     num_tiles = tiles_y * tiles_x
     print(f"scene={args.scene} prims {soup0.count} "
           f"discs_only={discs_only} segments={args.segments} "
-          f"span={span} cap10={cap10} three_tone={args.three_tone}",
+          f"span={span} cap10={cap10} rows8={rows8} "
+          f"three_tone={args.three_tone}",
           flush=True)
 
     def stage_build(p, v):
@@ -140,15 +147,18 @@ def main():
         return soup.params.sum()
 
     k2 = span * span
-    kdtype, kshift = pallas_csr6._key_layout(num_tiles, span, with_z)
+    kdtype, kshift = pallas_csr6._key_layout(num_tiles, span, with_z,
+                                             kind_split=rows8)
+    factor = 2 if rows8 else 1
     bounds = np.asarray(
-        (np.arange(num_tiles * k2 + 1, dtype=np.int64)
+        (np.arange(factor * num_tiles * k2 + 1, dtype=np.int64)
          << kshift).astype(kdtype))
 
     def _bin(soup):
         return pallas_csr6._bin_csr6(
             soup, th, tw, num_tiles, tiles_x, tiles_y, max_big=max_big,
-            discs_only=discs_only, span=span, with_z=with_z)
+            discs_only=discs_only, span=span, with_z=with_z,
+            kind_split=rows8)
 
     def stage_bin(p, v):
         soup, _ = make(p, v)
@@ -169,11 +179,42 @@ def main():
         n_rows = pp if args.row_budget is None else min(args.row_budget,
                                                         pp)
         sp = sp[:n_rows]
-        row_f = 8 if discs_only else 10 if cap10 else 16
+        row_f = 8 if (discs_only or rows8) else 10 if cap10 else 16
         pack = 128 // row_f
         chunk = 256 if 256 % pack == 0 else 256 // pack * pack
         p_pad = -(-(n_rows + chunk + pack) // chunk) * chunk
+        if rows8:
+            p_pad += 256
         prims_p = jnp.pad(sp, (0, p_pad - n_rows), constant_values=pp)
+        if rows8:
+            # Mirror _raster_core6's rows8 branch: dual-encoding 8-float
+            # table + NaN invalid + interleaved idf lanes.
+            from pointcloud_render_tpu.raster.primitives import (
+                KIND_CAPSULE,
+            )
+            pk = soup.params
+            il2 = pk[:, 8]
+            il = jnp.sqrt(il2)
+            iscap = soup.kind == KIND_CAPSULE
+            r = pk[:, 3]
+            idf_col = jnp.arange(pp, dtype=jnp.float32)
+            tab = jnp.stack([
+                pk[:, 0], pk[:, 1],
+                jnp.where(iscap, pk[:, 4] * il2, pk[:, 2]),
+                jnp.where(iscap, -(r * il), r * r),
+                jnp.where(iscap, pk[:, 5] * il2, idf_col),
+                jnp.where(iscap, pk[:, 7] * il, 0.0),
+                jnp.where(iscap, pk[:, 2], 0.0),
+                jnp.where(iscap, pk[:, 6], 0.0)], axis=1)
+            nanf = np.float32(np.nan)
+            tab = jnp.where(soup.valid[:, None], tab, nanf)
+            tab = jnp.pad(tab, ((0, 1), (0, 0)), constant_values=nanf)
+            g8 = tab[prims_p].reshape(p_pad // 128, 8, 128)
+            idf_lanes = prims_p.astype(jnp.float32) \
+                .reshape(p_pad // 128, 1, 128)
+            rows = jnp.concatenate([g8, idf_lanes], axis=1) \
+                .reshape(p_pad // 128 * 9, 128)
+            return rows.sum() + starts[0].astype(jnp.float32)
         if discs_only:
             r = soup.params[:, 3]
             tab = jnp.concatenate([
@@ -200,6 +241,7 @@ def main():
         d, i = pallas_csr6.rasterize_pallas_csr6(
             soup, W, H, unroll=args.unroll, max_big=max_big,
             discs_only=discs_only, span=span, cap_rows10=cap10,
+            rows8=rows8,
             row_budget=args.row_budget, interpret=interp)
         return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
@@ -226,7 +268,7 @@ def main():
         rgb, d, i = pallas_csr6.render_shaded_csr6(
             soup, cam, ShadingConfig(), unroll=args.unroll,
             max_big=max_big, discs_only=discs_only, span=span,
-            cap_rows10=cap10, three_tone=three_tone,
+            cap_rows10=cap10, rows8=rows8, three_tone=three_tone,
             row_budget=args.row_budget, interpret=interp)
         return (jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
                 + jnp.sum(rgb[::8, ::8]))

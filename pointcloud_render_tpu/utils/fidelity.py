@@ -166,7 +166,8 @@ def trail_segments_flip_rate(segments: int, n_points: int = 1500,
                              frames=(60, 120, 199), width: int = 480,
                              height: int = 270, preset_name: str = "traj_ball",
                              reference_segments: int = 20,
-                             seed: int = 0) -> dict:
+                             seed: int = 0, capsule_eval: str = "cap10",
+                             capsule_span: int = 4) -> dict:
     """Winner-flip rates of ``segments`` vs the full reference polyline.
 
     Renders the preset's trail scene at ``segments`` and at
@@ -188,6 +189,15 @@ def trail_segments_flip_rate(segments: int, n_points: int = 1500,
     (radius, trail schedule, dolly trajectory) are the production
     preset's; only the point count and film are scaled down so the
     measurement runs on CPU in CI time.
+
+    ``capsule_eval="cap8"``: the CANDIDATE render additionally carries
+    the rows8 kernel's renormalized capsule expressions (via the
+    bit-identical numpy oracle, rasterize_reference capsule_eval='cap8',
+    with binned-vs-big classified at ``capsule_span`` — pass the
+    production span).  The reference-polyline render stays on the
+    default exact eval, so the returned rate bounds the COMBINED
+    segments+rows8 drift — the number pick_tuned gates the rows8 knob
+    on.
     """
     import jax.numpy as jnp
 
@@ -215,11 +225,22 @@ def trail_segments_flip_rate(segments: int, n_points: int = 1500,
             target=np.asarray(TARGETS[preset.camera_preset], np.float32),
             width=width, height=height)
         imgs, trail_hits = [], []
-        for segs in (segments, reference_segments):
+        for is_candidate, segs in ((True, segments),
+                                   (False, reference_segments)):
             soup, layout = build_primitives(
                 preset, cam, pos, vel, jnp.int32(fi),
                 trail_segments=segs, return_layout=True)
-            _, idx = rasterize(soup, width, height, config)
+            if capsule_eval == "cap8" and is_candidate:
+                import jax as _jax
+
+                from pointcloud_render_tpu.raster import cpu_reference
+
+                host = _jax.tree_util.tree_map(np.asarray, soup)
+                _, idx = cpu_reference.rasterize_reference(
+                    host, width, height, capsule_eval="cap8",
+                    span=capsule_span)
+            else:
+                _, idx = rasterize(soup, width, height, config)
             img = surface_image(np.asarray(idx), layout)
             imgs.append(img)
             # Trail parts come last in the layout (ground, splats,

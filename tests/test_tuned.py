@@ -423,6 +423,54 @@ class TestGeometryKnobCertification:
         assert pick_tuned.certify_geometry(trail) == ""
         assert "segments" not in trail
 
+    def test_rows8_requires_combined_record(self, tmp_path, monkeypatch):
+        """rows8 is fidelity-bearing: it certifies only against the
+        '<segments>+rows8' COMBINED record; absent -> refused while an
+        independently-certified segments pick survives."""
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"4": {"trail_rate": 2.5e-3, "frame_rate": 3e-4}})
+        trail = {"segments": 4, "rows8": True}
+        note = pick_tuned.certify_geometry(trail)
+        assert trail["segments"] == 4
+        assert "rows8" not in trail and "rows8_flip_rate" not in trail
+        assert "REFUSED rows8" in note and "certified" in note
+
+    def test_rows8_certified_records_rate(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"4": {"trail_rate": 2.5e-3},
+                    "4+rows8": {"trail_rate": 2.5e-3}})
+        trail = {"segments": 4, "rows8": True}
+        note = pick_tuned.certify_geometry(trail)
+        assert trail["rows8"] is True
+        assert trail["rows8_flip_rate"] == 2.5e-3
+        assert "rows8 certified" in note
+
+    def test_rows8_over_bound_refused(self, tmp_path, monkeypatch):
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"4": {"trail_rate": 2.5e-3},
+                    "4+rows8": {"trail_rate": 0.02}})
+        trail = {"segments": 4, "rows8": True}
+        note = pick_tuned.certify_geometry(trail)
+        assert "rows8" not in trail and "REFUSED rows8" in note
+
+    def test_rows8_at_default_segments(self, tmp_path, monkeypatch):
+        """rows8 without a segments pick certifies against the
+        default-count combined record ('8+rows8')."""
+        import pick_tuned
+
+        self._cert(tmp_path, monkeypatch,
+                   {"8": {"trail_rate": 2.3e-3},
+                    "8+rows8": {"trail_rate": 2.3e-3}})
+        trail = {"rows8": True}
+        note = pick_tuned.certify_geometry(trail)
+        assert trail["rows8"] is True and "rows8 certified" in note
+
     def test_default_anchored_acceptance(self, tmp_path, monkeypatch):
         """A scene whose BASELINE (segments=8) rate already exceeds the
         absolute bound still certifies knobs with negligible marginal

@@ -257,6 +257,7 @@ def _rasterize_shard(prims, camera, config):
             discs_only=config.discs_only,
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
+            rows8=config.rows8,
             starts_method=config.starts_method, interpret=interpret,
             return_diag=True)
         return depth, index, diag["big_overflow"]

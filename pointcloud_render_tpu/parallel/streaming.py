@@ -160,6 +160,7 @@ class StreamingRasterizer:
             kw = {}
             if cfg is not None:
                 kw = dict(span=cfg.span, cap_rows10=cfg.cap_rows10,
+                          rows8=cfg.rows8,
                           discs_only=cfg.discs_only,
                           bin_triangles=cfg.bin_triangles,
                           tiles_per_program=cfg.tiles_per_program,

@@ -39,6 +39,7 @@ fi
 echo "### step exit=0 (rows8 on-chip validation)"
 
 # --- kernel-level delta at the tuned seg4 soup (ROWS8 lanes) ---------
+step "v6_probe carried-rows verdict" python benchmarks/v6_probe.py
 step "kernel6_sweep trail seg4" python benchmarks/kernel6_sweep.py \
   --scene trail --segments 4
 step "stage_profile trail seg4 rows8" python benchmarks/stage_profile6.py \

@@ -169,12 +169,37 @@ def main():
                       for _ in range(8))
 
         def sortw(acc, k, v, *cols):
+            # Checksum EVERY carried column: XLA prunes unused sort
+            # operands, so a single-column dependency measures a 2-op
+            # sort in disguise.
             s = jax.lax.sort((k + acc.astype(jnp.int32), v) + cols,
                              num_keys=1, is_stable=False)
-            return acc + s[2][0] * 1e-9
+            c = s[1].astype(jnp.float32)[0]
+            for t in s[2:]:
+                c = c + t[0]
+            return acc + c * 1e-9
 
         report(f"sort {p // 10**6}M i32+i32+8xf32 (carried rows)",
                timed("sw", sortw, k32, pay1, *cols8)[1])
+
+        # The full sort-carried replacement of the rows stage: split a
+        # prebuilt (P, 8) table into columns, carry them through the
+        # sort, re-interleave into the rows8 packed layout + idf lanes.
+        # Compare against (32 B gather + pack) above.
+        def sortw_pack(acc, k, t):
+            cols = tuple(t[:, j] for j in range(8))
+            s = jax.lax.sort((k + acc.astype(jnp.int32),
+                              jnp.arange(p16, dtype=jnp.int32)) + cols,
+                             num_keys=1, is_stable=False)
+            g = jnp.stack(s[2:], axis=1).reshape(p16 // 128, 8, 128)
+            idf = s[1].astype(jnp.float32).reshape(p16 // 128, 1, 128)
+            r = jnp.concatenate([g, idf], axis=1).reshape(-1, 128)
+            return acc + r[0, 0] * 1e-9
+
+        k32p = jnp.pad(k32, (0, p16 - p))
+        t8 = jnp.asarray(rng.normal(size=(p16, 8)), jnp.float32)
+        report(f"sort-carried rows8 stage {p / 10**6:.1f}M (sort+pack)",
+               timed("swp", sortw_pack, k32p, t8)[1])
 
         ks = jnp.sort(k32)
         bounds = jnp.asarray((np.arange(8161, dtype=np.int32)) << 8)

@@ -139,6 +139,9 @@ def _apply_tuned(args):
     r8 = _t.fill(getattr(args, "trail_rows8", None), trail, "rows8",
                  "off")
     args.trail_rows8 = {True: "on", False: "off"}.get(r8, r8)
+    r8c = _t.fill(getattr(args, "trail_rows8_carry", None), trail,
+                  "rows8_carry", "off")
+    args.trail_rows8_carry = {True: "on", False: "off"}.get(r8c, r8c)
     t3 = _t.fill(args.trail_three_tone, trail, "three_tone", "off")
     args.trail_three_tone = {True: "on", False: "off"}.get(t3, t3)
     # Trail-lane kernel knobs (r5): the seg4 sweep measures tpp /
@@ -158,6 +161,9 @@ def _apply_tuned(args):
     d8 = _t.fill(getattr(args, "droplet_rows8", None), drop, "rows8",
                  "off")
     args.droplet_rows8 = {True: "on", False: "off"}.get(d8, d8)
+    d8c = _t.fill(getattr(args, "droplet_rows8_carry", None), drop,
+                  "rows8_carry", "off")
+    args.droplet_rows8_carry = {True: "on", False: "off"}.get(d8c, d8c)
     d3 = _t.fill(args.droplet_three_tone, drop, "three_tone", "off")
     args.droplet_three_tone = {True: "on", False: "off"}.get(d3, d3)
     args.droplet_tpp = _t.fill(getattr(args, "droplet_tpp", None), drop,
@@ -573,6 +579,9 @@ def _bench_trail_scene(args, positions):
                                            "off") == "on",
                              rows8=getattr(args, "trail_rows8",
                                            "off") == "on",
+                             rows8_carry=getattr(
+                                 args, "trail_rows8_carry",
+                                 "off") == "on",
                              three_tone_on=getattr(args,
                                                    "trail_three_tone",
                                                    "off") == "on",
@@ -601,6 +610,9 @@ def _bench_droplet_scene(args, positions):
                                            "off") == "on",
                              rows8=getattr(args, "droplet_rows8",
                                            "off") == "on",
+                             rows8_carry=getattr(
+                                 args, "droplet_rows8_carry",
+                                 "off") == "on",
                              three_tone_on=getattr(args,
                                                    "droplet_three_tone",
                                                    "off") == "on",
@@ -616,7 +628,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                       n_frames, trail_segments=None, cap10=False,
                       three_tone_on=False, span_arg="auto",
                       starts_method="scan", tpp=1, dma_slots=2,
-                      chunk_rows=None, rows8=False):
+                      chunk_rows=None, rows8=False, rows8_carry=False):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
@@ -782,6 +794,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                           max_big=max_big, span=span,
                           starts_method=starts_method,
                           cap_rows10=cap10, rows8=rows8,
+                          rows8_carry=rows8 and rows8_carry,
                           row_budget=row_budget,
                           three_tone=three_tone,
                           tiles_per_program=tpp, dma_slots=dma_slots,
@@ -911,6 +924,11 @@ def main():
                          "metric (one 32 B gather granule; renormalized "
                          "capsule eval — a FIDELITY knob, selected by "
                          "pick_tuned only against a certificate)")
+    ap.add_argument("--trail-rows8-carry", default=None,
+                    choices=("on", "off"),
+                    help="rows8 build variant: carry row columns "
+                         "through the binning sort (bit-identical; "
+                         "pure perf A/B)")
     ap.add_argument("--trail-three-tone", default=None,
                     choices=("on", "off"),
                     help="per-kind-constant shade for the trail metric "
@@ -943,6 +961,10 @@ def main():
                     choices=("on", "off"),
                     help="v6 kind-split 8-float rows for the droplet "
                          "metric (fidelity knob, certificate-gated)")
+    ap.add_argument("--droplet-rows8-carry", default=None,
+                    choices=("on", "off"),
+                    help="rows8 sort-carried build for the droplet "
+                         "metric (bit-identical; pure perf A/B)")
     ap.add_argument("--droplet-three-tone", default=None,
                     choices=("on", "off"),
                     help="per-kind-constant shade for the droplet metric "

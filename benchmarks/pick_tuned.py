@@ -126,10 +126,12 @@ def certify_geometry(trail, preset="traj_ball"):
     if not trail.get("rows8"):
         trail.pop("rows8", None)
         trail.pop("rows8_flip_rate", None)
+        trail.pop("rows8_carry", None)  # build variant of rows8 only
     elif rates is None:
         refuse("rows8", "rows8_flip_rate",
                f"no {preset} fidelity certificate — run "
                "benchmarks/fidelity_trail.py --rows8")
+        trail.pop("rows8_carry", None)
     else:
         seg_key = str(trail.get("segments", DEFAULT_SEGMENTS))
         rec = rates.get(f"{seg_key}+rows8")
@@ -137,10 +139,12 @@ def certify_geometry(trail, preset="traj_ball"):
             refuse("rows8", "rows8_flip_rate",
                    f"no {preset} '{seg_key}+rows8' record — run "
                    "benchmarks/fidelity_trail.py --rows8")
+            trail.pop("rows8_carry", None)
         elif rec["trail_rate"] > limit():
             refuse("rows8", "rows8_flip_rate",
                    f"combined flip rate {rec['trail_rate']:.2e} over "
                    f"limit {limit():.1e}")
+            trail.pop("rows8_carry", None)
         else:
             trail["rows8_flip_rate"] = rec["trail_rate"]
             notes.append(
@@ -300,7 +304,16 @@ def pick_trail(records, log_text):
                  "chunk_rows": 512},
              "bench trail adaptive rows8 3tone A/B": {
                  "segments": "adaptive", "rows8": True,
-                 "three_tone": True}}
+                 "three_tone": True},
+             "bench trail seg4 rows8 3tone chunk1024 A/B": {
+                 "segments": 4, "rows8": True, "three_tone": True,
+                 "chunk_rows": 1024},
+             "bench trail seg4 rows8c 3tone A/B": {
+                 "segments": 4, "rows8": True, "rows8_carry": True,
+                 "three_tone": True},
+             "bench trail seg4 rows8c 3tone chunk1024 A/B": {
+                 "segments": 4, "rows8": True, "rows8_carry": True,
+                 "three_tone": True, "chunk_rows": 1024}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     # Knobs with END-TO-END bench-line evidence (including a negative
@@ -404,6 +417,9 @@ DROPLET_FLAGS = {
         "chunk_rows": 512},
     "bench droplet adaptive rows8 3tone A/B": {
         "segments": "adaptive", "rows8": True, "three_tone": True},
+    "bench droplet seg4 rows8c 3tone A/B": {
+        "segments": 4, "rows8": True, "rows8_carry": True,
+        "three_tone": True},
 }
 
 

@@ -64,6 +64,18 @@ step "bench droplet seg4 rows8 3tone chunk512 A/B" python bench.py $AB \
   --droplet-cap10 off --droplet-rows8 on --droplet-three-tone on \
   --droplet-chunk-rows 512
 
+# --- sort-carried rows8 build (bit-identical rows; v6_probe verdict
+# --- decides whether these lanes are worth their chip time, but the
+# --- bench A/B is the number pick_tuned trusts) ----------------------
+step "bench trail seg4 rows8c 3tone A/B" python bench.py $AB \
+  --trail-frames 24 --droplet-frames 0 --trail-segments 4 \
+  --trail-span auto --trail-cap10 off --trail-rows8 on \
+  --trail-rows8-carry on --trail-three-tone on
+step "bench droplet seg4 rows8c 3tone A/B" python bench.py $AB \
+  --trail-frames 0 --droplet-frames 12 --droplet-segments 4 \
+  --droplet-cap10 off --droplet-rows8 on --droplet-rows8-carry on \
+  --droplet-three-tone on
+
 # --- distill winners (H shadows G per label; fidelity gate in loop) --
 cat /tmp/tpu_batch_h.log /tmp/tpu_batch_g.log /tmp/tpu_batch_f.log \
   > /tmp/tpu_batch_fgh.log 2>/dev/null || true

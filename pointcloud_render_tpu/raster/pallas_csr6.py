@@ -112,7 +112,8 @@ def _key_layout(num_tiles, span, with_z, kind_split=False):
 
 def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
               max_big=DEFAULT_MAX_BIG, bin_triangles=False,
-              discs_only=False, span=2, with_z=True, kind_split=False):
+              discs_only=False, span=2, with_z=True, kind_split=False,
+              carry=()):
     """Per-prim (anchor, class, z-bucket) int32 keys + UNSTABLE sort.
 
     ``span``: prims whose bbox covers <= span x span tiles are binned
@@ -205,8 +206,13 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
 
     key = jnp.where(is_small, base.astype(kdtype),
                     jnp.where(is_big, sent_big, sent_invalid))
-    sorted_keys, sorted_prims = jax.lax.sort(
-        (key, jnp.asarray(prim_id)), num_keys=1, is_stable=False)
+    # ``carry``: extra per-prim columns permuted THROUGH the sort (the
+    # rows8 sort-carried row build) — v6_probe measured the widened
+    # sort against the post-sort gather it replaces.
+    out = jax.lax.sort((key, jnp.asarray(prim_id)) + tuple(carry),
+                       num_keys=1, is_stable=False)
+    sorted_keys, sorted_prims = out[0], out[1]
+    sorted_carry = out[2:]
 
     n_small = jnp.searchsorted(sorted_keys, sent_big).astype(jnp.int32)
     n_nonval = jnp.searchsorted(sorted_keys, sent_invalid).astype(jnp.int32)
@@ -219,6 +225,9 @@ def _bin_csr6(prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
     big_ids = jnp.where(
         jnp.arange(max_big, dtype=jnp.int32)
         < jnp.minimum(big_count, max_big), big_ids, p)
+    if carry:
+        return (sorted_keys, sorted_prims, big_ids, big_count, zmeta,
+                n_small, sorted_carry)
     return sorted_keys, sorted_prims, big_ids, big_count, zmeta, n_small
 
 
@@ -949,13 +958,40 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
     return run_tile
 
 
+def _rows8_columns(prims):
+    """The 8 per-prim row columns of the rows8 dual encoding (see
+    _raster_core6's rows8 branch): disc [px, py, z, r^2, idf, 0, 0, 0],
+    capsule [x0, y0, ux, -rho0, uy, rhod, z0, sdz]; NaN where invalid.
+    Shared by the gather build and the sort-carried build so both are
+    bit-identical by construction."""
+    p = prims.count
+    pk = prims.params
+    il2 = pk[:, 8]
+    il = jnp.sqrt(il2)
+    iscap = prims.kind == KIND_CAPSULE
+    r = pk[:, 3]
+    idf_col = jnp.arange(p, dtype=jnp.float32)
+    nanf = np.float32(np.nan)
+    cols = (
+        pk[:, 0],
+        pk[:, 1],
+        jnp.where(iscap, pk[:, 4] * il2, pk[:, 2]),
+        jnp.where(iscap, -(r * il), r * r),
+        jnp.where(iscap, pk[:, 5] * il2, idf_col),
+        jnp.where(iscap, pk[:, 7] * il, 0.0),
+        jnp.where(iscap, pk[:, 2], 0.0),
+        jnp.where(iscap, pk[:, 6], 0.0),
+    )
+    return tuple(jnp.where(prims.valid, c, nanf) for c in cols)
+
+
 def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
                   discs_only=False, allow_exit=None, span=2,
                   dma_slots=2, fused_uv=False, tiles_per_program=1,
                   starts_method="scan", cap_rows10=False,
-                  row_budget=None, rows8=False):
+                  row_budget=None, rows8=False, rows8_carry=False):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners); ``table16``
@@ -988,6 +1024,9 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             raise ValueError("rows8 rows carry no zlb lane — "
                              "allow_exit must be off")
         allow_exit = False
+    elif rows8_carry:
+        raise ValueError("rows8_carry is a rows8 build variant — "
+                         "requires rows8=True")
     if allow_exit is None:
         # Measured policy (benchmarks/kernel6_sweep.py): the per-range
         # exit WINS 13% on the deep-run trail scene but LOSES ~1 ms on
@@ -1038,12 +1077,15 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
 
     # Exit-off walks need no z-buckets in the keys (_bin_csr6 with_z
     # docstring): smaller/int16 sort keys and no O(P) zlb pass.
+    carry = _rows8_columns(prims) if (rows8 and rows8_carry) else ()
+    bin_out = _bin_csr6(
+        prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
+        max_big=max_big, bin_triangles=bin_triangles,
+        discs_only=discs_only, span=span, with_z=allow_exit,
+        kind_split=rows8, carry=carry)
     sorted_keys, sorted_prims, big_ids, big_count, zmeta, n_small = \
-        _bin_csr6(
-            prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
-            max_big=max_big, bin_triangles=bin_triangles,
-            discs_only=discs_only, span=span, with_z=allow_exit,
-            kind_split=rows8)
+        bin_out[:6]
+    sorted_carry = bin_out[6] if carry else ()
 
     # (anchor, class) boundaries: B[j] = first sorted position with
     # anchor*k2+cls >= j.  B[k2*T] = number of binned prims (2x the
@@ -1146,36 +1188,35 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         # -rho0 < 0 under the disc body's r^2 test; rhod*t - r^2 <= -0
         # fails the capsule body's strict rad > 0).  idf lanes ride the
         # interleaved layout from the sort payload — no gather at all.
-        pk = prims.params
-        il2 = pk[:, 8]
-        il = jnp.sqrt(il2)
-        iscap = prims.kind == KIND_CAPSULE
-        r = pk[:, 3]
-        idf_col = jnp.arange(p, dtype=jnp.float32)
-        table8 = jnp.stack([
-            pk[:, 0],
-            pk[:, 1],
-            jnp.where(iscap, pk[:, 4] * il2, pk[:, 2]),
-            jnp.where(iscap, -(r * il), r * r),
-            jnp.where(iscap, pk[:, 5] * il2, idf_col),
-            jnp.where(iscap, pk[:, 7] * il, 0.0),
-            jnp.where(iscap, pk[:, 2], 0.0),
-            jnp.where(iscap, pk[:, 6], 0.0),
-        ], axis=1)
         nanf = np.float32(np.nan)
-        table8 = jnp.where(prims.valid[:, None], table8, nanf)
-        table8 = jnp.pad(table8, ((0, 1), (0, 0)), constant_values=nanf)
-        # Mask sorted positions past the binned prefix to the NaN pad
-        # row BEFORE the gather: the last capsule range's stranger
-        # window can reach into the big-prim region of the sorted
-        # order, and a big capsule's row is a VALID cap8 row — the
-        # cap10/cap16 modes tolerate that duplicate because their
-        # stranger eval is bit-identical to the big-list eval, but
-        # rows8's renormalized eval is not (1-ulp depth skew, caught
-        # by the permutation-invariance test).
+        # Mask sorted positions past the binned prefix to NaN rows:
+        # the last capsule range's stranger window can reach into the
+        # big-prim region of the sorted order, and a big capsule's row
+        # is a VALID cap8 row — the cap10/cap16 modes tolerate that
+        # duplicate because their stranger eval is bit-identical to
+        # the big-list eval, but rows8's renormalized eval is not
+        # (1-ulp depth skew, caught by the permutation-invariance
+        # test).
         live = jnp.arange(p_pad, dtype=jnp.int32) < n_small
         prims_masked = jnp.where(live, prims_p, p)
-        g8 = table8[prims_masked].reshape(p_pad // 128, 8, 128)
+        if rows8_carry:
+            # Sort-carried build: the 8 columns were permuted through
+            # the binning sort itself (v6_probe: the widened sort vs
+            # the 32 B gather it replaces) — same values, same order,
+            # bit-identical rows to the gather build below.
+            def prep(c):
+                c = c[:n_rows]
+                c = jnp.pad(c, (0, p_pad - n_rows),
+                            constant_values=nanf)
+                return jnp.where(live, c, nanf)
+
+            g8 = jnp.stack([prep(c) for c in sorted_carry],
+                           axis=1).reshape(p_pad // 128, 8, 128)
+        else:
+            table8 = jnp.stack(_rows8_columns(prims), axis=1)
+            table8 = jnp.pad(table8, ((0, 1), (0, 0)),
+                             constant_values=nanf)
+            g8 = table8[prims_masked].reshape(p_pad // 128, 8, 128)
         idf_lanes = prims_masked.astype(jnp.float32) \
             .reshape(p_pad // 128, 1, 128)
         rows = jnp.concatenate([g8, idf_lanes], axis=1) \
@@ -1327,7 +1368,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           tiles_per_program: int = 1,
                           starts_method: str = "scan",
                           cap_rows10: bool = False,
-                          row_budget=None, rows8: bool = False):
+                          row_budget=None, rows8: bool = False,
+                          rows8_carry: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -1357,7 +1399,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         allow_exit=allow_exit, span=span, dma_slots=dma_slots,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
-        row_budget=row_budget, rows8=rows8)
+        row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -1459,7 +1501,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        starts_method: str = "scan",
                        cap_rows10: bool = False,
                        three_tone=None, row_budget=None,
-                       rows8: bool = False):
+                       rows8: bool = False, rows8_carry: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -1504,7 +1546,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         dma_slots=dma_slots, fused_uv=fused,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
-        row_budget=row_budget, rows8=rows8)
+        row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

@@ -85,6 +85,10 @@ class RasterConfig:
     # the renormalized eval — certified-fidelity mode, NOT bit-equal
     # to cap10/cap16 (oracle twin: rasterize_reference cap8).
     rows8: bool = False
+    # rows8 build variant: carry the 8 row columns THROUGH the binning
+    # sort instead of gathering them after it.  Bit-identical rows —
+    # a pure perf knob (no extra certification).
+    rows8_carry: bool = False
     # pallas6: static cap on the sorted-order row gather — soups with
     # large INVALID tails (adaptive trails) only need rows for the
     # binned prefix.  Exact iff every frame's binned count stays <=
@@ -216,7 +220,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
 
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
-            rows8=config.rows8,
+            rows8=config.rows8, rows8_carry=config.rows8_carry,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
@@ -267,7 +271,7 @@ def render(prims: ScreenPrimitives, camera,
 
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
-            rows8=config.rows8,
+            rows8=config.rows8, rows8_carry=config.rows8_carry,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None

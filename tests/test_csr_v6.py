@@ -1107,3 +1107,22 @@ class TestRows8:
         same = np.asarray(i8) == np.asarray(i10)
         assert same.mean() == 1.0
         np.testing.assert_array_equal(np.asarray(rgb8), np.asarray(rgb10))
+
+    def test_rows8_carry_bit_identical(self):
+        # Sort-carried rows vs gathered rows: same values in the same
+        # order by construction — images bit-identical, incl. under
+        # row_budget and at span 4.
+        soup = _rows8_soup(make_camera(), seed=47)
+        for kw in (dict(), dict(span=4), dict(chunk_rows=384)):
+            a = rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                      interpret=True, **kw)
+            b = rasterize_pallas_csr6(soup, W, H, rows8=True,
+                                      rows8_carry=True, interpret=True,
+                                      **kw)
+            np.testing.assert_array_equal(np.asarray(a[0]),
+                                          np.asarray(b[0]), err_msg=str(kw))
+            np.testing.assert_array_equal(np.asarray(a[1]),
+                                          np.asarray(b[1]), err_msg=str(kw))
+        with pytest.raises(ValueError, match="rows8_carry"):
+            rasterize_pallas_csr6(soup, W, H, rows8_carry=True,
+                                  interpret=True)

@@ -186,18 +186,20 @@ def main():
         # prebuilt (P, 8) table into columns, carry them through the
         # sort, re-interleave into the rows8 packed layout + idf lanes.
         # Compare against (32 B gather + pack) above.
+        p128 = -(-p // 128) * 128  # the pack needs whole 128-entry groups
+
         def sortw_pack(acc, k, t):
             cols = tuple(t[:, j] for j in range(8))
             s = jax.lax.sort((k + acc.astype(jnp.int32),
-                              jnp.arange(p16, dtype=jnp.int32)) + cols,
+                              jnp.arange(p128, dtype=jnp.int32)) + cols,
                              num_keys=1, is_stable=False)
-            g = jnp.stack(s[2:], axis=1).reshape(p16 // 128, 8, 128)
-            idf = s[1].astype(jnp.float32).reshape(p16 // 128, 1, 128)
+            g = jnp.stack(s[2:], axis=1).reshape(p128 // 128, 8, 128)
+            idf = s[1].astype(jnp.float32).reshape(p128 // 128, 1, 128)
             r = jnp.concatenate([g, idf], axis=1).reshape(-1, 128)
             return acc + r[0, 0] * 1e-9
 
-        k32p = jnp.pad(k32, (0, p16 - p))
-        t8 = jnp.asarray(rng.normal(size=(p16, 8)), jnp.float32)
+        k32p = jnp.pad(k32, (0, p128 - p))
+        t8 = jnp.asarray(rng.normal(size=(p128, 8)), jnp.float32)
         report(f"sort-carried rows8 stage {p / 10**6:.1f}M (sort+pack)",
                timed("swp", sortw_pack, k32p, t8)[1])
 

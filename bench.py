@@ -136,6 +136,9 @@ def _apply_tuned(args):
     args.trail_starts_method = trail.get("starts_method", "scan")
     c10 = _t.fill(args.trail_cap10, trail, "cap_rows10", "off")
     args.trail_cap10 = {True: "on", False: "off"}.get(c10, c10)
+    c10c = _t.fill(getattr(args, "trail_cap10_carry", None), trail,
+                   "cap10_carry", "off")
+    args.trail_cap10_carry = {True: "on", False: "off"}.get(c10c, c10c)
     r8 = _t.fill(getattr(args, "trail_rows8", None), trail, "rows8",
                  "off")
     args.trail_rows8 = {True: "on", False: "off"}.get(r8, r8)
@@ -158,6 +161,9 @@ def _apply_tuned(args):
                                     "segments", None)
     d10 = _t.fill(args.droplet_cap10, drop, "cap_rows10", "off")
     args.droplet_cap10 = {True: "on", False: "off"}.get(d10, d10)
+    d10c = _t.fill(getattr(args, "droplet_cap10_carry", None), drop,
+                   "cap10_carry", "off")
+    args.droplet_cap10_carry = {True: "on", False: "off"}.get(d10c, d10c)
     d8 = _t.fill(getattr(args, "droplet_rows8", None), drop, "rows8",
                  "off")
     args.droplet_rows8 = {True: "on", False: "off"}.get(d8, d8)
@@ -577,6 +583,9 @@ def _bench_trail_scene(args, positions):
                              trail_segments=args.trail_segments,
                              cap10=getattr(args, "trail_cap10",
                                            "off") == "on",
+                             cap10_carry=getattr(
+                                 args, "trail_cap10_carry",
+                                 "off") == "on",
                              rows8=getattr(args, "trail_rows8",
                                            "off") == "on",
                              rows8_carry=getattr(
@@ -608,6 +617,9 @@ def _bench_droplet_scene(args, positions):
                              trail_segments=args.droplet_segments,
                              cap10=getattr(args, "droplet_cap10",
                                            "off") == "on",
+                             cap10_carry=getattr(
+                                 args, "droplet_cap10_carry",
+                                 "off") == "on",
                              rows8=getattr(args, "droplet_rows8",
                                            "off") == "on",
                              rows8_carry=getattr(
@@ -628,7 +640,8 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                       n_frames, trail_segments=None, cap10=False,
                       three_tone_on=False, span_arg="auto",
                       starts_method="scan", tpp=1, dma_slots=2,
-                      chunk_rows=None, rows8=False, rows8_carry=False):
+                      chunk_rows=None, rows8=False, rows8_carry=False,
+                      cap10_carry=False):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
@@ -795,6 +808,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                           starts_method=starts_method,
                           cap_rows10=cap10, rows8=rows8,
                           rows8_carry=rows8 and rows8_carry,
+                          cap10_carry=cap10 and cap10_carry,
                           row_budget=row_budget,
                           three_tone=three_tone,
                           tiles_per_program=tpp, dma_slots=dma_slots,
@@ -919,6 +933,12 @@ def main():
                     help="v6 narrow 10-float capsule rows for the trail "
                          "metric (exit-off tri-less soups; default "
                          "tuned|off until measured on chip)")
+    ap.add_argument("--trail-cap10-carry", default=None,
+                    choices=("on", "off"),
+                    help="cap10 build variant: carry the 10 row "
+                         "columns through the binning sort (the 40 B "
+                         "row pays two 32 B gather granules; "
+                         "bit-identical, pure perf A/B)")
     ap.add_argument("--trail-rows8", default=None, choices=("on", "off"),
                     help="v6 kind-split 8-float rows for the trail "
                          "metric (one 32 B gather granule; renormalized "
@@ -957,6 +977,10 @@ def main():
     ap.add_argument("--droplet-cap10", default=None, choices=("on", "off"),
                     help="v6 narrow capsule rows for the droplet metric "
                          "(default tuned|off)")
+    ap.add_argument("--droplet-cap10-carry", default=None,
+                    choices=("on", "off"),
+                    help="cap10 sort-carried build for the droplet "
+                         "metric (bit-identical; pure perf A/B)")
     ap.add_argument("--droplet-rows8", default=None,
                     choices=("on", "off"),
                     help="v6 kind-split 8-float rows for the droplet "

@@ -108,7 +108,7 @@ def main():
 
     def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2,
                mb=None, tpp=1, sm="scan", cap10=False, rows8=False,
-               rows8c=False):
+               rows8c=False, cap10c=False):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
@@ -116,25 +116,27 @@ def main():
                 discs_only=discs_only, chunk_rows=chunk_rows,
                 allow_exit=allow_exit, dma_slots=dma_slots, span=span,
                 tiles_per_program=tpp, starts_method=sm,
-                cap_rows10=cap10, rows8=rows8, rows8_carry=rows8c)
+                cap_rows10=cap10, rows8=rows8, rows8_carry=rows8c,
+                cap10_carry=cap10c)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
         return f
 
     def tr(label, chunk_rows=256, allow_exit=False, unroll=4,
            dma_slots=2, span=2, mb=None, tpp=1, sm="scan", cap10=False,
-           rows8=False, rows8c=False):
+           rows8=False, rows8c=False, cap10c=False):
         timed(label,
               raster(chunk_rows, allow_exit, unroll, dma_slots=dma_slots,
                      span=span, mb=mb, tpp=tpp, sm=sm, cap10=cap10,
-                     rows8=rows8, rows8c=rows8c),
+                     rows8=rows8, rows8c=rows8c, cap10c=cap10c),
               pos, vel,
               knobs=dict(kind="raster", scene=args.scene,
                          chunk_rows=chunk_rows, allow_exit=allow_exit,
                          unroll=unroll, dma_slots=dma_slots, span=span,
                          max_big=mb or max_big, tiles_per_program=tpp,
                          starts_method=sm, cap_rows10=cap10, rows8=rows8,
-                         rows8_carry=rows8c, segments=args.segments))
+                         rows8_carry=rows8c, cap10_carry=cap10c,
+                         segments=args.segments))
 
     for cr in (256, 512, 1024):
         for ex in (True, False):
@@ -193,6 +195,12 @@ def main():
            rows8=True, rows8c=True)
         tr("chunk=1024 exit=0 u=4 span=4 ROWS8c", span=4, mb=max_big,
            rows8=True, rows8c=True, chunk_rows=1024)
+        # Sort-carried CAP10 build: keeps the fast cap10 kernel while
+        # replacing the two-granule 40 B gather with the widened sort.
+        tr("chunk=512 exit=0 u=4 span=4 CAP10c", span=4, mb=max_big,
+           cap10=True, cap10c=True, chunk_rows=512)
+        tr("chunk=1024 exit=0 u=4 span=4 CAP10c", span=4, mb=max_big,
+           cap10=True, cap10c=True, chunk_rows=1024)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).

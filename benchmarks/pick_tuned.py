@@ -123,6 +123,8 @@ def certify_geometry(trail, preset="traj_ball"):
                 f"segments={trail['segments']} certified on {preset} "
                 f"(flip {rec['trail_rate']:.2e} <= {limit():.1e})")
 
+    if not trail.get("cap_rows10"):
+        trail.pop("cap10_carry", None)  # build variant of cap10 only
     if not trail.get("rows8"):
         trail.pop("rows8", None)
         trail.pop("rows8_flip_rate", None)
@@ -313,6 +315,12 @@ def pick_trail(records, log_text):
                  "three_tone": True},
              "bench trail seg4 rows8c 3tone chunk1024 A/B": {
                  "segments": 4, "rows8": True, "rows8_carry": True,
+                 "three_tone": True, "chunk_rows": 1024},
+             "bench trail seg4 cap10c 3tone chunk512 A/B": {
+                 "segments": 4, "cap_rows10": True, "cap10_carry": True,
+                 "three_tone": True, "chunk_rows": 512},
+             "bench trail seg4 cap10c 3tone chunk1024 A/B": {
+                 "segments": 4, "cap_rows10": True, "cap10_carry": True,
                  "three_tone": True, "chunk_rows": 1024}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
@@ -419,6 +427,9 @@ DROPLET_FLAGS = {
         "segments": "adaptive", "rows8": True, "three_tone": True},
     "bench droplet seg4 rows8c 3tone A/B": {
         "segments": 4, "rows8": True, "rows8_carry": True,
+        "three_tone": True},
+    "bench droplet seg4 cap10c 3tone A/B": {
+        "segments": 4, "cap_rows10": True, "cap10_carry": True,
         "three_tone": True},
 }
 

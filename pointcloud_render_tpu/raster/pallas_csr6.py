@@ -985,13 +985,25 @@ def _rows8_columns(prims):
     return tuple(jnp.where(prims.valid, c, nanf) for c in cols)
 
 
+def _cap10_columns(prims):
+    """The 10 per-prim row columns of the cap_rows10 layout
+    ([params 0..8, idf]; zeros where invalid — the zero row is inert
+    for the cap10 body).  Sort-carried build input; values identical
+    to the gathered table10 by construction."""
+    p = prims.count
+    cols = tuple(prims.params[:, j] for j in range(9)) \
+        + (jnp.arange(p, dtype=jnp.float32),)
+    return tuple(jnp.where(prims.valid, c, 0.0) for c in cols)
+
+
 def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   chunk_rows, interpret, shade_rgb, shade_flag,
                   max_big=DEFAULT_MAX_BIG, bin_triangles=False,
                   discs_only=False, allow_exit=None, span=2,
                   dma_slots=2, fused_uv=False, tiles_per_program=1,
                   starts_method="scan", cap_rows10=False,
-                  row_budget=None, rows8=False, rows8_carry=False):
+                  row_budget=None, rows8=False, rows8_carry=False,
+                  cap10_carry=False):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners); ``table16``
@@ -1027,6 +1039,9 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     elif rows8_carry:
         raise ValueError("rows8_carry is a rows8 build variant — "
                          "requires rows8=True")
+    if cap10_carry and not cap_rows10:
+        raise ValueError("cap10_carry is a cap_rows10 build variant — "
+                         "requires cap_rows10=True")
     if allow_exit is None:
         # Measured policy (benchmarks/kernel6_sweep.py): the per-range
         # exit WINS 13% on the deep-run trail scene but LOSES ~1 ms on
@@ -1077,7 +1092,12 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
 
     # Exit-off walks need no z-buckets in the keys (_bin_csr6 with_z
     # docstring): smaller/int16 sort keys and no O(P) zlb pass.
-    carry = _rows8_columns(prims) if (rows8 and rows8_carry) else ()
+    if rows8 and rows8_carry:
+        carry = _rows8_columns(prims)
+    elif cap_rows10 and cap10_carry:
+        carry = _cap10_columns(prims)
+    else:
+        carry = ()
     bin_out = _bin_csr6(
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
         max_big=max_big, bin_triangles=bin_triangles,
@@ -1232,13 +1252,29 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         # materialization disappears (big rows are built at the big
         # ids, as in discs_only).  The 8 slop lanes per 128-lane HBM
         # row are zero (inert).
-        table10 = jnp.concatenate([
-            prims.params[:, 0:9],
-            jnp.arange(p, dtype=jnp.float32)[:, None],
-        ], axis=1)
-        table10 = jnp.where(prims.valid[:, None], table10, 0.0)
-        table10 = jnp.pad(table10, ((0, 1), (0, 0)))
-        rows = table10[prims_p].reshape(p_pad // pack, pack * ROW_F_CAP)
+        if cap10_carry:
+            # Sort-carried build: a 40 B row spans TWO 32 B gather
+            # granules (v6_probe r5: same ~11.6 ns/row as 64 B), so
+            # replacing the gather with sort-carried columns wins
+            # exactly where it lost for rows8's one-granule rows.
+            # Bit-identical rows: same values, same order; zero pad
+            # (inert for the cap10 body) exactly as the gathered path.
+            def prep10(c):
+                c = c[:n_rows]
+                return jnp.pad(c, (0, p_pad - n_rows))
+
+            rows = jnp.stack([prep10(c) for c in sorted_carry],
+                             axis=1).reshape(p_pad // pack,
+                                             pack * ROW_F_CAP)
+        else:
+            table10 = jnp.concatenate([
+                prims.params[:, 0:9],
+                jnp.arange(p, dtype=jnp.float32)[:, None],
+            ], axis=1)
+            table10 = jnp.where(prims.valid[:, None], table10, 0.0)
+            table10 = jnp.pad(table10, ((0, 1), (0, 0)))
+            rows = table10[prims_p].reshape(p_pad // pack,
+                                            pack * ROW_F_CAP)
         rows = jnp.pad(rows, ((0, 0), (0, 128 - pack * ROW_F_CAP)))
         table16 = None
         big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
@@ -1369,7 +1405,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           starts_method: str = "scan",
                           cap_rows10: bool = False,
                           row_budget=None, rows8: bool = False,
-                          rows8_carry: bool = False):
+                          rows8_carry: bool = False,
+                          cap10_carry: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -1399,7 +1436,8 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         allow_exit=allow_exit, span=span, dma_slots=dma_slots,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
-        row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry)
+        row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry,
+        cap10_carry=cap10_carry)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -1501,7 +1539,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        starts_method: str = "scan",
                        cap_rows10: bool = False,
                        three_tone=None, row_budget=None,
-                       rows8: bool = False, rows8_carry: bool = False):
+                       rows8: bool = False, rows8_carry: bool = False,
+                       cap10_carry: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -1546,7 +1585,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         dma_slots=dma_slots, fused_uv=fused,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
-        row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry)
+        row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry,
+        cap10_carry=cap10_carry)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

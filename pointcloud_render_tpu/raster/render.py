@@ -89,6 +89,10 @@ class RasterConfig:
     # sort instead of gathering them after it.  Bit-identical rows —
     # a pure perf knob (no extra certification).
     rows8_carry: bool = False
+    # cap_rows10 build variant: sort-carried 10-float rows (a 40 B row
+    # pays TWO 32 B gather granules, so the carried build wins exactly
+    # where it lost for rows8).  Bit-identical rows; pure perf knob.
+    cap10_carry: bool = False
     # pallas6: static cap on the sorted-order row gather — soups with
     # large INVALID tails (adaptive trails) only need rows for the
     # binned prefix.  Exact iff every frame's binned count stays <=
@@ -221,6 +225,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
             rows8=config.rows8, rows8_carry=config.rows8_carry,
+            cap10_carry=config.cap10_carry,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
@@ -272,6 +277,7 @@ def render(prims: ScreenPrimitives, camera,
             allow_exit=config.allow_exit,
             cap_rows10=config.cap_rows10,
             rows8=config.rows8, rows8_carry=config.rows8_carry,
+            cap10_carry=config.cap10_carry,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None

@@ -1126,3 +1126,21 @@ class TestRows8:
         with pytest.raises(ValueError, match="rows8_carry"):
             rasterize_pallas_csr6(soup, W, H, rows8_carry=True,
                                   interpret=True)
+
+    def test_cap10_carry_bit_identical(self):
+        # Sort-carried cap10 rows vs gathered: bit-identical images,
+        # incl. under row_budget-free span4 and odd chunking.
+        soup = _rows8_soup(make_camera(), seed=53)
+        for kw in (dict(), dict(span=4), dict(chunk_rows=384)):
+            a = rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                      interpret=True, **kw)
+            b = rasterize_pallas_csr6(soup, W, H, cap_rows10=True,
+                                      cap10_carry=True, interpret=True,
+                                      **kw)
+            np.testing.assert_array_equal(np.asarray(a[0]),
+                                          np.asarray(b[0]), err_msg=str(kw))
+            np.testing.assert_array_equal(np.asarray(a[1]),
+                                          np.asarray(b[1]), err_msg=str(kw))
+        with pytest.raises(ValueError, match="cap10_carry"):
+            rasterize_pallas_csr6(soup, W, H, cap10_carry=True,
+                                  interpret=True)

@@ -145,6 +145,12 @@ def _apply_tuned(args):
     r8c = _t.fill(getattr(args, "trail_rows8_carry", None), trail,
                   "rows8_carry", "off")
     args.trail_rows8_carry = {True: "on", False: "off"}.get(r8c, r8c)
+    r9 = _t.fill(getattr(args, "trail_rows9", None), trail, "rows9",
+                 "off")
+    args.trail_rows9 = {True: "on", False: "off"}.get(r9, r9)
+    r9c = _t.fill(getattr(args, "trail_rows9_carry", None), trail,
+                  "rows9_carry", "off")
+    args.trail_rows9_carry = {True: "on", False: "off"}.get(r9c, r9c)
     t3 = _t.fill(args.trail_three_tone, trail, "three_tone", "off")
     args.trail_three_tone = {True: "on", False: "off"}.get(t3, t3)
     # Trail-lane kernel knobs (r5): the seg4 sweep measures tpp /
@@ -170,6 +176,12 @@ def _apply_tuned(args):
     d8c = _t.fill(getattr(args, "droplet_rows8_carry", None), drop,
                   "rows8_carry", "off")
     args.droplet_rows8_carry = {True: "on", False: "off"}.get(d8c, d8c)
+    d9 = _t.fill(getattr(args, "droplet_rows9", None), drop, "rows9",
+                 "off")
+    args.droplet_rows9 = {True: "on", False: "off"}.get(d9, d9)
+    d9c = _t.fill(getattr(args, "droplet_rows9_carry", None), drop,
+                  "rows9_carry", "off")
+    args.droplet_rows9_carry = {True: "on", False: "off"}.get(d9c, d9c)
     d3 = _t.fill(args.droplet_three_tone, drop, "three_tone", "off")
     args.droplet_three_tone = {True: "on", False: "off"}.get(d3, d3)
     args.droplet_tpp = _t.fill(getattr(args, "droplet_tpp", None), drop,
@@ -591,6 +603,11 @@ def _bench_trail_scene(args, positions):
                              rows8_carry=getattr(
                                  args, "trail_rows8_carry",
                                  "off") == "on",
+                             rows9=getattr(args, "trail_rows9",
+                                           "off") == "on",
+                             rows9_carry=getattr(
+                                 args, "trail_rows9_carry",
+                                 "off") == "on",
                              three_tone_on=getattr(args,
                                                    "trail_three_tone",
                                                    "off") == "on",
@@ -625,6 +642,11 @@ def _bench_droplet_scene(args, positions):
                              rows8_carry=getattr(
                                  args, "droplet_rows8_carry",
                                  "off") == "on",
+                             rows9=getattr(args, "droplet_rows9",
+                                           "off") == "on",
+                             rows9_carry=getattr(
+                                 args, "droplet_rows9_carry",
+                                 "off") == "on",
                              three_tone_on=getattr(args,
                                                    "droplet_three_tone",
                                                    "off") == "on",
@@ -641,7 +663,7 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                       three_tone_on=False, span_arg="auto",
                       starts_method="scan", tpp=1, dma_slots=2,
                       chunk_rows=None, rows8=False, rows8_carry=False,
-                      cap10_carry=False):
+                      cap10_carry=False, rows9=False, rows9_carry=False):
     """Scan-render ``n_frames`` trajectory frames of a full pipeline
     soup scene (ground + splats + trails) on the v6 kernel; returns
     device-side FPS.  Big-list capacity is probed over the trajectory
@@ -797,9 +819,13 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
             print(f"# {preset_name} adaptive trails: binned "
                   f"{binned_by_span[span]} -> row_budget {row_budget}",
                   file=sys.stderr)
+    if rows9 and (cap10 or rows8):
+        # Mutually exclusive kernel modes; precedence for mixed flag
+        # sets: rows9 > rows8 > cap10 (tuned files never carry two).
+        print(f"# {preset_name}: rows9 supersedes cap_rows10/rows8",
+              file=sys.stderr)
+        cap10 = rows8 = False
     if rows8 and cap10:
-        # rows8 supersedes cap10 (mutually exclusive kernel modes);
-        # tuned files never carry both, but a mixed flag set can.
         print(f"# {preset_name}: rows8 supersedes cap_rows10",
               file=sys.stderr)
         cap10 = False
@@ -809,6 +835,8 @@ def _bench_soup_scene(args, positions, preset_name, droplet_lod,
                           cap_rows10=cap10, rows8=rows8,
                           rows8_carry=rows8 and rows8_carry,
                           cap10_carry=cap10 and cap10_carry,
+                          rows9=rows9,
+                          rows9_carry=rows9 and rows9_carry,
                           row_budget=row_budget,
                           three_tone=three_tone,
                           tiles_per_program=tpp, dma_slots=dma_slots,
@@ -949,6 +977,13 @@ def main():
                     help="rows8 build variant: carry row columns "
                          "through the binning sort (bit-identical; "
                          "pure perf A/B)")
+    ap.add_argument("--trail-rows9", default=None, choices=("on", "off"),
+                    help="v6 kind-split 9-float rows (rows8's "
+                         "renormalized eval with idf in-row; same "
+                         "certificate records)")
+    ap.add_argument("--trail-rows9-carry", default=None,
+                    choices=("on", "off"),
+                    help="rows9 sort-carried build (bit-identical)")
     ap.add_argument("--trail-three-tone", default=None,
                     choices=("on", "off"),
                     help="per-kind-constant shade for the trail metric "
@@ -989,6 +1024,13 @@ def main():
                     choices=("on", "off"),
                     help="rows8 sort-carried build for the droplet "
                          "metric (bit-identical; pure perf A/B)")
+    ap.add_argument("--droplet-rows9", default=None,
+                    choices=("on", "off"),
+                    help="v6 kind-split 9-float rows for the droplet "
+                         "metric")
+    ap.add_argument("--droplet-rows9-carry", default=None,
+                    choices=("on", "off"),
+                    help="rows9 sort-carried build (bit-identical)")
     ap.add_argument("--droplet-three-tone", default=None,
                     choices=("on", "off"),
                     help="per-kind-constant shade for the droplet metric "

@@ -108,7 +108,7 @@ def main():
 
     def raster(chunk_rows, allow_exit, unroll, dma_slots=2, span=2,
                mb=None, tpp=1, sm="scan", cap10=False, rows8=False,
-               rows8c=False, cap10c=False):
+               rows8c=False, cap10c=False, rows9=False, rows9c=False):
         def f(p, v):
             soup, _ = make(p, v)
             d, i = pallas_csr6.rasterize_pallas_csr6(
@@ -117,18 +117,20 @@ def main():
                 allow_exit=allow_exit, dma_slots=dma_slots, span=span,
                 tiles_per_program=tpp, starts_method=sm,
                 cap_rows10=cap10, rows8=rows8, rows8_carry=rows8c,
-                cap10_carry=cap10c)
+                cap10_carry=cap10c, rows9=rows9, rows9_carry=rows9c)
             return jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
 
         return f
 
     def tr(label, chunk_rows=256, allow_exit=False, unroll=4,
            dma_slots=2, span=2, mb=None, tpp=1, sm="scan", cap10=False,
-           rows8=False, rows8c=False, cap10c=False):
+           rows8=False, rows8c=False, cap10c=False, rows9=False,
+           rows9c=False):
         timed(label,
               raster(chunk_rows, allow_exit, unroll, dma_slots=dma_slots,
                      span=span, mb=mb, tpp=tpp, sm=sm, cap10=cap10,
-                     rows8=rows8, rows8c=rows8c, cap10c=cap10c),
+                     rows8=rows8, rows8c=rows8c, cap10c=cap10c,
+                     rows9=rows9, rows9c=rows9c),
               pos, vel,
               knobs=dict(kind="raster", scene=args.scene,
                          chunk_rows=chunk_rows, allow_exit=allow_exit,
@@ -136,6 +138,7 @@ def main():
                          max_big=mb or max_big, tiles_per_program=tpp,
                          starts_method=sm, cap_rows10=cap10, rows8=rows8,
                          rows8_carry=rows8c, cap10_carry=cap10c,
+                         rows9=rows9, rows9_carry=rows9c,
                          segments=args.segments))
 
     for cr in (256, 512, 1024):
@@ -201,6 +204,14 @@ def main():
            cap10=True, cap10c=True, chunk_rows=512)
         tr("chunk=1024 exit=0 u=4 span=4 CAP10c", span=4, mb=max_big,
            cap10=True, cap10c=True, chunk_rows=1024)
+        # rows9: the renormalized eval with idf IN-ROW (static lanes)
+        # — rows8's kernel cost without the interleave scalar tax.
+        tr("chunk=512 exit=0 u=4 span=4 ROWS9", span=4, mb=max_big,
+           rows9=True, chunk_rows=512)
+        tr("chunk=1024 exit=0 u=4 span=4 ROWS9", span=4, mb=max_big,
+           rows9=True, chunk_rows=1024)
+        tr("chunk=1024 exit=0 u=4 span=4 ROWS9c", span=4, mb=max_big,
+           rows9=True, rows9c=True, chunk_rows=1024)
     if discs_only:
         # max_big <= 511 -> one chunk -> RESIDENT SMEM big list
         # (no per-tile big-DMA round-trip).

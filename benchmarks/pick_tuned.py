@@ -48,7 +48,7 @@ RASTER_KEYS = ("tiles_per_program", "dma_slots", "chunk_rows", "unroll",
 # everything else in tuned_defaults.json is exactness-neutral by
 # construction.  rows8 (renormalized capsule eval, ULP-level rounding
 # drift) certifies via the "<segments>+rows8" record.
-GEOMETRY_KNOBS = ("segments", "rows8")
+GEOMETRY_KNOBS = ("segments", "rows8", "rows9")
 FIDELITY_CERT = os.path.join(RESULTS, "fidelity_trail_segments.json")
 
 
@@ -125,32 +125,39 @@ def certify_geometry(trail, preset="traj_ball"):
 
     if not trail.get("cap_rows10"):
         trail.pop("cap10_carry", None)  # build variant of cap10 only
-    if not trail.get("rows8"):
-        trail.pop("rows8", None)
-        trail.pop("rows8_flip_rate", None)
-        trail.pop("rows8_carry", None)  # build variant of rows8 only
-    elif rates is None:
-        refuse("rows8", "rows8_flip_rate",
-               f"no {preset} fidelity certificate — run "
-               "benchmarks/fidelity_trail.py --rows8")
-        trail.pop("rows8_carry", None)
-    else:
+    # rows8 AND rows9 evaluate the identical renormalized capsule
+    # expressions, so both certify against the "<segments>+rows8"
+    # combined record.
+    for knob in ("rows8", "rows9"):
+        carry_knob = f"{knob}_carry"
+        rate_key = f"{knob}_flip_rate"
+        if not trail.get(knob):
+            trail.pop(knob, None)
+            trail.pop(rate_key, None)
+            trail.pop(carry_knob, None)  # build variant of its mode
+            continue
+        if rates is None:
+            refuse(knob, rate_key,
+                   f"no {preset} fidelity certificate — run "
+                   "benchmarks/fidelity_trail.py --rows8")
+            trail.pop(carry_knob, None)
+            continue
         seg_key = str(trail.get("segments", DEFAULT_SEGMENTS))
         rec = rates.get(f"{seg_key}+rows8")
         if rec is None:
-            refuse("rows8", "rows8_flip_rate",
+            refuse(knob, rate_key,
                    f"no {preset} '{seg_key}+rows8' record — run "
                    "benchmarks/fidelity_trail.py --rows8")
-            trail.pop("rows8_carry", None)
+            trail.pop(carry_knob, None)
         elif rec["trail_rate"] > limit():
-            refuse("rows8", "rows8_flip_rate",
+            refuse(knob, rate_key,
                    f"combined flip rate {rec['trail_rate']:.2e} over "
                    f"limit {limit():.1e}")
-            trail.pop("rows8_carry", None)
+            trail.pop(carry_knob, None)
         else:
-            trail["rows8_flip_rate"] = rec["trail_rate"]
+            trail[rate_key] = rec["trail_rate"]
             notes.append(
-                f"rows8 certified on {preset} (combined flip "
+                f"{knob} certified on {preset} (combined flip "
                 f"{rec['trail_rate']:.2e} <= {limit():.1e})")
     return "; ".join(n for n in notes if n)
 
@@ -321,6 +328,15 @@ def pick_trail(records, log_text):
                  "three_tone": True, "chunk_rows": 512},
              "bench trail seg4 cap10c 3tone chunk1024 A/B": {
                  "segments": 4, "cap_rows10": True, "cap10_carry": True,
+                 "three_tone": True, "chunk_rows": 1024},
+             "bench trail seg4 rows9 3tone chunk512 A/B": {
+                 "segments": 4, "rows9": True, "three_tone": True,
+                 "chunk_rows": 512},
+             "bench trail seg4 rows9 3tone chunk1024 A/B": {
+                 "segments": 4, "rows9": True, "three_tone": True,
+                 "chunk_rows": 1024},
+             "bench trail seg4 rows9c 3tone chunk1024 A/B": {
+                 "segments": 4, "rows9": True, "rows9_carry": True,
                  "three_tone": True, "chunk_rows": 1024}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
@@ -430,6 +446,11 @@ DROPLET_FLAGS = {
         "three_tone": True},
     "bench droplet seg4 cap10c 3tone A/B": {
         "segments": 4, "cap_rows10": True, "cap10_carry": True,
+        "three_tone": True},
+    "bench droplet seg4 rows9 3tone A/B": {
+        "segments": 4, "rows9": True, "three_tone": True},
+    "bench droplet seg4 rows9c 3tone A/B": {
+        "segments": 4, "rows9": True, "rows9_carry": True,
         "three_tone": True},
 }
 

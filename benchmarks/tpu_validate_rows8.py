@@ -53,28 +53,33 @@ def main():
                                 np.array([0.9, 0.1, 0.1], np.float32)),
     ])
     host = jax.tree_util.tree_map(np.asarray, soup)
-    for span in (2, 4):
-        dk, ik = rasterize_pallas_csr6(soup, cam.width, cam.height,
-                                       rows8=True, span=span,
-                                       max_big=2048)
-        do, io = cpu_reference.rasterize_reference(
-            host, cam.width, cam.height, capsule_eval="cap8", span=span)
-        ik, io = np.asarray(ik), np.asarray(io)
-        dk, do = np.asarray(dk), np.asarray(do)
-        match = float((ik == io).mean())
-        print(f"span={span} winner match (rows8 TPU vs cap8 oracle): "
-              f"{match}", flush=True)
-        assert match == 1.0, "ROWS8 EXACTNESS REGRESSION on chip"
-        hit = ik >= 0
-        kind_img = np.where(hit, host.kind[ik.clip(0)], -1)
-        disc_px = kind_img == 0
-        assert np.array_equal(dk[disc_px], do[disc_px]), \
-            "disc depth not bit-exact under rows8 on chip"
-        cap_px = hit & (kind_img == 1)
-        ok = np.allclose(dk[cap_px], do[cap_px], rtol=5e-7)
-        print(f"span={span} capsule depth within FMA tolerance: {ok}",
-              flush=True)
-        assert ok
+    modes = [("rows8", dict(rows8=True)), ("rows9", dict(rows9=True)),
+             ("rows9c", dict(rows9=True, rows9_carry=True))]
+    for name, mkw in modes:
+        for span in (2, 4):
+            dk, ik = rasterize_pallas_csr6(soup, cam.width, cam.height,
+                                           span=span, max_big=2048,
+                                           **mkw)
+            do, io = cpu_reference.rasterize_reference(
+                host, cam.width, cam.height, capsule_eval="cap8",
+                span=span)
+            ik, io = np.asarray(ik), np.asarray(io)
+            dk, do = np.asarray(dk), np.asarray(do)
+            match = float((ik == io).mean())
+            print(f"{name} span={span} winner match (TPU vs cap8 "
+                  f"oracle): {match}", flush=True)
+            assert match == 1.0, \
+                f"{name.upper()} EXACTNESS REGRESSION on chip"
+            hit = ik >= 0
+            kind_img = np.where(hit, host.kind[ik.clip(0)], -1)
+            disc_px = kind_img == 0
+            assert np.array_equal(dk[disc_px], do[disc_px]), \
+                f"disc depth not bit-exact under {name} on chip"
+            cap_px = hit & (kind_img == 1)
+            ok = np.allclose(dk[cap_px], do[cap_px], rtol=5e-7)
+            print(f"{name} span={span} capsule depth within FMA "
+                  f"tolerance: {ok}", flush=True)
+            assert ok
     print("OK", flush=True)
 
 

@@ -89,6 +89,14 @@ PACK_DISC = 128 // ROW_F_DISC
 # (exit off), no tri plane (triangles ride the big list).
 ROW_F_CAP = 10
 PACK_CAP = 128 // ROW_F_CAP  # 12 (the division floors; 8 slop lanes)
+# rows9: kind-split 9-float rows, 14 per 128-lane row (2 slop lanes).
+# The rows8 dual encoding with idf IN-ROW at a static lane — fixes the
+# measured +3.5 ns/slot scalar cost of rows8's interleaved idf lanes
+# (dynamic-lane reads) while keeping the renormalized capsule eval:
+#   DISC    [px, py, z, r^2, idf, 0, 0, 0, 0]
+#   CAPSULE [x0, y0, ux, -rho0, uy, rhod, z0, sdz, idf]
+ROW_F_CAP9 = 9
+PACK_CAP9 = 128 // ROW_F_CAP9  # 14
 ZQ = 8  # z-bucket bits in the int32 key (256 buckets)
 DEFAULT_CHUNK_ROWS = 256
 
@@ -424,6 +432,76 @@ def _make_row_body8c(scr, slot, nchains, qx, qy, m):
     return row_body
 
 
+def _make_row_body9d(scr, slot, nchains, qx, qy):
+    """rows9 DISC body: the exact disc eval over 9-float rows with ALL
+    STATIC lane offsets (lane = u*9 + field) — no interleave, no
+    dynamic reads.  Cross-kind strangers inert by the same encoding
+    argument as rows8 (lane 3 = -rho0 < 0 fails the r^2 test); NaN
+    rows fail every compare."""
+
+    def row_body(br, c2):
+        out = list(c2)
+        for u in range(PACK_CAP9):
+            lane = u * ROW_F_CAP9
+            px = scr[slot, br, lane]
+            py = scr[slot, br, lane + 1]
+            z = scr[slot, br, lane + 2]
+            r2 = scr[slot, br, lane + 3]
+            idf = scr[slot, br, lane + 4]
+            ch = u % nchains
+            d0, di = out[2 * ch], out[2 * ch + 1]
+            dx = qx - px
+            dy = qy - py
+            cov = dx * dx + dy * dy <= r2
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[2 * ch] = jnp.where(better, z, d0)
+            out[2 * ch + 1] = jnp.where(better, idf, di)
+        return tuple(out)
+
+    return row_body
+
+
+def _make_row_body9c(scr, slot, nchains, qx, qy):
+    """rows9 CAPSULE body: the renormalized segment-frame eval of
+    _make_row_body8c with idf IN-ROW (static lane 8) — the f32
+    expressions are IDENTICAL to rows8's, so the cap8 oracle and the
+    '<segments>+rows8' fidelity records cover this mode unchanged.
+    Inertness: NaN rows and the strict rad > 0 against disc strangers
+    (their lane 5 = 0 makes rad = -r^2 <= -0)."""
+
+    def row_body(br, c2):
+        out = list(c2)
+        for u in range(PACK_CAP9):
+            lane = u * ROW_F_CAP9
+            x0 = scr[slot, br, lane]
+            y0 = scr[slot, br, lane + 1]
+            ux = scr[slot, br, lane + 2]
+            nr0 = scr[slot, br, lane + 3]
+            uy = scr[slot, br, lane + 4]
+            rhod = scr[slot, br, lane + 5]
+            z0 = scr[slot, br, lane + 6]
+            sdz = scr[slot, br, lane + 7]
+            idf = scr[slot, br, lane + 8]
+            ch = u % nchains
+            d0, di = out[2 * ch], out[2 * ch + 1]
+            dx = qx - x0
+            dy = qy - y0
+            a = dx * ux + dy * uy
+            g = dy * ux - dx * uy
+            t = jnp.clip(a, 0.0, 1.0)
+            am = a - t
+            d2 = am * am + g * g
+            rad = rhod * t - nr0
+            z = z0 + sdz * t
+            cov = (d2 <= rad * rad) & (rad > 0)
+            better = cov & ((z < d0) | ((z == d0) & (idf < di)))
+            out[2 * ch] = jnp.where(better, z, d0)
+            out[2 * ch + 1] = jnp.where(better, idf, di)
+        return tuple(out)
+
+    return row_body
+
+
 def _make_row_body8_uv(scr, slot, nchains, qx, qy):
     """``_make_row_body8`` with the winner's lambert plane coordinates
     carried through the merge.  Rows [px, py, z, r^2, idf, inv_r, 0, 0]
@@ -524,7 +602,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                   chunk_rows, allow_exit, num_tiles, with_triangles=False,
                   big_chunk=DEFAULT_BIG_CHUNK, row_f=ROW_F, span=2,
                   dma_slots=2, big_resident=False, fused_uv=False,
-                  tiles_per_program=1, rows8=False):
+                  tiles_per_program=1, rows8=False, rows9=False):
     k2 = span * span
     pack = 128 // row_f
     assert chunk_rows % pack == 0
@@ -533,7 +611,8 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
     assert not (allow_exit and row_f == ROW_F_CAP)  # no zlb lane
     assert tiles_per_program == 1 or not allow_exit
     assert not (rows8 and (allow_exit or fused_uv or row_f != ROW_F_DISC))
-    n_bounds = (2 if rows8 else 1) * k2 * num_tiles
+    assert not (rows9 and (allow_exit or fused_uv or row_f != ROW_F_CAP9))
+    n_bounds = (2 if (rows8 or rows9) else 1) * k2 * num_tiles
 
     def kernel(starts_ref,  # scalar prefetch: (k2*T+2,) i32; [-1] = big n
                rows_hbm,  # (P_pad/8, 128) f32 in ANY/HBM, anchor-sorted
@@ -562,7 +641,7 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
             tiles_x, tile_h, tile_w, unroll, n_chunk_block, chunk_rows,
             allow_exit, num_tiles, with_triangles, big_chunk, row_f,
             span, dma_slots, big_resident, fused_uv, tiles_per_program,
-            rows8=rows8)
+            rows8=rows8, rows9=rows9)
 
         for g in range(tiles_per_program):
             if num_tiles % tiles_per_program == 0:
@@ -591,7 +670,8 @@ def _make_kernel6(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
 def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                     chunk_rows, allow_exit, num_tiles, with_triangles,
                     big_chunk, row_f, span, dma_slots, big_resident,
-                    fused_uv, tiles_per_program, rows8=False):
+                    fused_uv, tiles_per_program, rows8=False,
+                    rows9=False):
     """The per-tile walk of the v6 kernel (see _make_kernel6): bin
     ranges -> flat chunk schedule -> DMA ring -> row eval -> out[g].
 
@@ -603,7 +683,8 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
     k2 = span * span
     pack = 128 // row_f
     zlb_lane = 14 if row_f == ROW_F else 2  # disc rows: zlb == z
-    assert not (rows8 and allow_exit)
+    assert not ((rows8 or rows9) and allow_exit)
+    kind_walk = rows8 or rows9  # disc ranges then capsule ranges
 
     def run_tile(g, pid, big_n, starts_ref, rows_hbm, big_hbm, zmeta_ref,
                  depth_out, idf_out, u_out, v_out, scratch, sems,
@@ -684,7 +765,7 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                                                   reg))
                 return rs
 
-            if rows8:
+            if kind_walk:
                 disc_ranges = kind_ranges(0)
                 ranges = disc_ranges + kind_ranges(k2 * num_tiles)
                 n_disc_ranges = len(disc_ranges)
@@ -807,6 +888,10 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
         init = tuple(accs)
 
         def make_body_fn(slot, g0=None, cap=False):
+            if rows9:
+                if cap:
+                    return _make_row_body9c(scratch, slot, unroll, qx, qy)
+                return _make_row_body9d(scratch, slot, unroll, qx, qy)
             if rows8:
                 m = jax.lax.rem(g0 // pack, 8)
                 if cap:
@@ -844,7 +929,7 @@ def _make_tile_body(tiles_x, tile_h, tile_w, unroll, n_chunk_block,
                         0, n_rows, make_body_fn(slot, g0, cap), accs_in)
                 return chunk_body
 
-            if rows8:
+            if kind_walk:
                 # Two-phase walk over ONE flat schedule: chunks
                 # [0, disc_chunks) are disc ranges, the rest capsule
                 # ranges.  The ring prefetch inside each body is
@@ -985,6 +1070,19 @@ def _rows8_columns(prims):
     return tuple(jnp.where(prims.valid, c, nanf) for c in cols)
 
 
+def _rows9_columns(prims):
+    """rows9 = the rows8 dual-encoding columns plus idf as the 9th
+    field (capsules; discs already carry idf at field 4 and zero-fill
+    field 8).  NaN where invalid, exactly as _rows8_columns."""
+    p = prims.count
+    iscap = prims.kind == KIND_CAPSULE
+    idf_col = jnp.arange(p, dtype=jnp.float32)
+    nanf = np.float32(np.nan)
+    c8 = jnp.where(iscap, idf_col, 0.0)
+    return _rows8_columns(prims) + (
+        jnp.where(prims.valid, c8, nanf),)
+
+
 def _cap10_columns(prims):
     """The 10 per-prim row columns of the cap_rows10 layout
     ([params 0..8, idf]; zeros where invalid — the zero row is inert
@@ -1003,7 +1101,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                   dma_slots=2, fused_uv=False, tiles_per_program=1,
                   starts_method="scan", cap_rows10=False,
                   row_budget=None, rows8=False, rows8_carry=False,
-                  cap10_carry=False):
+                  cap10_carry=False, rows9=False, rows9_carry=False):
     """Binning + kernel launch.  Returns (depth, idf_img, uv, table16,
     diag) — ``uv`` is None unless ``fused_uv`` (then the winner's
     lambert (u, v) images; +inf marks big-list winners); ``table16``
@@ -1026,19 +1124,24 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         raise ValueError("cap_rows10 rows have no triangle lanes — "
                          "triangles must ride the big list "
                          "(bin_triangles=False)")
-    if rows8:
-        if cap_rows10 or discs_only or bin_triangles or fused_uv:
+    if rows8 or rows9:
+        if cap_rows10 or discs_only or bin_triangles or fused_uv \
+                or (rows8 and rows9):
             raise ValueError(
-                "rows8 is the kind-split narrow-row mode for mixed "
-                "disc+capsule soups: mutually exclusive with cap_rows10 "
-                "/ discs_only / bin_triangles / fused_uv")
+                "rows8/rows9 are kind-split narrow-row modes for mixed "
+                "disc+capsule soups: mutually exclusive with each other "
+                "and with cap_rows10 / discs_only / bin_triangles / "
+                "fused_uv")
         if allow_exit:
-            raise ValueError("rows8 rows carry no zlb lane — "
+            raise ValueError("rows8/rows9 rows carry no zlb lane — "
                              "allow_exit must be off")
         allow_exit = False
     elif rows8_carry:
         raise ValueError("rows8_carry is a rows8 build variant — "
                          "requires rows8=True")
+    elif rows9_carry:
+        raise ValueError("rows9_carry is a rows9 build variant — "
+                         "requires rows9=True")
     if cap10_carry and not cap_rows10:
         raise ValueError("cap10_carry is a cap_rows10 build variant — "
                          "requires cap_rows10=True")
@@ -1085,7 +1188,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     tiles_x = -(-width // tile_w)
     num_tiles = tiles_y * tiles_x
     k2 = span * span
-    factor = 2 if rows8 else 1
+    factor = 2 if (rows8 or rows9) else 1
     if (factor * num_tiles * k2 + 2) << (ZQ if allow_exit else 0) \
             >= (1 << 31):
         raise ValueError("tile grid too large for the int32 v6 key")
@@ -1094,6 +1197,8 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     # docstring): smaller/int16 sort keys and no O(P) zlb pass.
     if rows8 and rows8_carry:
         carry = _rows8_columns(prims)
+    elif rows9 and rows9_carry:
+        carry = _rows9_columns(prims)
     elif cap_rows10 and cap10_carry:
         carry = _cap10_columns(prims)
     else:
@@ -1102,7 +1207,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         prims, tile_h, tile_w, num_tiles, tiles_x, tiles_y,
         max_big=max_big, bin_triangles=bin_triangles,
         discs_only=discs_only, span=span, with_z=allow_exit,
-        kind_split=rows8, carry=carry)
+        kind_split=rows8 or rows9, carry=carry)
     sorted_keys, sorted_prims, big_ids, big_count, zmeta, n_small = \
         bin_out[:6]
     sorted_carry = bin_out[6] if carry else ()
@@ -1111,7 +1216,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
     # anchor*k2+cls >= j.  B[k2*T] = number of binned prims (2x the
     # ordinal space under rows8's kind-split regions).
     kdtype, kshift = _key_layout(num_tiles, span, allow_exit,
-                                 kind_split=rows8)
+                                 kind_split=rows8 or rows9)
     bounds = (np.arange(factor * num_tiles * k2 + 1,
                         dtype=np.int64) << kshift).astype(kdtype)
     # method: integer searchsorted is method-invariant (side='left'),
@@ -1151,6 +1256,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
         n_rows = p
         diag["row_overflow"] = jnp.zeros((), jnp.int32)
     row_f = (ROW_F_DISC if (discs_only or rows8)
+             else ROW_F_CAP9 if rows9
              else ROW_F_CAP if cap_rows10 else ROW_F)
     pack = 128 // row_f
     if rows8 and chunk_rows % 128:
@@ -1241,6 +1347,37 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
             .reshape(p_pad // 128, 1, 128)
         rows = jnp.concatenate([g8, idf_lanes], axis=1) \
             .reshape(p_pad // 128 * 9, 128)
+        table16 = None
+        big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
+                                       big_ids_p,
+                                       bin_triangles=bin_triangles)
+    elif rows9:
+        # Kind-split 9-float rows: the rows8 dual encoding with idf
+        # IN-ROW at a static lane (no interleave, no dynamic-lane
+        # reads — queue H measured those at +3.5 ns/slot in rows8's
+        # kernel).  Standard pack-14 machinery, 2 slop lanes zero.
+        # NaN invalid/pad rows + the n_small mask for big-capsule
+        # strangers (same renormalized-eval argument as rows8).
+        nanf = np.float32(np.nan)
+        live = jnp.arange(p_pad, dtype=jnp.int32) < n_small
+        prims_masked = jnp.where(live, prims_p, p)
+        if rows9_carry:
+            def prep9(c):
+                c = c[:n_rows]
+                c = jnp.pad(c, (0, p_pad - n_rows),
+                            constant_values=nanf)
+                return jnp.where(live, c, nanf)
+
+            rows = jnp.stack([prep9(c) for c in sorted_carry],
+                             axis=1).reshape(p_pad // pack,
+                                             pack * ROW_F_CAP9)
+        else:
+            table9 = jnp.stack(_rows9_columns(prims), axis=1)
+            table9 = jnp.pad(table9, ((0, 1), (0, 0)),
+                             constant_values=nanf)
+            rows = table9[prims_masked].reshape(p_pad // pack,
+                                                pack * ROW_F_CAP9)
+        rows = jnp.pad(rows, ((0, 0), (0, 128 - pack * ROW_F_CAP9)))
         table16 = None
         big_rows = _build_table16_rows(prims, shade_rgb, shade_flag,
                                        big_ids_p,
@@ -1342,7 +1479,7 @@ def _raster_core6(prims, width, height, tile_h, tile_w, unroll,
                            big_chunk=big_chunk, row_f=row_f, span=span,
                            dma_slots=dma_slots, big_resident=big_resident,
                            fused_uv=fused_uv, tiles_per_program=tpp,
-                           rows8=rows8)
+                           rows8=rows8, rows9=rows9)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1406,7 +1543,9 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
                           cap_rows10: bool = False,
                           row_budget=None, rows8: bool = False,
                           rows8_carry: bool = False,
-                          cap10_carry: bool = False):
+                          cap10_carry: bool = False,
+                          rows9: bool = False,
+                          rows9_carry: bool = False):
     """Returns (depth (H,W) f32 +inf-empty, index (H,W) i32 -1-empty).
 
     Same semantics and eval as rasterize_pallas_csr4 (per-pair exact
@@ -1437,7 +1576,7 @@ def rasterize_pallas_csr6(prims, width: int, height: int, tile_h: int = 32,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
         row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry,
-        cap10_carry=cap10_carry)
+        cap10_carry=cap10_carry, rows9=rows9, rows9_carry=rows9_carry)
     index = jnp.where(jnp.isinf(depth), -1, idf.astype(jnp.int32))
     if return_diag:
         return depth, index, diag
@@ -1540,7 +1679,8 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
                        cap_rows10: bool = False,
                        three_tone=None, row_budget=None,
                        rows8: bool = False, rows8_carry: bool = False,
-                       cap10_carry: bool = False):
+                       cap10_carry: bool = False, rows9: bool = False,
+                       rows9_carry: bool = False):
     """Rasterize + shade in one pass: (rgb, depth, index).
 
     Matches shading.shade_framebuffer bit-for-bit (lambert and flat
@@ -1586,7 +1726,7 @@ def render_shaded_csr6(prims, camera, shading, tile_h: int = 32,
         tiles_per_program=tiles_per_program,
         starts_method=starts_method, cap_rows10=cap_rows10,
         row_budget=row_budget, rows8=rows8, rows8_carry=rows8_carry,
-        cap10_carry=cap10_carry)
+        cap10_carry=cap10_carry, rows9=rows9, rows9_carry=rows9_carry)
     if fused:
         rgb, index = _shade_uv(camera, shading, depth, idf, uv[0],
                                uv[1], uniform_look)

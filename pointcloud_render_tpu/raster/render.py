@@ -93,6 +93,12 @@ class RasterConfig:
     # pays TWO 32 B gather granules, so the carried build wins exactly
     # where it lost for rows8).  Bit-identical rows; pure perf knob.
     cap10_carry: bool = False
+    # rows9: the rows8 dual encoding with idf IN-ROW (static lanes, no
+    # interleave) — same renormalized capsule eval, same cap8 oracle
+    # and '<segments>+rows8' certificate records.  rows9_carry = its
+    # sort-carried build (bit-identical; pure perf knob).
+    rows9: bool = False
+    rows9_carry: bool = False
     # pallas6: static cap on the sorted-order row gather — soups with
     # large INVALID tails (adaptive trails) only need rows for the
     # binned prefix.  Exact iff every frame's binned count stays <=
@@ -147,7 +153,8 @@ def _v6_tiles_per_program(config) -> int:
     that flips the exit policy, as cap_rows10 did, is added here once).
     """
     if (config.discs_only or config.span != 2 or config.cap_rows10
-            or config.rows8 or config.allow_exit is False):
+            or config.rows8 or config.rows9
+            or config.allow_exit is False):
         return config.tiles_per_program
     return 1
 
@@ -226,6 +233,7 @@ def rasterize(prims: ScreenPrimitives, width: int, height: int,
             cap_rows10=config.cap_rows10,
             rows8=config.rows8, rows8_carry=config.rows8_carry,
             cap10_carry=config.cap10_carry,
+            rows9=config.rows9, rows9_carry=config.rows9_carry,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None
@@ -278,6 +286,7 @@ def render(prims: ScreenPrimitives, camera,
             cap_rows10=config.cap_rows10,
             rows8=config.rows8, rows8_carry=config.rows8_carry,
             cap10_carry=config.cap10_carry,
+            rows9=config.rows9, rows9_carry=config.rows9_carry,
             row_budget=config.row_budget,
             starts_method=config.starts_method,
             **({} if config.chunk_rows is None

@@ -1144,3 +1144,62 @@ class TestRows8:
         with pytest.raises(ValueError, match="cap10_carry"):
             rasterize_pallas_csr6(soup, W, H, cap10_carry=True,
                                   interpret=True)
+
+    def test_rows9_matches_cap8_oracle_both_spans(self):
+        # rows9 evaluates the SAME renormalized expressions as rows8 —
+        # the cap8 oracle covers it unchanged.
+        soup = _rows9_mode_soup = _rows8_soup(make_camera(), seed=59)
+        for span in (2, 4):
+            host = to_host(soup)
+            d_o, i_o = cpu_reference.rasterize_reference(
+                host, W, H, capsule_eval="cap8", span=span)
+            d_p, i_p = rasterize_pallas_csr6(soup, W, H, interpret=True,
+                                             rows9=True, span=span)
+            d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+            np.testing.assert_array_equal(i_p, i_o)
+            hit = i_p >= 0
+            kind_img = np.where(hit, np.asarray(host.kind)[i_p.clip(0)],
+                                -1)
+            disc_px = kind_img == 0
+            np.testing.assert_array_equal(d_p[disc_px], d_o[disc_px])
+            rest = hit & ~disc_px
+            np.testing.assert_allclose(d_p[rest], d_o[rest], rtol=2e-5)
+
+    def test_rows9_matches_rows8_bit_exact(self):
+        # Identical eval + identical (depth, id) merges -> identical
+        # images between the two kind-split modes.
+        soup = _rows8_soup(make_camera(), seed=61)
+        a = rasterize_pallas_csr6(soup, W, H, rows8=True, interpret=True)
+        b = rasterize_pallas_csr6(soup, W, H, rows9=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_rows9_carry_and_knobs_bit_identical(self):
+        soup = _rows8_soup(make_camera(), seed=67)
+        base = rasterize_pallas_csr6(soup, W, H, rows9=True,
+                                     interpret=True)
+        for kw in (dict(rows9_carry=True), dict(chunk_rows=392),
+                   dict(rows9_carry=True, span=4), dict(span=4),
+                   dict(tiles_per_program=4)):
+            d, i = rasterize_pallas_csr6(soup, W, H, rows9=True,
+                                         interpret=True, **kw)
+            if kw.get("span", 2) == 2:
+                np.testing.assert_array_equal(np.asarray(d),
+                                              np.asarray(base[0]),
+                                              err_msg=str(kw))
+                np.testing.assert_array_equal(np.asarray(i),
+                                              np.asarray(base[1]),
+                                              err_msg=str(kw))
+        # span=4 pair: carry vs gather must agree at that span too.
+        a4 = rasterize_pallas_csr6(soup, W, H, rows9=True, span=4,
+                                   interpret=True)
+        b4 = rasterize_pallas_csr6(soup, W, H, rows9=True, span=4,
+                                   rows9_carry=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a4[0]), np.asarray(b4[0]))
+        np.testing.assert_array_equal(np.asarray(a4[1]), np.asarray(b4[1]))
+        with pytest.raises(ValueError, match="rows9_carry"):
+            rasterize_pallas_csr6(soup, W, H, rows9_carry=True,
+                                  interpret=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            rasterize_pallas_csr6(soup, W, H, rows9=True, rows8=True,
+                                  interpret=True)

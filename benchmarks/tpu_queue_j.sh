@@ -38,29 +38,32 @@ echo "### step exit=0 (rows modes on-chip validation)"
 step "kernel6_sweep trail seg4" python benchmarks/kernel6_sweep.py \
   --scene trail --segments 4
 
-# --- end-to-end A/Bs -------------------------------------------------
+# --- end-to-end A/Bs.  CARRIED lanes LAST: queue H's trail rows8c
+# --- bench lane FAULTED the TPU worker (the widened bench-scale sort;
+# --- the same sweep lane at frame 120 ran fine), so a repeat only
+# --- costs the tail of the queue. ------------------------------------
 step "bench trail seg4 rows9 3tone chunk1024 A/B" python bench.py $AB \
   --trail-frames 24 --droplet-frames 0 --trail-segments 4 \
   --trail-span auto --trail-cap10 off --trail-rows9 on \
   --trail-three-tone on --trail-chunk-rows 1024
-step "bench trail seg4 rows9c 3tone chunk1024 A/B" python bench.py $AB \
-  --trail-frames 24 --droplet-frames 0 --trail-segments 4 \
-  --trail-span auto --trail-cap10 off --trail-rows9 on \
-  --trail-rows9-carry on --trail-three-tone on --trail-chunk-rows 1024
+step "bench droplet seg4 rows9 3tone A/B" python bench.py $AB \
+  --trail-frames 0 --droplet-frames 12 --droplet-segments 4 \
+  --droplet-cap10 off --droplet-rows9 on --droplet-three-tone on
 step "bench trail seg4 cap10c 3tone chunk1024 A/B" python bench.py $AB \
   --trail-frames 24 --droplet-frames 0 --trail-segments 4 \
   --trail-span auto --trail-cap10 on --trail-cap10-carry on \
   --trail-three-tone on --trail-chunk-rows 1024
-step "bench droplet seg4 rows9 3tone A/B" python bench.py $AB \
+step "bench droplet seg4 cap10c 3tone A/B" python bench.py $AB \
   --trail-frames 0 --droplet-frames 12 --droplet-segments 4 \
-  --droplet-cap10 off --droplet-rows9 on --droplet-three-tone on
+  --droplet-cap10 on --droplet-cap10-carry on --droplet-three-tone on
+step "bench trail seg4 rows9c 3tone chunk1024 A/B" python bench.py $AB \
+  --trail-frames 24 --droplet-frames 0 --trail-segments 4 \
+  --trail-span auto --trail-cap10 off --trail-rows9 on \
+  --trail-rows9-carry on --trail-three-tone on --trail-chunk-rows 1024
 step "bench droplet seg4 rows9c 3tone A/B" python bench.py $AB \
   --trail-frames 0 --droplet-frames 12 --droplet-segments 4 \
   --droplet-cap10 off --droplet-rows9 on --droplet-rows9-carry on \
   --droplet-three-tone on
-step "bench droplet seg4 cap10c 3tone A/B" python bench.py $AB \
-  --trail-frames 0 --droplet-frames 12 --droplet-segments 4 \
-  --droplet-cap10 on --droplet-cap10-carry on --droplet-three-tone on
 
 # --- the round's final pick over every log (J > H > G precedence) ----
 cat /tmp/tpu_batch_j.log /tmp/tpu_batch_h.log /tmp/tpu_batch_g.log \

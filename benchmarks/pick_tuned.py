@@ -452,6 +452,9 @@ DROPLET_FLAGS = {
     "bench droplet seg4 rows9c 3tone A/B": {
         "segments": 4, "rows9": True, "rows9_carry": True,
         "three_tone": True},
+    "bench droplet seg4 rows9c 3tone chunk1024 A/B": {
+        "segments": 4, "rows9": True, "rows9_carry": True,
+        "three_tone": True, "chunk_rows": 1024},
 }
 
 

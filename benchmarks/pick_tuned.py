@@ -337,7 +337,10 @@ def pick_trail(records, log_text):
                  "chunk_rows": 1024},
              "bench trail seg4 rows9c 3tone chunk1024 A/B": {
                  "segments": 4, "rows9": True, "rows9_carry": True,
-                 "three_tone": True, "chunk_rows": 1024}}
+                 "three_tone": True, "chunk_rows": 1024},
+             "bench trail seg4 rows9c 3tone chunk2048 A/B": {
+                 "segments": 4, "rows9": True, "rows9_carry": True,
+                 "three_tone": True, "chunk_rows": 2048}}
     cand = [(fps, flags[lab], lab) for lab, fps in sections.items()
             if lab in flags]
     # Knobs with END-TO-END bench-line evidence (including a negative
@@ -455,6 +458,9 @@ DROPLET_FLAGS = {
     "bench droplet seg4 rows9c 3tone chunk1024 A/B": {
         "segments": 4, "rows9": True, "rows9_carry": True,
         "three_tone": True, "chunk_rows": 1024},
+    "bench droplet seg4 rows9c 3tone chunk2048 A/B": {
+        "segments": 4, "rows9": True, "rows9_carry": True,
+        "three_tone": True, "chunk_rows": 2048},
 }
 
 
